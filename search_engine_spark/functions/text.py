@@ -1,0 +1,214 @@
+"""Text normalization / tokenization.
+
+Reproduces the reference tokenizer's stage ORDER and quirks
+(/root/reference/backend/utils/tokenizer.py:26-35):
+
+    1. URL removal            (tokenizer.py:43-45, regex https?://\\S+|www\\.\\S+)
+    2. contraction expansion  (tokenizer.py:55-56)
+    3. punctuation -> SPACE   (tokenizer.py:47-48; note the cleaner deletes
+       punctuation instead — cleaner.py:14-16 — both variants provided)
+    4. stopword removal BEFORE lowercasing (tokenizer.py:27-31 call order;
+       case-sensitive: "The" survives this stage, "the" does not)
+    5. lowercase              (tokenizer.py:31)
+    6. lemmatize non-NOUN tokens (tokenizer.py:33-34, spaCy). spaCy is not
+       available in this environment; the deterministic fallback is identity
+       (gated behind an import-try) so the oracle and the Spark engine share
+       one exactly-reproducible definition.
+
+Two implementations are provided and property-tested against each other
+(tests/test_tokenizer.py):
+
+* ``normalize_text`` — pure-Python, per-string. Used by the single-node
+  oracle (search_engine_spark/oracle/engine.py).
+* ``normalize_series`` — pandas-vectorized (``pd.Series.str`` ops only, no
+  per-row Python). Used inside the Spark pandas UDF, per BASELINE.json
+  input_hint ("Arrow-vectorized ... no per-row Python").
+
+HTML extraction (for the ``pages.html`` binary column) is ``extract_text`` /
+``extract_series``: tag strip + whitespace normalization, byte-identical to
+the page's ``text`` column by construction of the synthetic corpus
+(FIXTURES.md §1) and asserted per-url in tests.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+
+import pandas as pd
+
+# NLTK English stopword list (public domain word list; the reference loads it
+# via nltk.corpus.stopwords.words("english") — tokenizer.py:20).
+STOPWORDS_LIST = [
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "you're", "you've", "you'll", "you'd", "your", "yours", "yourself",
+    "yourselves", "he", "him", "his", "himself", "she", "she's", "her",
+    "hers", "herself", "it", "it's", "its", "itself", "they", "them",
+    "their", "theirs", "themselves", "what", "which", "who", "whom",
+    "this", "that", "that'll", "these", "those", "am", "is", "are", "was",
+    "were", "be", "been", "being", "have", "has", "had", "having", "do",
+    "does", "did", "doing", "a", "an", "the", "and", "but", "if", "or",
+    "because", "as", "until", "while", "of", "at", "by", "for", "with",
+    "about", "against", "between", "into", "through", "during", "before",
+    "after", "above", "below", "to", "from", "up", "down", "in", "out",
+    "on", "off", "over", "under", "again", "further", "then", "once",
+    "here", "there", "when", "where", "why", "how", "all", "any", "both",
+    "each", "few", "more", "most", "other", "some", "such", "no", "nor",
+    "not", "only", "own", "same", "so", "than", "too", "very", "s", "t",
+    "can", "will", "just", "don", "don't", "should", "should've", "now",
+    "d", "ll", "m", "o", "re", "ve", "y", "ain", "aren", "aren't",
+    "couldn", "couldn't", "didn", "didn't", "doesn", "doesn't", "hadn",
+    "hadn't", "hasn", "hasn't", "haven", "haven't", "isn", "isn't", "ma",
+    "mightn", "mightn't", "mustn", "mustn't", "needn", "needn't", "shan",
+    "shan't", "shouldn", "shouldn't", "wasn", "wasn't", "weren", "weren't",
+    "won", "won't", "wouldn", "wouldn't",
+]
+STOPWORDS = frozenset(STOPWORDS_LIST)
+
+# Common English contractions (the reference uses the `contractions` package,
+# tokenizer.py:55-56; this is a deterministic fixed subset covering the
+# synthetic corpus + common web text). Longest-key-first matching.
+_CONTRACTIONS_BASE = {
+    "can't": "cannot", "won't": "will not", "don't": "do not",
+    "doesn't": "does not", "didn't": "did not", "isn't": "is not",
+    "aren't": "are not", "wasn't": "was not", "weren't": "were not",
+    "hasn't": "has not", "haven't": "have not", "hadn't": "had not",
+    "shouldn't": "should not", "wouldn't": "would not",
+    "couldn't": "could not", "mustn't": "must not", "needn't": "need not",
+    "shan't": "shall not", "mightn't": "might not", "ain't": "is not",
+    "i'm": "i am", "i've": "i have", "i'll": "i will", "i'd": "i would",
+    "you're": "you are", "you've": "you have", "you'll": "you will",
+    "you'd": "you would", "he's": "he is", "he'll": "he will",
+    "he'd": "he would", "she's": "she is", "she'll": "she will",
+    "she'd": "she would", "it's": "it is", "it'll": "it will",
+    "it'd": "it would", "we're": "we are", "we've": "we have",
+    "we'll": "we will", "we'd": "we would", "they're": "they are",
+    "they've": "they have", "they'll": "they will", "they'd": "they would",
+    "that's": "that is", "that'll": "that will", "there's": "there is",
+    "here's": "here is", "what's": "what is", "who's": "who is",
+    "let's": "let us", "y'all": "you all", "gonna": "going to",
+    "wanna": "want to", "gotta": "got to",
+}
+
+
+def _contraction_variants(d: dict[str, str]) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for k, v in d.items():
+        out[k] = v
+        out[k.capitalize()] = v.capitalize()
+        out[k.upper()] = v.upper()
+        # curly-apostrophe variants seen in web text
+        out[k.replace("'", "’")] = v
+        out[k.capitalize().replace("'", "’")] = v.capitalize()
+    return out
+
+
+CONTRACTIONS = _contraction_variants(_CONTRACTIONS_BASE)
+# longest-first so "don't" wins over hypothetical prefixes
+_CONTRACTION_KEYS = sorted(CONTRACTIONS, key=len, reverse=True)
+_CONTRACTION_RE = re.compile(
+    r"(?<![\w'])(" + "|".join(re.escape(k) for k in _CONTRACTION_KEYS) + r")(?![\w'])"
+)
+
+_URL_RE = re.compile(r"https?://\S+|www\.\S+")  # tokenizer.py:44
+PUNCTUATION = string.punctuation
+# regex char class covering exactly string.punctuation (ASCII 33-47, 58-64,
+# 91-96, 123-126) for the vectorized path
+_PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+_PUNCT_TABLE_SPACE = str.maketrans(PUNCTUATION, " " * len(PUNCTUATION))
+_PUNCT_TABLE_DELETE = str.maketrans("", "", PUNCTUATION)
+# stopword-removal regex for the vectorized path: a stopword bounded by
+# start/whitespace on the left and whitespace/end on the right.
+_STOP_RE = re.compile(
+    r"(?<!\S)(?:"
+    + "|".join(re.escape(w) for w in sorted(STOPWORDS, key=len, reverse=True))
+    + r")(?!\S)"
+)
+_WS_RE = re.compile(r"\s+")
+
+try:  # spaCy lemmatization (reference tokenizer.py:24,33-34) — not in this env
+    import spacy  # noqa: F401
+
+    _HAS_SPACY = True
+except Exception:  # pragma: no cover
+    _HAS_SPACY = False
+
+
+def expand_contractions(text: str) -> str:
+    return _CONTRACTION_RE.sub(lambda m: CONTRACTIONS[m.group(1)], text)
+
+
+def remove_urls(text: str) -> str:
+    return _URL_RE.sub("", text)
+
+
+def remove_punctuation(text: str, *, to_space: bool = True) -> str:
+    """to_space=True is the tokenizer variant (tokenizer.py:47-48);
+    to_space=False is the cleaner variant (cleaner.py:14-16)."""
+    return text.translate(_PUNCT_TABLE_SPACE if to_space else _PUNCT_TABLE_DELETE)
+
+
+def remove_stopwords(text: str) -> str:
+    """Case-SENSITIVE whitespace-token filter (applied pre-lowercase, the
+    reference quirk — tokenizer.py:27-31,50-53)."""
+    return " ".join(w for w in str(text).split() if w not in STOPWORDS)
+
+
+def normalize_text(text: str) -> str:
+    """Pure-Python normalization: full tokenizer pipeline minus the final
+    split. Returns single-space-joined tokens. Oracle-side implementation."""
+    text = remove_urls(text)
+    text = expand_contractions(text)
+    text = remove_punctuation(text, to_space=True)
+    text = remove_stopwords(text)
+    text = text.lower()
+    # lemma stage: identity fallback (see module docstring)
+    return " ".join(text.split())
+
+
+def tokenize(text: str) -> list[str]:
+    n = normalize_text(text)
+    return n.split(" ") if n else []
+
+
+def normalize_series(s: pd.Series) -> pd.Series:
+    """pandas-vectorized normalization, exactly equivalent to
+    ``normalize_text`` applied element-wise (property-tested). Runs inside
+    the Spark pandas UDF — only ``.str`` ops, no per-row Python."""
+    s = s.astype("string").fillna("")
+    s = s.str.replace(_URL_RE, "", regex=True)
+    s = s.str.replace(
+        _CONTRACTION_RE, lambda m: CONTRACTIONS[m.group(1)], regex=True
+    )
+    s = s.str.replace(_PUNCT_CLASS, " ", regex=True)
+    # stopword removal (case-sensitive, pre-lowercase): collapse whitespace
+    # first so the boundary regex sees single separators, then filter.
+    s = s.str.replace(_WS_RE, " ", regex=True).str.strip()
+    s = s.str.replace(_STOP_RE, "", regex=True)
+    s = s.str.lower()
+    s = s.str.replace(_WS_RE, " ", regex=True).str.strip()
+    return s.astype(object).fillna("")
+
+
+_TAG_RE = re.compile(rb"<[^>]*>")
+
+
+def extract_text(html: bytes) -> str:
+    """HTML -> text: tag strip + whitespace normalize (deterministic; the
+    per-row invariant vs the oracle is byte-identical output per url)."""
+    if html is None:
+        return ""
+    raw = _TAG_RE.sub(b" ", bytes(html))
+    return " ".join(raw.decode("utf-8", errors="replace").split())
+
+
+_TAG_RE_STR = re.compile(r"<[^>]*>")
+
+
+def extract_series(s: pd.Series) -> pd.Series:
+    """Vectorized HTML extraction over a binary column (Arrow bytes)."""
+    dec = s.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
+    dec = dec.astype("string")
+    dec = dec.str.replace(_TAG_RE_STR, " ", regex=True)
+    dec = dec.str.replace(_WS_RE, " ", regex=True).str.strip()
+    return dec.astype(object).fillna("")

@@ -1,0 +1,92 @@
+"""Varint/delta round-trip (property-based, FIXTURES.md §4) + block-max
+soundness: the block bound must dominate every true in-block score."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_spark.functions.compression import (
+    BLOCK,
+    block_maxes,
+    bm25_score,
+    decode_posting_list,
+    delta_decode_docids,
+    delta_encode_docids,
+    encode_posting_list,
+    varint_decode,
+    varint_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=1000))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert varint_decode(varint_encode(arr)).tolist() == vals
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        max_size=500,
+        unique=True,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_delta_roundtrip_signed_docids(ids):
+    ids.sort()
+    arr = np.array(ids, dtype=np.int64)
+    out = delta_decode_docids(delta_encode_docids(arr))
+    assert out.tolist() == ids
+
+
+def test_large_gaps():
+    ids = np.array([-(2**62), 0, 2**40, 2**62], dtype=np.int64)
+    assert delta_decode_docids(delta_encode_docids(ids)).tolist() == ids.tolist()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**60), max_value=2**60),
+            st.integers(min_value=1, max_value=1000),
+            st.integers(min_value=1, max_value=5000),
+        ),
+        min_size=1,
+        max_size=600,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_posting_list_roundtrip_and_blockmax(postings):
+    # unique doc ids
+    seen, rows = set(), []
+    for d, t, l in postings:
+        if d not in seen:
+            seen.add(d)
+            rows.append((d, t, l))
+    doc_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    tfs = np.array([r[1] for r in rows], dtype=np.int64)
+    dls = np.array([r[2] for r in rows], dtype=np.int64)
+    idf, avgdl = 1.7, 120.0
+    dd, tv, lv, bm = encode_posting_list(doc_ids, tfs, dls, idf, avgdl)
+    d2, t2, l2 = decode_posting_list(dd, tv, lv)
+    order = np.argsort(doc_ids, kind="stable")
+    assert d2.tolist() == doc_ids[order].tolist()
+    assert t2.tolist() == tfs[order].tolist()
+    assert l2.tolist() == dls[order].tolist()
+    # block-max soundness: bound >= every true score in the block
+    scores = bm25_score(t2, l2, idf, avgdl)
+    assert len(bm) == (len(d2) + BLOCK - 1) // BLOCK
+    for i, s in enumerate(scores):
+        assert bm[i // BLOCK] >= s
+
+
+def test_empty():
+    assert varint_encode(np.empty(0, dtype=np.uint64)) == b""
+    assert varint_decode(b"").tolist() == []
+    assert delta_encode_docids(np.empty(0, dtype=np.int64)) == b""
+    assert block_maxes(
+        np.empty(0), np.empty(0), 1.0, 1.0
+    ).tolist() == []

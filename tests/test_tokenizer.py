@@ -1,0 +1,81 @@
+"""Tokenizer parity: pure-Python vs pandas-vectorized, plus reference quirks
+(SURVEY.md §2.8 F1-F8, /root/reference/backend/utils/tokenizer.py:26-35)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_spark.functions.text import (
+    STOPWORDS,
+    extract_series,
+    extract_text,
+    normalize_series,
+    normalize_text,
+    tokenize,
+)
+
+
+def test_stage_order_stopwords_before_lowercase():
+    # "The" (capitalized) survives the case-sensitive stopword filter and is
+    # lowercased afterwards — reference quirk (tokenizer.py:27-31,50-53)
+    assert tokenize("The THE the") == ["the", "the"]
+
+
+def test_urls_removed():
+    assert tokenize("stay at https://bad.example/x here") == ["stay"]
+    assert tokenize("visit www.bad.example now") == ["visit"]
+
+
+def test_contractions_expanded():
+    # "Don't" -> "Do not" -> punctuation noop -> "Do" survives stopwords
+    # (case-sensitive), "not" removed -> lower -> ["do"]
+    assert tokenize("Don't stay at www.bad.example hotels!") == ["do", "stay", "hotels"]
+
+
+def test_punctuation_to_space():
+    assert tokenize("good,bad;ugly") == ["good", "bad", "ugly"]
+
+
+def test_curly_quotes_and_empty():
+    assert tokenize("") == []
+    assert tokenize("!!! ... ???") == []
+
+
+def test_stopwords_case_sensitive():
+    assert "the" in STOPWORDS
+    assert tokenize("the cat") == ["cat"]
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=12,
+        ),
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_vectorized_matches_pure(words):
+    texts = [" ".join(words), "  ".join(words)]
+    s = pd.Series(texts)
+    vec = normalize_series(s).tolist()
+    pure = [normalize_text(t) for t in texts]
+    assert vec == pure
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_vectorized_matches_pure_unicode(text):
+    s = pd.Series([text])
+    assert normalize_series(s).tolist() == [normalize_text(text)]
+
+
+def test_extract_text_inverts_synthetic_wrapper():
+    body = "Some text with  spaces"
+    html = b"<html><head><title>t1</title></head><body><p>" + body.encode() + b"</p></body></html>"
+    assert extract_text(html) == "t1 Some text with spaces"
+    s = pd.Series([html, None, b"<b>x</b>"])
+    assert extract_series(s).tolist() == ["t1 Some text with spaces", "", "x"]
