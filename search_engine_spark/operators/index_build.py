@@ -1,0 +1,371 @@
+"""Inverted-index build: the Spark-first re-expression of the reference's
+offline chain (SURVEY.md §3.2 — cleaner -> lexicon -> forward -> inverted ->
+barrels, /root/reference/backend/utils/{cleaner,create_parallel_lexicon,
+create_forward_index,create_inverted_index,barrel_manager}.py).
+
+Shape (north rule): partition-parallel map (extract+tokenize pandas UDF) ->
+tf aggregation -> global lexicon with dense sorted term IDs ->
+repartition-by-term shuffle -> per-(term,salt) sort+merge+compress
+(applyInPandas) -> barrel-partitioned parquet. The reference's driver-side
+reduce bottleneck (create_inverted_index.py:95-161) is exactly what the
+shuffle replaces.
+
+Scale notes (10^12 docs / 1000 executors):
+- No driver-side loops over data; the only .collect() is the P-row partition
+  offset table for dense ID assignment and the 2-scalar (N, total_dl) corpus
+  stats.
+- Doc IDs are deterministic md5-derived (no coordination — hashing.py).
+- Dense term IDs use two-phase range-partitioned assignment (per-partition
+  counts + offsets), not a single-reducer row_number (SURVEY.md §7
+  "Global dense term IDs at scale").
+- Hot-term skew: terms with df > salt_threshold are split into
+  salt = pmod(doc_id, n_salts) sub-lists, so no single task encodes a
+  full Zipf-head posting list (SURVEY.md §4 item 2).
+- Barrels: barrel = pmod(term_id, n_barrels) — hash, not range, so a
+  lexical hot range can't hotspot one partition; parquet
+  partitionBy("barrel") gives partition pruning on query probes
+  (the Iceberg bucket(N, term_id) equivalent; storage module is isolated
+  here so an Iceberg catalog can be dropped in).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from search_engine_spark.functions.compression import (
+    BLOCK,
+    bm25_score,
+    delta_encode_docids,
+    varint_encode,
+)
+from search_engine_spark.functions.hashing import DOC_ID_HEX_CHARS
+from search_engine_spark.functions.text import extract_series, normalize_series
+
+K1 = 1.2
+B = 0.75
+
+# ---------------------------------------------------------------------------
+# columns / UDFs
+
+
+def doc_id_col(url: str = "url"):
+    """Deterministic 60-bit doc id, fully JVM-side (see hashing.py)."""
+    return F.conv(F.substring(F.md5(F.col(url)), 1, DOC_ID_HEX_CHARS), 16, 10).cast(
+        "long"
+    )
+
+
+def _extract_normalize_iter(html: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for s in html:
+        yield normalize_series(extract_series(s))
+
+
+def _extract_iter(html: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for s in html:
+        yield extract_series(s)
+
+
+def _normalize_iter(text: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for s in text:
+        yield normalize_series(s)
+
+
+def extract_normalize_udf(col):
+    """html binary -> normalized token string (Arrow-vectorized; iterator
+    form so regex tables are reused across batches). Call-time factory —
+    pandas_udf needs an active session to parse the return type."""
+    return F.pandas_udf(_extract_normalize_iter, "string")(col)
+
+
+def extract_udf(col):
+    return F.pandas_udf(_extract_iter, "string")(col)
+
+
+def normalize_udf(col):
+    return F.pandas_udf(_normalize_iter, "string")(col)
+
+
+def tokens_col(norm: str = "norm"):
+    """Normalized string -> array of tokens ('' -> empty array)."""
+    return F.when(F.col(norm) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.col(norm), " ")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stages
+
+
+def load_pages(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def normalize_pages(pages: DataFrame) -> DataFrame:
+    """pages -> docs(doc_id, url, norm). Filters to lang='en'
+    (FIXTURES.md §1). Predicate + projection push down to the scan."""
+    return (
+        pages.filter(F.col("lang") == "en")
+        .select(
+            doc_id_col("url").alias("doc_id"),
+            "url",
+            extract_normalize_udf("html").alias("norm"),
+        )
+    )
+
+
+def build_doc_stats(docs: DataFrame) -> DataFrame:
+    """doc_stats(doc_id, url, dl) — dl = token count (BM25 length norm).
+    FIXTURES.md §2."""
+    return docs.select(
+        "doc_id", "url", F.size(tokens_col("norm")).alias("dl")
+    )
+
+
+def build_forward(docs: DataFrame) -> DataFrame:
+    """Forward index (doc_id, term, tf, positions, first_pos) — SURVEY.md
+    §2.4 A5 (create_forward_index.py:36-49): posexplode + groupBy replaces
+    the reference's per-doc dict building; Spark's partial+final hash agg
+    is the map-side combine."""
+    exploded = docs.select(
+        "doc_id", F.posexplode(tokens_col("norm")).alias("pos", "term")
+    )
+    return exploded.groupBy("doc_id", "term").agg(
+        F.count("*").cast("int").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+        F.min("pos").alias("first_pos"),
+    )
+
+
+def assign_dense_ids(
+    df: DataFrame, key: str, id_name: str, num_partitions: int = 32
+) -> DataFrame:
+    """Dense 0-based IDs in sorted-key order WITHOUT a single-reducer
+    row_number: range-partition by key, sort within partitions, then add
+    per-partition offsets (the zipWithIndex pattern; SURVEY.md §2.5 W2).
+    Semantically identical to `enumerate(sorted(keys))`
+    (create_parallel_lexicon.py:84)."""
+    parted = df.repartitionByRange(num_partitions, F.col(key)).sortWithinPartitions(
+        key
+    )
+    # cache: the count pass and the id pass must see the IDENTICAL range
+    # partitioning (repartitionByRange samples boundaries per evaluation)
+    with_pid = parted.withColumn("_pid", F.spark_partition_id()).persist()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    out_schema = f"{key} string, {id_name} long"
+
+    def add_ids(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            base = offsets[pid] + local
+            yield pd.DataFrame(
+                {
+                    key: pdf[key].to_numpy(),
+                    id_name: np.arange(base, base + len(pdf), dtype=np.int64),
+                }
+            )
+            local += len(pdf)
+
+    return with_pid.mapInPandas(add_ids, schema=out_schema)
+
+
+def build_lexicon(forward: DataFrame, num_partitions: int = 32) -> DataFrame:
+    """lexicon(term, term_id, df, cf) — FIXTURES.md §2; dense sorted IDs.
+    df/cf are the per-term stats BM25 IDF needs (SURVEY.md §2.4 A8)."""
+    stats = forward.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    ids = assign_dense_ids(
+        stats.select("term"), "term", "term_id", num_partitions
+    )
+    return ids.join(stats, "term")
+
+
+def corpus_stats(doc_stats: DataFrame) -> tuple[int, float]:
+    """(N, avgdl) — computed as exact ints then divided in Python so the
+    float64 matches the oracle bit-for-bit."""
+    row = doc_stats.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("total")
+    ).collect()[0]
+    n = int(row["n"])
+    total = int(row["total"] or 0)
+    return n, (float(total) / n if n else 0.0)
+
+
+def idf_value(df: int, n_docs: int) -> float:
+    """BM25 idf — math.log everywhere (engine, encoder, oracle) so block-max
+    bounds and query scores use the identical float (SURVEY.md §7 'WAND
+    correctness')."""
+    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+POSTINGS_SCHEMA = (
+    "term_id long, salt int, df long, n_docs int, max_score double, "
+    "block_maxes array<double>, doc_deltas binary, tfs binary, dls binary"
+)
+
+
+def build_postings(
+    forward: DataFrame,
+    lexicon: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    n_salts: int = 8,
+    salt_threshold: int = 50_000,
+    n_barrels: int = 64,
+) -> DataFrame:
+    """Compressed, salted, barrel-partitioned posting lists.
+
+    forward ⋈ lexicon (term->term_id, df) ⋈ doc_stats (dl), salt hot terms,
+    then ONE shuffle groups each (term_id, salt) for numpy encoding. The
+    in-group np.argsort is the sortWithinPartitions(term_id, doc_id) merge
+    step — postings come out docID-sorted, the precondition for delta
+    compression (SURVEY.md §2.6 O5)."""
+    lex = lexicon.select("term", "term_id", "df")
+    dls = doc_stats.select("doc_id", "dl")
+    joined = (
+        forward.select("doc_id", "term", "tf")
+        .join(lex, "term")
+        .join(dls, "doc_id")
+        .select(
+            "term_id",
+            "df",
+            "doc_id",
+            "tf",
+            "dl",
+            F.when(
+                F.col("df") > salt_threshold, F.pmod("doc_id", F.lit(n_salts))
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("salt"),
+        )
+    )
+
+    def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        term_id, salt = int(key[0]), int(key[1])
+        d = pdf["doc_id"].to_numpy(dtype=np.int64)
+        t = pdf["tf"].to_numpy(dtype=np.int64)
+        l = pdf["dl"].to_numpy(dtype=np.int64)
+        df_t = int(pdf["df"].iloc[0])
+        idf = idf_value(df_t, n_docs)
+        order = np.argsort(d, kind="stable")
+        d, t, l = d[order], t[order], l[order]
+        scores = bm25_score(t, l, idf, avgdl, K1, B)
+        nb = (len(d) + BLOCK - 1) // BLOCK
+        bm = np.array(
+            [scores[i * BLOCK : (i + 1) * BLOCK].max() for i in range(nb)],
+            dtype=np.float64,
+        )
+        return pd.DataFrame(
+            {
+                "term_id": [term_id],
+                "salt": [salt],
+                "df": [df_t],
+                "n_docs": [len(d)],
+                "max_score": [float(bm.max()) if nb else 0.0],
+                "block_maxes": [bm.tolist()],
+                "doc_deltas": [delta_encode_docids(d)],
+                "tfs": [varint_encode(t.astype(np.uint64))],
+                "dls": [varint_encode(l.astype(np.uint64))],
+            }
+        )
+
+    postings = joined.groupBy("term_id", "salt").applyInPandas(
+        encode_group, schema=POSTINGS_SCHEMA
+    )
+    return postings.withColumn(
+        "barrel", F.pmod("term_id", F.lit(n_barrels)).cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# full build
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def lexicon(self) -> str:
+        return f"{self.root}/lexicon"
+
+    @property
+    def doc_stats(self) -> str:
+        return f"{self.root}/doc_stats"
+
+    @property
+    def postings(self) -> str:
+        return f"{self.root}/postings"
+
+    @property
+    def stats(self) -> str:
+        return f"{self.root}/stats"
+
+    @property
+    def manifest(self) -> str:
+        return f"{self.root}/_build_manifest"
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    out: IndexPaths,
+    n_salts: int = 8,
+    salt_threshold: int = 50_000,
+    n_barrels: int = 64,
+    id_partitions: int = 32,
+) -> dict:
+    """One-shot (non-resumable) build; the resumable barrel-group driver is
+    plans/build_job.py. Returns summary stats."""
+    docs = normalize_pages(pages)
+    docs.cache()
+    doc_stats = build_doc_stats(docs)
+    doc_stats.write.mode("overwrite").parquet(out.doc_stats)
+    doc_stats = spark.read.parquet(out.doc_stats)
+    n_docs, avgdl = corpus_stats(doc_stats)
+
+    forward = build_forward(docs)
+    forward.cache()
+    lexicon = build_lexicon(forward, id_partitions)
+    lexicon.write.mode("overwrite").parquet(out.lexicon)
+    lexicon = spark.read.parquet(out.lexicon)
+
+    postings = build_postings(
+        forward, lexicon, doc_stats, n_docs, avgdl,
+        n_salts, salt_threshold, n_barrels,
+    )
+    postings.write.mode("overwrite").partitionBy("barrel").parquet(out.postings)
+
+    stats = spark.createDataFrame(
+        [(n_docs, avgdl, n_salts, salt_threshold, n_barrels)],
+        "n_docs long, avgdl double, n_salts int, salt_threshold long, n_barrels int",
+    )
+    stats.write.mode("overwrite").parquet(out.stats)
+    docs.unpersist()
+    forward.unpersist()
+    return {"n_docs": n_docs, "avgdl": avgdl, "n_barrels": n_barrels}
+
+
+def read_stats(spark: SparkSession, out: IndexPaths) -> dict:
+    r = spark.read.parquet(out.stats).collect()[0]
+    return {k: r[k] for k in r.asDict()}

@@ -1,0 +1,242 @@
+"""BM25 top-k query engine over the compressed barrel index.
+
+Query lifecycle mirrors the reference (SURVEY.md §3.1,
+/root/reference/backend/app.py:363-620):
+
+  1. tokenize query with the SAME normalize pipeline (app.py:376-380)
+  2. bind terms -> term_ids via lexicon; missing terms silently dropped
+     (app.py:392-401)
+  3. partition-pruned postings probe: parquet scan with
+     barrel IN (...) AND term_id IN (...) — the Spark-native version of the
+     reference's `termID // 20000` file arithmetic (app.py:567-572)
+  4. Arrow decode + per-posting BM25 partial scores (numpy), with
+     block-max WAND skipping (replaces MAX_DOCS_TO_PROCESS, app.py:73)
+  5. groupBy(doc_id) ordered sum (union OR-semantics, app.py:594-617;
+     AND-semantics intersection via term-count, SURVEY.md §2.3 J8)
+  6. orderBy(score desc, doc_id asc).limit(k) — Catalyst compiles this to
+     TakeOrderedAndProject, a distributed per-partition-heap top-k.
+
+Float discipline: per-posting scores are computed in numpy float64 with the
+exact expression shape of oracle.bm25_contrib, idf via math.log on both
+sides, and the per-doc sum is evaluated in ascending term_id order via
+aggregate(sort_array(collect_list(...))) — so multi-term scores are
+bit-equal to the oracle regardless of Spark's aggregation order.
+
+WAND threshold (theta): a SAFE lower bound of the final kth score, obtained
+by fully scoring the rarest (lowest-df) query term's postings plus every
+other term's single best block, then taking the kth per-doc partial sum.
+Any block b of term t with block_max(b) + sum_{t' != t} max_score(t') <
+theta cannot contain a top-k doc that would otherwise be lost (the doc's
+total upper bound is below theta), so skipping is lossless — asserted
+against exhaustive scoring in tests/test_wand.py.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from search_engine_spark.functions.compression import BLOCK, decode_posting_list
+from search_engine_spark.operators.index_build import (
+    B,
+    K1,
+    IndexPaths,
+    idf_value,
+    read_stats,
+)
+from search_engine_spark.functions.text import normalize_text
+
+
+class SearchIndex:
+    """Handle on a built index: lazily-loaded lexicon slice per query."""
+
+    def __init__(self, spark: SparkSession, paths: IndexPaths):
+        self.spark = spark
+        self.paths = paths
+        stats = read_stats(spark, paths)
+        self.n_docs = int(stats["n_docs"])
+        self.avgdl = float(stats["avgdl"])
+        self.n_barrels = int(stats["n_barrels"])
+        self.lexicon = spark.read.parquet(paths.lexicon)
+        self.postings = spark.read.parquet(paths.postings)
+        self.doc_stats = spark.read.parquet(paths.doc_stats)
+
+    # -- step 1+2: query terms -> term ids (driver-side; lexicon probe is a
+    # pushed-down IN filter, not a full scan)
+    def bind_terms(self, query: str) -> dict[int, int]:
+        """-> {term_id: df} for query terms present in the lexicon."""
+        tokens = sorted({t for t in normalize_text(query).split(" ") if t})
+        if not tokens:
+            return {}
+        rows = (
+            self.lexicon.filter(F.col("term").isin(tokens))
+            .select("term_id", "df")
+            .collect()
+        )
+        return {int(r["term_id"]): int(r["df"]) for r in rows}
+
+
+def _probe(index: SearchIndex, term_ids: list[int]) -> DataFrame:
+    """Partition-pruned postings scan (barrel dirs + term_id row groups)."""
+    barrels = sorted({tid % index.n_barrels for tid in term_ids})
+    return index.postings.filter(
+        F.col("barrel").isin(barrels) & F.col("term_id").isin(term_ids)
+    )
+
+
+def _decode_score_df(
+    index: SearchIndex,
+    probe: DataFrame,
+    idfs: dict[int, float],
+    theta: float,
+    other_max: dict[int, float],
+) -> DataFrame:
+    """mapInPandas: blob rows -> (doc_id, term_id, score) with block-max
+    skipping. other_max[t] = sum of max_score over the OTHER query terms."""
+    avgdl = index.avgdl
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_term, out_score = [], [], []
+            for row in pdf.itertuples(index=False):
+                tid = int(row.term_id)
+                idf = idfs[tid]
+                bm = np.asarray(row.block_maxes, dtype=np.float64)
+                if theta > 0.0:
+                    keep = bm + other_max.get(tid, 0.0) >= theta
+                    if not keep.any():
+                        continue
+                else:
+                    keep = np.ones(len(bm), dtype=bool)
+                d, t, l = decode_posting_list(row.doc_deltas, row.tfs, row.dls)
+                n = len(d)
+                mask = np.repeat(keep, BLOCK)[:n]
+                d, t, l = d[mask], t[mask], l[mask]
+                tf = t.astype(np.float64)
+                dl = l.astype(np.float64)
+                score = (
+                    idf
+                    * (tf * (K1 + 1.0))
+                    / (tf + K1 * ((1.0 - B) + (B * dl) / avgdl))
+                )
+                out_doc.append(d)
+                out_term.append(np.full(len(d), tid, dtype=np.int64))
+                out_score.append(score)
+            if out_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_doc),
+                        "term_id": np.concatenate(out_term),
+                        "score": np.concatenate(out_score),
+                    }
+                )
+
+    return probe.mapInPandas(decode, schema="doc_id long, term_id long, score double")
+
+
+def _estimate_theta(
+    index: SearchIndex,
+    probe_rows: list,
+    idfs: dict[int, float],
+    k: int,
+) -> tuple[float, dict[int, float]]:
+    """Driver-side pass-1: fully score the rarest term + best block of each
+    other term -> kth best achieved partial sum (a SAFE lower bound on the
+    true kth top-k score). probe_rows carry blobs for the scored subset only
+    (rarest term + one block per other row), so this is cheap."""
+    acc: dict[int, float] = {}
+    for row in probe_rows:
+        tid = int(row["term_id"])
+        idf = idfs[tid]
+        d, t, l = decode_posting_list(
+            bytes(row["doc_deltas"]), bytes(row["tfs"]), bytes(row["dls"])
+        )
+        if row["_best_block_only"]:
+            bm = np.asarray(row["block_maxes"], dtype=np.float64)
+            if len(bm) == 0:
+                continue
+            bi = int(np.argmax(bm))
+            sl = slice(bi * BLOCK, (bi + 1) * BLOCK)
+            d, t, l = d[sl], t[sl], l[sl]
+        tf = t.astype(np.float64)
+        dl = l.astype(np.float64)
+        score = idf * (tf * (K1 + 1.0)) / (
+            tf + K1 * ((1.0 - B) + (B * dl) / index.avgdl)
+        )
+        for doc, s in zip(d.tolist(), score.tolist()):
+            acc[doc] = acc.get(doc, 0.0) + s
+    if len(acc) < k:
+        return 0.0, {}
+    return heapq.nlargest(k, acc.values())[-1], {}
+
+
+def search(
+    index: SearchIndex,
+    query: str,
+    k: int = 10,
+    mode: str = "OR",
+    use_wand: bool = True,
+) -> DataFrame:
+    """-> DataFrame(doc_id, score) top-k, ordered (score desc, doc_id asc).
+
+    mode="OR": reference union semantics. mode="AND": posting-list
+    intersection (north rule)."""
+    spark = index.spark
+    term_df = index.bind_terms(query)
+    if not term_df:
+        return spark.createDataFrame([], "doc_id long, score double")
+    term_ids = sorted(term_df)
+    idfs = {tid: idf_value(df, index.n_docs) for tid, df in term_df.items()}
+
+    probe = _probe(index, term_ids)
+    theta = 0.0
+    other_max: dict[int, float] = {}
+    if use_wand and len(term_ids) > 1 and mode == "OR":
+        # per-term global max scores (tiny metadata aggregate)
+        maxes = {
+            int(r["term_id"]): float(r["mx"])
+            for r in probe.groupBy("term_id")
+            .agg(F.max("max_score").alias("mx"))
+            .collect()
+        }
+        other_max = {
+            tid: sum(v for t2, v in maxes.items() if t2 != tid)
+            for tid in term_ids
+        }
+        rarest = min(term_df, key=lambda t: (term_df[t], t))
+        pass1 = probe.withColumn(
+            "_best_block_only", F.col("term_id") != F.lit(rarest)
+        ).collect()
+        theta, _ = _estimate_theta(index, pass1, idfs, k)
+
+    scored = _decode_score_df(index, probe, idfs, theta, other_max)
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("term_id", "score"))).alias("parts")
+    )
+    total = per_doc.select(
+        "doc_id",
+        F.aggregate(
+            "parts", F.lit(0.0), lambda acc, x: acc + x["score"]
+        ).alias("score"),
+        F.size("parts").alias("n_terms"),
+    )
+    if mode == "AND":
+        total = total.filter(F.col("n_terms") == len(term_ids))
+    return (
+        total.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def search_topk(
+    index: SearchIndex, query: str, k: int = 10, mode: str = "OR",
+    use_wand: bool = True,
+) -> list[tuple[int, float]]:
+    rows = search(index, query, k, mode, use_wand).collect()
+    return [(int(r["doc_id"]), float(r["score"])) for r in rows]

@@ -1,0 +1,142 @@
+"""Single-node reference oracle: pure Python/NumPy extract -> tokenize ->
+index -> BM25 pipeline (SURVEY.md §5 item 1, §7).
+
+This is the semantic ground truth the Spark engine must match
+rank-identically with bit-equal float64 scores on the reference query set
+(["western", "best", "well", "good", "best western"] —
+/root/reference/backend/tests/test_search.py:639 + the Postman collection's
+"Search Hotel" query).
+
+Query-processing semantics follow the reference engine
+(/root/reference/backend/app.py:363-620): tokenize query, bind terms to
+term IDs via the lexicon (missing terms silently dropped, app.py:392-401),
+union per-term postings with per-doc accumulation (app.py:594-617), score,
+sort desc + top-k (app.py:740,504). The scorer is standard BM25
+(k1=1.2, b=0.75) per the north rule, upgrading the reference's heuristic
+TF formula (app.py:679-725); the heuristic is kept separately as
+`reference_heuristic_score` for semantics-parity tests of the
+union/filter plumbing.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from search_engine_spark.functions.hashing import doc_id_from_url
+from search_engine_spark.functions.text import extract_text, normalize_text
+
+K1 = 1.2
+B = 0.75
+
+
+@dataclass
+class OracleIndex:
+    n_docs: int = 0
+    avgdl: float = 0.0
+    lexicon: dict[str, int] = field(default_factory=dict)  # term -> dense id
+    term_df: dict[int, int] = field(default_factory=dict)
+    term_cf: dict[int, int] = field(default_factory=dict)
+    # term_id -> (doc_ids int64 sorted, tfs int64, dls int64)
+    postings: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = field(
+        default_factory=dict
+    )
+    doc_url: dict[int, str] = field(default_factory=dict)
+    doc_dl: dict[int, int] = field(default_factory=dict)
+    extracted: dict[str, str] = field(default_factory=dict)  # url -> bytes-identical text
+    normalized: dict[str, str] = field(default_factory=dict)
+
+    def idf(self, term_id: int) -> float:
+        df = self.term_df[term_id]
+        return math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def build_index(pages: pd.DataFrame) -> OracleIndex:
+    """pages: DataFrame(url, warc_ts, html, text, lang). Indexes lang=='en'
+    rows only (FIXTURES.md §1)."""
+    idx = OracleIndex()
+    en = pages[pages["lang"] == "en"]
+    per_term_docs: dict[str, list[tuple[int, int, int]]] = {}
+    dls: list[int] = []
+    for url, html in zip(en["url"], en["html"]):
+        extracted = extract_text(html)
+        norm = normalize_text(extracted)
+        doc_id = doc_id_from_url(url)
+        tokens = norm.split(" ") if norm else []
+        dl = len(tokens)
+        idx.extracted[url] = extracted
+        idx.normalized[url] = norm
+        idx.doc_url[doc_id] = url
+        idx.doc_dl[doc_id] = dl
+        dls.append(dl)
+        counts: dict[str, int] = {}
+        for t in tokens:
+            counts[t] = counts.get(t, 0) + 1
+        for t, tf in counts.items():
+            per_term_docs.setdefault(t, []).append((doc_id, tf, dl))
+    idx.n_docs = len(en)
+    idx.avgdl = float(sum(dls)) / idx.n_docs if idx.n_docs else 0.0
+    # dense term ids in sorted-term order (reference semantics,
+    # create_parallel_lexicon.py:84)
+    for tid, term in enumerate(sorted(per_term_docs)):
+        idx.lexicon[term] = tid
+        rows = sorted(per_term_docs[term])  # by doc_id
+        d = np.array([r[0] for r in rows], dtype=np.int64)
+        t = np.array([r[1] for r in rows], dtype=np.int64)
+        l = np.array([r[2] for r in rows], dtype=np.int64)
+        idx.postings[tid] = (d, t, l)
+        idx.term_df[tid] = len(rows)
+        idx.term_cf[tid] = int(t.sum())
+    return idx
+
+
+def bm25_contrib(
+    tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float
+) -> np.ndarray:
+    """EXACT float64 expression shape mirrored by the Spark scorer
+    (operators/query.py) — do not reorder operations."""
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return idf * (tf * (K1 + 1.0)) / (tf + K1 * ((1.0 - B) + (B * dl) / avgdl))
+
+
+def search(
+    idx: OracleIndex, query: str, k: int = 10, mode: str = "OR"
+) -> list[tuple[int, float]]:
+    """BM25 top-k: [(doc_id, score)] sorted (score desc, doc_id asc).
+
+    mode="OR" is the reference union semantics (app.py:594-617);
+    mode="AND" is the north-rule intersection (doc must contain all terms).
+    """
+    qtokens = normalize_text(query).split(" ")
+    term_ids = sorted(
+        {idx.lexicon[t] for t in qtokens if t and t in idx.lexicon}
+    )
+    if not term_ids:
+        return []
+    acc: dict[int, float] = {}
+    seen_count: dict[int, int] = {}
+    # accumulate in ascending term_id order -> deterministic float sum order
+    for tid in term_ids:
+        d, t, l = idx.postings[tid]
+        contrib = bm25_contrib(t, l, idx.idf(tid), idx.avgdl)
+        for doc, c in zip(d.tolist(), contrib.tolist()):
+            acc[doc] = acc.get(doc, 0.0) + c
+            seen_count[doc] = seen_count.get(doc, 0) + 1
+    if mode == "AND":
+        n = len(term_ids)
+        acc = {doc: s for doc, s in acc.items() if seen_count[doc] == n}
+    ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
+
+
+def reference_heuristic_score(tf: int, n_distinct_q: int) -> float:
+    """The reference's custom scorer core (app.py:679-725, field weights
+    collapsed to the single text field, sentiment off): kept as a plumbing
+    parity check, not the production scorer."""
+    score = tf * 0.3 + min(n_distinct_q, tf) * 0.2
+    score /= 1.0 + 0.05 * tf
+    return max(score, 0.3)
