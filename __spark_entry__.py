@@ -3,8 +3,18 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in search_engine_spark/:
+- operators/corpus.py — fulltext pipeline (tokenize → tf → lexicon →
+  BM25 top-k) + training-data ops (dedup exact/MinHash-LSH/SimHash/
+  n-gram Jaccard, embedding cosine top-k, lang-ID, quality scoring,
+  token counting, fingerprinting) over documents/embeddings.
+- operators/relational.py — SURVEY.md §2.2-2.8 relational inventory
+  over the TPC-H-ish tables.
+- operators/{index_build,query}.py — the physical engine (compressed
+  salted barrels + block-max WAND); its parity gate is the single-node
+  oracle in tests/ (non-SQL-expressible: binary posting blobs).
 """
 
 from __future__ import annotations
@@ -13,26 +23,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from search_engine_spark.operators import corpus, relational
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-k over the documents table at sf0.001 (the full
+    declarative pipeline — tokenize, tf agg, df/idf, length-normalized
+    scoring, distributed top-k)."""
+    return corpus.q_bm25_topk_or(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(corpus.QUERIES)
+    out.update(relational.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(corpus.ORACLE_SQL)
+    out.update(relational.ORACLE_SQL)
+    return out

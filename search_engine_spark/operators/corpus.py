@@ -1,0 +1,869 @@
+"""Corpus-level operators over the driver's `documents` / `embeddings`
+tables — the SQL-expressible face of the engine (driver correctness gate)
+plus the large-scale training-data-pipeline operations (dedup, similarity
+search, text analysis, fingerprinting).
+
+Every public `q_*` function takes ``(spark, sf_dir)`` and returns a
+DataFrame; the matching ANSI-SQL oracle string lives in the ``ORACLE_SQL``
+dict in this module so each (Spark plan, SQL semantics) pair stays adjacent
+and reviewable. Column names/aliases are identical on both sides (the
+driver's compare hashes values after sorting columns by name).
+
+Parity discipline (Spark vs DuckDB):
+- tokenization is whitespace split (documents.text is pre-normalized
+  lowercase single-spaced); stopword removal + position renumbering mirrors
+  the reference tokenizer semantics (/root/reference/backend/utils/
+  tokenizer.py:27-31 — SURVEY.md §2.8 F5/F7).
+- all hashing is md5 (bit-identical across Spark/DuckDB/Python —
+  functions/hashing.py design note).
+- every float aggregate is rounded (ROUND(x, n)) on BOTH sides before
+  compare/ordering, and every ordering ties out on an integer key.
+
+Scale notes: each operator is a declarative DataFrame plan — scans get
+predicate pushdown + column pruning, joins on the small side are broadcast,
+aggregations are partial+final hash aggs, top-k is TakeOrderedAndProject.
+No Python UDFs anywhere in this module (hot paths are JVM-only).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from search_engine_spark.functions.text import STOPWORDS_LIST
+
+K1 = 1.2
+B = 0.75
+
+# Reference-query-set analog over the documents vocabulary (the reference
+# set ["western","best","well","good","best western"] targets its hotel
+# corpus — backend/tests/test_search.py:639; these are the same Zipf-head
+# shape in the driver corpus).
+QUERY_OR = "fast query scan"
+QUERY_AND = "spark hash join"
+TOPK = 10
+
+_SQL_STOPLIST = ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORDS_LIST)
+
+
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# tokenization (SURVEY.md §2.8 F5/F7: whitespace split + stopword removal,
+# positions renumbered post-filter like the reference forward index)
+
+
+def _tokens_array() -> Column:
+    """text -> array<string> of non-stopword tokens, order-preserving.
+    F.filter keeps relative order, so posexplode positions are the
+    post-stopword-removal indices (= reference forward-index positions,
+    create_forward_index.py:38-47)."""
+    return F.filter(
+        F.split(F.col("text"), " "),
+        lambda t: ~t.isin(*STOPWORDS_LIST),
+    )
+
+
+def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, term) for lang='en' docs — the exploded forward view."""
+    return (
+        documents(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", F.posexplode(_tokens_array()).alias("pos", "term"))
+    )
+
+
+# shared SQL CTE: same tokenization in DuckDB (positions renumbered after
+# the stopword filter via row_number over the pre-filter position)
+_TOK_CTE = f"""
+tok AS (
+  SELECT doc_id, term,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos0) - 1 AS INT) AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos0
+    FROM documents WHERE lang = 'en'
+  ) raw
+  WHERE term NOT IN ({_SQL_STOPLIST})
+)
+"""
+
+
+def q_term_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward index (SURVEY.md §2.4 A5): per-(doc,term) tf + first
+    position. posexplode + partial/final hash agg replaces the reference's
+    per-doc dict loop (create_forward_index.py:36-49)."""
+    return (
+        tokens(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.min("pos").cast("int").alias("first_pos"),
+        )
+    )
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_stats(doc_id, dl) — BM25 doc-length normalization input."""
+    return (
+        documents(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", F.size(_tokens_array()).cast("long").alias("dl"))
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_docs, avgdl) scalars frozen at index time (SURVEY.md §7)."""
+    return q_doc_stats(spark, sf_dir).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("dl") / F.count("*"), 6).alias("avgdl"),
+    )
+
+
+def q_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lexicon(term, term_id, df, cf): dense 0-based IDs in sorted-term
+    order (reference create_parallel_lexicon.py:84 semantics — SURVEY.md
+    §2.5 W2). Window row_number here is fine at driver-compare scale; the
+    single-reducer-free assignment used by the real build is
+    index_build.assign_dense_ids (two-phase partition offsets)."""
+    stats = (
+        tokens(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf"))
+    )
+    w = Window.orderBy("term")
+    return stats.select(
+        "term",
+        (F.row_number().over(w) - 1).cast("long").alias("term_id"),
+        "df",
+        "cf",
+    )
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term stats (SURVEY.md §2.4 A8): df, cf, avg first position —
+    the inputs BM25 IDF and the test-fixture format need."""
+    tf = q_term_tf(spark, sf_dir)
+    return tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.round(F.avg("first_pos"), 6).alias("avg_first_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 scoring as a declarative plan (the logical form of the barrel engine;
+# the physical compressed/WAND path is operators/query.py)
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str, qterms: list[str]) -> DataFrame:
+    """(doc_id, score, n_terms) for the query terms, fully declarative:
+    broadcast term stats, per-posting BM25 column expr, per-doc sum.
+    ln/round parity with the DuckDB oracle (module docstring)."""
+    tf = q_term_tf(spark, sf_dir).filter(F.col("term").isin(qterms))
+    dl = q_doc_stats(spark, sf_dir)
+    stats = q_corpus_stats(spark, sf_dir)
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * ((1.0 - B) + (B * F.col("dl")) / F.col("avgdl"))),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("contrib"), 6).alias("score"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+
+
+def q_bm25_topk_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k, OR/union semantics (reference app.py:594-620; SURVEY.md
+    §3.1). orderBy+limit compiles to TakeOrderedAndProject (distributed
+    per-partition heaps — no global sort)."""
+    qterms = QUERY_OR.split(" ")
+    return (
+        _bm25_scored(spark, sf_dir, qterms)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOPK)
+    )
+
+
+def q_bm25_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k, AND/intersection semantics (north rule; SURVEY.md §2.3
+    J8 — HAVING count(distinct term) = n_terms)."""
+    qterms = QUERY_AND.split(" ")
+    return (
+        _bm25_scored(spark, sf_dir, qterms)
+        .filter(F.col("n_terms") == len(qterms))
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOPK)
+    )
+
+
+def q_query_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time posting union plumbing without the scorer (reference
+    app.py:594-617; SURVEY.md §2.4 A6 / §2.7 U3): per-doc summed freq +
+    matched-term count for the OR query set."""
+    qterms = QUERY_OR.split(" ")
+    tf = q_term_tf(spark, sf_dir).filter(F.col("term").isin(qterms))
+    return tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("freq"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+
+
+def q_ref_heuristic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's custom scorer (app.py:679-725, field weights
+    collapsed to one text field, sentiment off) as a pure column expression
+    — plumbing-parity check of union semantics, kept per SURVEY.md §7:
+    score = max((0.3·tf + 0.2·min(n_q, tf)) / (1 + 0.05·tf), 0.3)."""
+    qterms = QUERY_OR.split(" ")
+    agg = q_query_union(spark, sf_dir)
+    score = (0.3 * F.col("freq") + 0.2 * F.least(F.lit(len(qterms)), F.col("freq"))) / (
+        1.0 + 0.05 * F.col("freq")
+    )
+    return (
+        agg.select(
+            "doc_id",
+            F.round(F.greatest(score, F.lit(0.3)), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deduplication
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one representative (min
+    doc_id) per distinct text + group size. Partial+final hash agg — no
+    shuffle of full text, only (hash, doc_id)."""
+    return (
+        documents(spark, sf_dir)
+        .select(F.md5(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+    )
+
+
+_N_HASHES = 4  # minhash signature length (bands of 1 row for LSH below)
+
+
+def _shingles(n: int = 3) -> Column:
+    """Word n-gram shingles via transform over the token array (JVM-side
+    lambda, no UDF). element_at is 1-based to match DuckDB list indexing."""
+    arr = _tokens_array()
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(arr, i + k) for k in range(n)]
+        ),
+    )
+    # guard: sequence(1, 0) would DESCEND in Spark — short docs get []
+    return F.when(F.size(arr) >= n, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_df(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    return (
+        documents(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", F.explode(_shingles(n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash over 3-word shingles: signature element s = min over
+    shingles of md5(s || '|' || shingle) — md5 is the cross-engine hash
+    family (seeded by prefix), min taken on the hex string ordering which
+    is identical everywhere. (doc_id, seed, minhash)."""
+    sh = shingle_df(spark, sf_dir, 3)
+    seeds = spark.range(_N_HASHES).select(F.col("id").cast("int").alias("seed"))
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over UNIGRAM minhashes (band size 1): docs sharing any
+    band bucket become candidate near-dup pairs (doc_a < doc_b, distinct).
+    The bucket join is an equi-join on (seed, minhash) — shuffle co-located
+    by bucket key, the scalable shape (no all-pairs comparison)."""
+    sh = shingle_df(spark, sf_dir, 1)
+    seeds = (
+        sh.sparkSession.range(_N_HASHES).select(F.col("id").cast("int").alias("seed"))
+    )
+    sig = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), "seed", "minhash")
+    b = sig.select(F.col("doc_id").alias("doc_b"), "seed", "minhash")
+    return (
+        a.join(b, ["seed", "minhash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity for the LSH candidate pairs (the
+    verify step of candidate-then-verify dedup): |A∩B| / |A∪B| over 3-word
+    shingle sets. Intersection via shingle equi-join, union by
+    inclusion-exclusion — never materializes the cross product."""
+    sh = shingle_df(spark, sf_dir, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    cands = q_lsh_candidate_pairs(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        cands.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "sh_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "sh_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sh_a") + F.col("sh_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint (16-bit, tf-weighted) per doc. Per-token hash =
+    first 4 hex chars of md5(term) -> 16-bit int via per-char hex value
+    (strpos arithmetic — identical in DuckDB); bit b of the fingerprint is
+    sign(sum over tokens of tf·(2·bit_b(h)−1)). All JVM column arithmetic;
+    the bits dimension is a broadcast explode (×16 rows of the tf agg, not
+    of the corpus)."""
+    tf = (
+        tokens(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    hexv = lambda j: F.instr(  # noqa: E731
+        F.lit("0123456789abcdef"), F.substring(F.md5(F.col("term")), j, 1)
+    ) - 1
+    # h16 = hex[1]*4096 + hex[2]*256 + hex[3]*16 + hex[4]
+    h16 = hexv(1) * 4096 + hexv(2) * 256 + hexv(3) * 16 + hexv(4)
+    with_bits = (
+        tf.withColumn("h16", h16)
+        .select(
+            "doc_id",
+            "tf",
+            "h16",
+            F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bit"),
+        )
+        .withColumn(
+            "w",
+            F.col("tf")
+            * (
+                2 * (F.floor(F.col("h16") / F.pow(F.lit(2.0), F.col("bit"))) % 2)
+                - 1
+            ),
+        )
+    )
+    per_bit = with_bits.groupBy("doc_id", "bit").agg(F.sum("w").alias("s"))
+    return (
+        per_bit.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(0)
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sum of elementwise products in array order (deterministic float64
+    fold via aggregate — left-to-right, matching the oracle's ordered sum)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id=0 query vector — the
+    exact ANN baseline. Query side is a 1-row broadcast; the scan side
+    stays partition-parallel; top-k is TakeOrderedAndProject."""
+    emb = embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (
+                    F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+                ),
+                4,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOPK)
+    )
+
+
+def q_embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse structure: per-label centroid norm + count (the
+    partition/centroid stats an IVF index maintains; posexplode + hash agg,
+    no UDF)."""
+    emb = embeddings(spark, sf_dir)
+    per_dim = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "v")
+    ).groupBy("label", "dim").agg(
+        F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("c")
+    )
+    return (
+        per_dim.withColumn("m", F.col("s") / F.col("c"))
+        .groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_norm"),
+            F.max("c").cast("long").alias("n_vectors"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+
+
+_EN_MARKERS = ["the", "and", "of", "to", "a", "in", "is", "for", "with", "on"]
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: share of tokens that are English marker
+    stopwords; predict 'en' above threshold. (doc_id, en_ratio, lang_pred)
+    over ALL docs (no lang filter — that column is what we're predicting)."""
+    toks = documents(spark, sf_dir).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    ratio = toks.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("term").isin(_EN_MARKERS), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("en_ratio")
+    )
+    return ratio.select(
+        "doc_id",
+        "en_ratio",
+        F.when(F.col("en_ratio") >= 0.03, F.lit("en")).otherwise(F.lit("other")).alias(
+            "lang_pred"
+        ),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, mean token length, type-token ratio,
+    and a composite quality score — the standard pre-training corpus
+    filters, as one pass of hash aggs."""
+    toks = documents(spark, sf_dir).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg(F.length("term")), 6).alias("avg_token_len"),
+        # raw (unrounded) ttr: rounding first would make the quality formula
+        # hit exact decimal ties, where Spark/DuckDB round() diverge
+        (F.count_distinct(F.col("term")) / F.count("*")).alias("ttr_raw"),
+    )
+    quality = F.round(
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.col("ttr_raw") * 0.5,
+        6,
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "avg_token_len",
+        F.round("ttr_raw", 6).alias("ttr"),
+        quality.alias("quality"),
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (ceil(len/4) pieces per word — the standard chars/4 heuristic)."""
+    toks = documents(spark, sf_dir).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("ws_tokens"),
+        F.sum(F.ceil(F.length("term") / 4.0)).cast("long").alias("bpe_tokens"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-hash of 3-word shingles (winnowing-lite) —
+    one stable 32-hex fingerprint per doc for fast dedup lookups."""
+    sh = shingle_df(spark, sf_dir, 3)
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("shingle"))).alias("fingerprint")
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary payload (multimodal column
+    pattern — the decode itself is operators/multimodal.py): byte length +
+    content hash, computed JVM-side."""
+    return documents(spark, sf_dir).select(
+        "doc_id",
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (driver runs these on the same parquet views)
+
+_BM25_SCORED = f"""
+WITH {_TOK_CTE},
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ({{terms}})
+  GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         LN((corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+           * (tf.tf * ({K1} + 1.0))
+           / (tf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / corpus.avgdl)) AS contrib
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+)
+SELECT doc_id, ROUND(SUM(contrib), 6) AS score, COUNT(*) AS n_terms
+FROM scored GROUP BY doc_id
+"""
+
+
+def _sql_terms(q: str) -> str:
+    return ", ".join(f"'{t}'" for t in q.split(" "))
+
+
+_MINHASH_SIG_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id,
+         arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t NOT IN ('i', 'me', 'my', 'myself', 'we', 'our', 'ours', 'ourselves', 'you', 'you''re', 'you''ve', 'you''ll', 'you''d', 'your', 'yours', 'yourself', 'yourselves', 'he', 'him', 'his', 'himself', 'she', 'she''s', 'her', 'hers', 'herself', 'it', 'it''s', 'its', 'itself', 'they', 'them', 'their', 'theirs', 'themselves', 'what', 'which', 'who', 'whom', 'this', 'that', 'that''ll', 'these', 'those', 'am', 'is', 'are', 'was', 'were', 'be', 'been', 'being', 'have', 'has', 'had', 'having', 'do', 'does', 'did', 'doing', 'a', 'an', 'the', 'and', 'but', 'if', 'or', 'because', 'as', 'until', 'while', 'of', 'at', 'by', 'for', 'with', 'about', 'against', 'between', 'into', 'through', 'during', 'before', 'after', 'above', 'below', 'to', 'from', 'up', 'down', 'in', 'out', 'on', 'off', 'over', 'under', 'again', 'further', 'then', 'once', 'here', 'there', 'when', 'where', 'why', 'how', 'all', 'any', 'both', 'each', 'few', 'more', 'most', 'other', 'some', 'such', 'no', 'nor', 'not', 'only', 'own', 'same', 'so', 'than', 'too', 'very', 's', 't', 'can', 'will', 'just', 'don', 'don''t', 'should', 'should''ve', 'now', 'd', 'll', 'm', 'o', 're', 've', 'y', 'ain', 'aren', 'aren''t', 'couldn', 'couldn''t', 'didn', 'didn''t', 'doesn', 'doesn''t', 'hadn', 'hadn''t', 'hasn', 'hasn''t', 'haven', 'haven''t', 'isn', 'isn''t', 'ma', 'mightn', 'mightn''t', 'mustn', 'mustn''t', 'needn', 'needn''t', 'shan', 'shan''t', 'shouldn', 'shouldn''t', 'wasn', 'wasn''t', 'weren', 'weren''t', 'won', 'won''t', 'wouldn', 'wouldn''t')) AS arr
+        FROM documents WHERE lang = 'en') d,
+       unnest(range(1, GREATEST(len(arr) - 1, 1))) AS t(i)
+),
+seeds AS (SELECT unnest(range(0, 4)) AS seed),
+sig AS (
+  SELECT doc_id, CAST(seed AS INT) AS seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+)
+"""
+
+_UNIGRAM_SIG_CTE = f"""
+sh1 AS (
+  SELECT DISTINCT doc_id, term AS shingle FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents WHERE lang = 'en') raw
+  WHERE term NOT IN ({_SQL_STOPLIST})
+),
+seeds AS (SELECT unnest(range(0, 4)) AS seed),
+sig1 AS (
+  SELECT doc_id, CAST(seed AS INT) AS seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM sh1 CROSS JOIN seeds GROUP BY doc_id, seed
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig1 a JOIN sig1 b ON a.seed = b.seed AND a.minhash = b.minhash
+  WHERE a.doc_id < b.doc_id
+)
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "term_tf": f"""
+WITH {_TOK_CTE}
+SELECT doc_id, term, COUNT(*) AS tf, CAST(MIN(pos) AS INT) AS first_pos
+FROM tok GROUP BY doc_id, term
+""",
+    "doc_stats": f"""
+WITH {_TOK_CTE}
+SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+""",
+    "corpus_stats": f"""
+WITH {_TOK_CTE},
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id)
+SELECT COUNT(*) AS n_docs, ROUND(SUM(dl) * 1.0 / COUNT(*), 6) AS avgdl FROM dl
+""",
+    "lexicon": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term)
+SELECT term, ROW_NUMBER() OVER (ORDER BY term) - 1 AS term_id,
+       COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+FROM tf GROUP BY term
+""",
+    "term_stats": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(pos) AS first_pos
+       FROM tok GROUP BY doc_id, term)
+SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+       ROUND(AVG(first_pos), 6) AS avg_first_pos
+FROM tf GROUP BY term
+""",
+    "bm25_topk_or": f"""
+WITH scored_docs AS ({_BM25_SCORED.format(terms=_sql_terms(QUERY_OR))})
+SELECT doc_id, score FROM scored_docs
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+""",
+    "bm25_topk_and": f"""
+WITH scored_docs AS ({_BM25_SCORED.format(terms=_sql_terms(QUERY_AND))})
+SELECT doc_id, score FROM scored_docs WHERE n_terms = {len(QUERY_AND.split(' '))}
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+""",
+    "query_union": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN ({_sql_terms(QUERY_OR)}) GROUP BY doc_id, term)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS freq, COUNT(*) AS n_terms FROM tf GROUP BY doc_id
+""",
+    "ref_heuristic_topk": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN ({_sql_terms(QUERY_OR)}) GROUP BY doc_id, term),
+agg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS freq FROM tf GROUP BY doc_id)
+SELECT doc_id,
+       ROUND(GREATEST((0.3 * freq + 0.2 * LEAST({len(QUERY_OR.split(' '))}, freq))
+                      / (1.0 + 0.05 * freq), 0.3), 6) AS score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT 50
+""",
+    "dedup_exact": """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+    "minhash_signatures": f"""
+WITH {_MINHASH_SIG_CTE}
+SELECT doc_id, seed, minhash FROM sig
+""",
+    "lsh_candidate_pairs": f"""
+WITH {_UNIGRAM_SIG_CTE}
+SELECT doc_a, doc_b FROM cands
+""",
+    "ngram_jaccard": f"""
+WITH {_UNIGRAM_SIG_CTE},
+sh3 AS (
+  SELECT DISTINCT doc_id,
+         arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t NOT IN ('i', 'me', 'my', 'myself', 'we', 'our', 'ours', 'ourselves', 'you', 'you''re', 'you''ve', 'you''ll', 'you''d', 'your', 'yours', 'yourself', 'yourselves', 'he', 'him', 'his', 'himself', 'she', 'she''s', 'her', 'hers', 'herself', 'it', 'it''s', 'its', 'itself', 'they', 'them', 'their', 'theirs', 'themselves', 'what', 'which', 'who', 'whom', 'this', 'that', 'that''ll', 'these', 'those', 'am', 'is', 'are', 'was', 'were', 'be', 'been', 'being', 'have', 'has', 'had', 'having', 'do', 'does', 'did', 'doing', 'a', 'an', 'the', 'and', 'but', 'if', 'or', 'because', 'as', 'until', 'while', 'of', 'at', 'by', 'for', 'with', 'about', 'against', 'between', 'into', 'through', 'during', 'before', 'after', 'above', 'below', 'to', 'from', 'up', 'down', 'in', 'out', 'on', 'off', 'over', 'under', 'again', 'further', 'then', 'once', 'here', 'there', 'when', 'where', 'why', 'how', 'all', 'any', 'both', 'each', 'few', 'more', 'most', 'other', 'some', 'such', 'no', 'nor', 'not', 'only', 'own', 'same', 'so', 'than', 'too', 'very', 's', 't', 'can', 'will', 'just', 'don', 'don''t', 'should', 'should''ve', 'now', 'd', 'll', 'm', 'o', 're', 've', 'y', 'ain', 'aren', 'aren''t', 'couldn', 'couldn''t', 'didn', 'didn''t', 'doesn', 'doesn''t', 'hadn', 'hadn''t', 'hasn', 'hasn''t', 'haven', 'haven''t', 'isn', 'isn''t', 'ma', 'mightn', 'mightn''t', 'mustn', 'mustn''t', 'needn', 'needn''t', 'shan', 'shan''t', 'shouldn', 'shouldn''t', 'wasn', 'wasn''t', 'weren', 'weren''t', 'won', 'won''t', 'wouldn', 'wouldn''t')) AS arr
+        FROM documents WHERE lang = 'en') d,
+       unnest(range(1, GREATEST(len(arr) - 1, 1))) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh3 GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN sh3 a ON a.doc_id = c.doc_a
+  JOIN sh3 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(COALESCE(i.n_inter, 0) * 1.0
+             / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)), 6) AS jaccard
+FROM cands c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+""",
+    "simhash": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+hashed AS (
+  SELECT doc_id, tf,
+         (strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(md5(term), 3, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5(term), 4, 1)) - 1) AS h16
+  FROM tf
+),
+bits AS (SELECT unnest(range(0, {_SIMHASH_BITS})) AS bit),
+weighted AS (
+  SELECT doc_id, bit,
+         SUM(tf * (2 * (CAST(FLOOR(h16 / POWER(2.0, bit)) AS BIGINT) % 2) - 1)) AS s
+  FROM hashed CROSS JOIN bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2.0, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM weighted GROUP BY doc_id
+""",
+    "embedding_cosine_topk": f"""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id,
+         i AS dim,
+         CAST(e.embedding[i] AS DOUBLE) AS x,
+         CAST(q.q_emb[i] AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN q,
+       unnest(range(1, len(e.embedding) + 1)) AS t(i)
+  WHERE e.vec_id <> 0
+),
+dots AS (
+  SELECT vec_id,
+         SUM(x * y) AS dot, SQRT(SUM(x * x)) AS na, SQRT(SUM(y * y)) AS nb
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, ROUND(dot / (na * nb), 4) AS cosine
+FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT {TOPK}
+""",
+    "embedding_centroid_by_label": """
+WITH per_dim AS (
+  SELECT label, i AS dim, SUM(CAST(embedding[i] AS DOUBLE)) AS s, COUNT(*) AS c
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+  GROUP BY label, i
+)
+SELECT label,
+       ROUND(SQRT(SUM((s / c) * (s / c))), 4) AS centroid_norm,
+       MAX(c) AS n_vectors
+FROM per_dim GROUP BY label
+""",
+    "lang_id": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+ratio AS (
+  SELECT doc_id,
+         ROUND(SUM(CASE WHEN term IN ({", ".join("'" + w + "'" for w in _EN_MARKERS)})
+                        THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS en_ratio
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, en_ratio,
+       CASE WHEN en_ratio >= 0.03 THEN 'en' ELSE 'other' END AS lang_pred
+FROM ratio
+""",
+    "quality_score": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         ROUND(AVG(LENGTH(term)), 6) AS avg_token_len,
+         COUNT(DISTINCT term) * 1.0 / COUNT(*) AS ttr_raw
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, avg_token_len, ROUND(ttr_raw, 6) AS ttr,
+       ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5 + ttr_raw * 0.5, 6) AS quality
+FROM per_doc
+""",
+    "token_counts": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT doc_id, COUNT(*) AS ws_tokens,
+       CAST(SUM(CEIL(LENGTH(term) / 4.0)) AS BIGINT) AS bpe_tokens
+FROM toks GROUP BY doc_id
+""",
+    "doc_fingerprint": """
+WITH sh3 AS (
+  SELECT DISTINCT doc_id,
+         arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t NOT IN ('i', 'me', 'my', 'myself', 'we', 'our', 'ours', 'ourselves', 'you', 'you''re', 'you''ve', 'you''ll', 'you''d', 'your', 'yours', 'yourself', 'yourselves', 'he', 'him', 'his', 'himself', 'she', 'she''s', 'her', 'hers', 'herself', 'it', 'it''s', 'its', 'itself', 'they', 'them', 'their', 'theirs', 'themselves', 'what', 'which', 'who', 'whom', 'this', 'that', 'that''ll', 'these', 'those', 'am', 'is', 'are', 'was', 'were', 'be', 'been', 'being', 'have', 'has', 'had', 'having', 'do', 'does', 'did', 'doing', 'a', 'an', 'the', 'and', 'but', 'if', 'or', 'because', 'as', 'until', 'while', 'of', 'at', 'by', 'for', 'with', 'about', 'against', 'between', 'into', 'through', 'during', 'before', 'after', 'above', 'below', 'to', 'from', 'up', 'down', 'in', 'out', 'on', 'off', 'over', 'under', 'again', 'further', 'then', 'once', 'here', 'there', 'when', 'where', 'why', 'how', 'all', 'any', 'both', 'each', 'few', 'more', 'most', 'other', 'some', 'such', 'no', 'nor', 'not', 'only', 'own', 'same', 'so', 'than', 'too', 'very', 's', 't', 'can', 'will', 'just', 'don', 'don''t', 'should', 'should''ve', 'now', 'd', 'll', 'm', 'o', 're', 've', 'y', 'ain', 'aren', 'aren''t', 'couldn', 'couldn''t', 'didn', 'didn''t', 'doesn', 'doesn''t', 'hadn', 'hadn''t', 'hasn', 'hasn''t', 'haven', 'haven''t', 'isn', 'isn''t', 'ma', 'mightn', 'mightn''t', 'mustn', 'mustn''t', 'needn', 'needn''t', 'shan', 'shan''t', 'shouldn', 'shouldn''t', 'wasn', 'wasn''t', 'weren', 'weren''t', 'won', 'won''t', 'wouldn', 'wouldn''t')) AS arr
+        FROM documents WHERE lang = 'en') d,
+       unnest(range(1, GREATEST(len(arr) - 1, 1))) AS t(i)
+)
+SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh3 GROUP BY doc_id
+""",
+    "multimodal_meta": """
+SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash
+FROM documents
+""",
+}
+
+QUERIES = {
+    "term_tf": q_term_tf,
+    "doc_stats": q_doc_stats,
+    "corpus_stats": q_corpus_stats,
+    "lexicon": q_lexicon,
+    "term_stats": q_term_stats,
+    "bm25_topk_or": q_bm25_topk_or,
+    "bm25_topk_and": q_bm25_topk_and,
+    "query_union": q_query_union,
+    "ref_heuristic_topk": q_ref_heuristic_topk,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+    "embedding_centroid_by_label": q_embedding_centroid_by_label,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+}

@@ -1,0 +1,450 @@
+"""Relational operator coverage (SURVEY.md §2.2-2.8) over the driver's
+TPC-H-ish tables — each reference operator re-expressed as a declarative
+DataFrame plan with a DuckDB oracle, exercising the engine's cleaning /
+metadata-join side (the reference's cleaner.py + app.py filter stages).
+
+Same parity discipline as operators/corpus.py: identical aliases, rounded
+floats, integer tie-breaks, BIGINT casts on DuckDB SUMs.
+
+Scale notes: every join here keys on an integer with one small side →
+broadcast hash join (the reference's dict-lookup joins, SURVEY.md §2.3 J5);
+filters/projections reach the parquet scan (PushedFilters/ReadSchema);
+sort+limit compiles to TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- P1/P2/P3: projection + range predicate (cleaner.py:65-82,
+# batch_maker.py:18) -------------------------------------------------------
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate + projection + rename: the reference's review-batch
+    slicing (batch_maker.py:18) + column projection (cleaner.py:65-82).
+    Both the filter and the 4-column projection push into the parquet
+    scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_quantity") > 30)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").alias("qty"),
+            # price(2dp) × (1-disc)(2dp) has ≤4 exact decimals: round(.,4)
+            # never lands on a tie, so Spark/DuckDB agree bit-for-bit
+            # (round(.,2) WOULD tie on x.xx5 and the engines differ there)
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "net_price"
+            ),
+        )
+    )
+
+
+# --- J1/J5: left equi-join w/ broadcast small side (cleaner.py:60-62,
+# app.py:285-297) ----------------------------------------------------------
+
+
+def q_join_left_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer (left) — the reviews⋈hotels attach join
+    (cleaner.py:60-62). Customer is the small dim → explicit broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "c_name",
+            "c_nationkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+def q_join_map_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rev→hotel→metadata dict-lookup chain (app.py:285-297,432-441) as
+    two broadcast joins: lineitem → orders → customer, aggregated per
+    nation."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# --- A1/A2/J4: groupBy means + count-join (cleaner.py:128-155,181-183) ----
+
+
+def q_groupby_multi_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column groupBy mean (the per-hotel 7-rating mean,
+    cleaner.py:128-155) over lineitem by (returnflag, linestatus) — partial
+    + final hash agg, map-side combine free."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.round(F.avg("l_tax"), 6).alias("avg_tax"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+    )
+
+
+def q_count_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join with an agg result — review_count per hotel
+    (cleaner.py:181-183): customers with their order count (0 for none)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey").agg(F.count("*").alias("order_count"))
+    return (
+        c.join(counts, c.c_custkey == counts.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("order_count", F.lit(0)).cast("long").alias("order_count"),
+        )
+    )
+
+
+# --- A3: row-wise mean (cleaner.py:171-174) -------------------------------
+
+
+def q_rowwise_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise mean across columns (average_score, cleaner.py:171-174) via
+    an array aggregate expression — scalar, no shuffle at all."""
+    li = _t(spark, sf_dir, "lineitem")
+    arr = F.array(
+        F.col("l_quantity").cast("double"),
+        F.col("l_discount") * 100.0,
+        F.col("l_tax") * 100.0,
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / F.size(arr), 6
+        ).alias("row_mean"),
+    )
+
+
+# --- A9: max aggregate (app.py:256-268) -----------------------------------
+
+
+def q_max_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global max-id scan (the reference's max(rev_id) restart scan,
+    app.py:256-268) — single-row aggregate, parquet stats make this
+    near-free."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    mo = o.agg(F.max("o_orderkey").alias("max_orderkey"))
+    ml = li.agg(F.max("l_orderkey").alias("max_l_orderkey"))
+    return mo.crossJoin(ml)
+
+
+# --- A10/W1: window functions (app.py:801,902-911; cleaner.py:48) ---------
+
+
+def q_window_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition count + rank (the multi-review-per-hotel bonus counter,
+    app.py:801,902-911): each user's first 3 events by time with their
+    total event count. One shuffle on user_id serves both window specs."""
+    e = _t(spark, sf_dir, "events")
+    w_count = Window.partitionBy("user_id")
+    w_rank = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.count("*").over(w_count).cast("long").alias("user_event_count"),
+            F.row_number().over(w_rank).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- O1/O2: top-k (app.py:740,504) ----------------------------------------
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort + top-k — TakeOrderedAndProject (per-partition heaps + driver
+    merge), the distributed form of the reference's sort-then-slice
+    (app.py:740,504)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("total_price")
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+# --- U1/U2: union + distinct (app.py:312-324; create_parallel_lexicon) ----
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-all + distinct (batch concat + lexicon set-union,
+    app.py:312-324): all custkeys appearing in either customer or orders,
+    tagged with presence counts."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return (
+        c.withColumn("src", F.lit("customer"))
+        .unionByName(o.withColumn("src", F.lit("orders")))
+        .groupBy("custkey")
+        .agg(
+            F.count_distinct("src").cast("long").alias("n_sources"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+# --- P4/P7: membership semi-join (app.py:818-820) -------------------------
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi membership filter (rev_id ∈ matched set, app.py:818-820):
+    lineitems of high-value orders. The IN-set is a DataFrame, not a
+    collected driver list — stays distributed at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey"
+    )
+    return (
+        li.join(big, li.l_orderkey == big.o_orderkey, "left_semi")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("order_revenue"),
+        )
+    )
+
+
+# --- P5/P6: substring + equality filters (app.py:408-423) -----------------
+
+
+def q_substring_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive substring + equality filter (the location/class
+    filters, app.py:408-423,459-497)."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.lower(F.col("p_name")).contains("red") & (F.col("p_size") >= 10)
+    ).select("p_partkey", "p_name", "p_size")
+
+
+# --- F9: JSON parse (cleaner.py:25-31) ------------------------------------
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string parsing (ratings column, cleaner.py:25-28): extract
+    props.k from events, aggregate per event_type."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+# --- F10/F14/P8: rounding + null scrub (cleaner.py:10-11, app.py:43-52) ---
+
+
+def q_null_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null handling + scrub (dropna/fillna/NaN→None, cleaner.py:177,
+    app.py:43-52): per-customer account balance bands with nulls
+    coalesced."""
+    c = _t(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+        .when(F.col("c_acctbal") < 5000, F.lit("low"))
+        .otherwise(F.lit("high"))
+    )
+    return (
+        c.select(F.coalesce(band, F.lit("unknown")).alias("band"), "c_acctbal")
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        )
+    )
+
+
+# --- time-window aggregation (Structured-Streaming-shaped, batch checked) --
+
+
+def q_event_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregate — the batch twin of the
+    streaming windowed agg (streaming/jobs.py runs the same plan with
+    readStream + watermark). window.start == date_trunc('hour', ts) for
+    tumbling hour windows."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "filter_project": """
+SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+       ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_quantity > 30
+""",
+    "join_left_broadcast": """
+SELECT o_orderkey, o_custkey, c_name, c_nationkey,
+       ROUND(o_totalprice, 2) AS total_price
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+""",
+    "join_map_chain": """
+SELECT n_name, COUNT(*) AS n_items,
+       ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    "groupby_multi_mean": """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       ROUND(AVG(l_tax), 6) AS avg_tax,
+       ROUND(CAST(SUM(l_quantity) AS DOUBLE), 6) AS sum_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    "count_join": """
+SELECT c_custkey, c_name,
+       CAST(COALESCE(cnt.order_count, 0) AS BIGINT) AS order_count
+FROM customer
+LEFT JOIN (SELECT o_custkey, COUNT(*) AS order_count FROM orders GROUP BY o_custkey) cnt
+  ON c_custkey = cnt.o_custkey
+""",
+    "rowwise_mean": """
+SELECT l_orderkey, l_linenumber,
+       ROUND((CAST(l_quantity AS DOUBLE) + l_discount * 100.0 + l_tax * 100.0) / 3, 6)
+         AS row_mean
+FROM lineitem
+""",
+    "max_keys": """
+SELECT (SELECT MAX(o_orderkey) FROM orders) AS max_orderkey,
+       (SELECT MAX(l_orderkey) FROM lineitem) AS max_l_orderkey
+""",
+    "window_user_events": """
+SELECT user_id, event_id, event_type, user_event_count, rn FROM (
+  SELECT user_id, event_id, event_type,
+         COUNT(*) OVER (PARTITION BY user_id) AS user_event_count,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) t WHERE rn <= 3
+""",
+    "topk_orders": """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
+FROM orders ORDER BY total_price DESC, o_orderkey ASC LIMIT 25
+""",
+    "union_distinct": """
+WITH u AS (
+  SELECT c_custkey AS custkey, 'customer' AS src FROM customer
+  UNION ALL
+  SELECT o_custkey AS custkey, 'orders' AS src FROM orders
+)
+SELECT custkey, COUNT(DISTINCT src) AS n_sources, COUNT(*) AS n_rows
+FROM u GROUP BY custkey
+""",
+    "semi_join": """
+SELECT l_orderkey, COUNT(*) AS n_items,
+       ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS order_revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+GROUP BY l_orderkey
+""",
+    "substring_filter": """
+SELECT p_partkey, p_name, p_size FROM part
+WHERE LOWER(p_name) LIKE '%red%' AND p_size >= 10
+""",
+    "json_extract": """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       ROUND(AVG(CAST(props->>'$.k' AS BIGINT)), 6) AS avg_k
+FROM events GROUP BY event_type
+""",
+    "null_scrub": """
+WITH banded AS (
+  SELECT COALESCE(CASE WHEN c_acctbal < 0 THEN 'neg'
+                       WHEN c_acctbal < 5000 THEN 'low'
+                       ELSE 'high' END, 'unknown') AS band,
+         c_acctbal
+  FROM customer
+)
+SELECT band, COUNT(*) AS n_customers, ROUND(AVG(c_acctbal), 6) AS avg_bal
+FROM banded GROUP BY band
+""",
+    "event_hour_window": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+""",
+}
+
+QUERIES = {
+    "filter_project": q_filter_project,
+    "join_left_broadcast": q_join_left_broadcast,
+    "join_map_chain": q_join_map_chain,
+    "groupby_multi_mean": q_groupby_multi_mean,
+    "count_join": q_count_join,
+    "rowwise_mean": q_rowwise_mean,
+    "max_keys": q_max_keys,
+    "window_user_events": q_window_user_events,
+    "topk_orders": q_topk_orders,
+    "union_distinct": q_union_distinct,
+    "semi_join": q_semi_join,
+    "substring_filter": q_substring_filter,
+    "json_extract": q_json_extract,
+    "null_scrub": q_null_scrub,
+    "event_hour_window": q_event_hour_window,
+}
