@@ -128,19 +128,26 @@ def build_doc_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def build_forward(docs: DataFrame) -> DataFrame:
-    """Forward index (doc_id, term, tf, positions, first_pos) — SURVEY.md
+def build_forward(docs: DataFrame, with_positions: bool = True) -> DataFrame:
+    """Forward index (doc_id, term, tf[, positions], first_pos) — SURVEY.md
     §2.4 A5 (create_forward_index.py:36-49): posexplode + groupBy replaces
     the reference's per-doc dict building; Spark's partial+final hash agg
-    is the map-side combine."""
+    is the map-side combine.
+
+    with_positions=False skips the sort_array(collect_list) — the BM25
+    build needs only tf (positions exist for phrase/position features and
+    the reference-parity tests), and dropping them cuts the widest shuffle
+    of the build."""
     exploded = docs.select(
         "doc_id", F.posexplode(tokens_col("norm")).alias("pos", "term")
     )
-    return exploded.groupBy("doc_id", "term").agg(
+    aggs = [
         F.count("*").cast("int").alias("tf"),
-        F.sort_array(F.collect_list("pos")).alias("positions"),
         F.min("pos").alias("first_pos"),
-    )
+    ]
+    if with_positions:
+        aggs.insert(1, F.sort_array(F.collect_list("pos")).alias("positions"))
+    return exploded.groupBy("doc_id", "term").agg(*aggs)
 
 
 def assign_dense_ids(
@@ -344,7 +351,7 @@ def build_index(
     doc_stats = spark.read.parquet(out.doc_stats)
     n_docs, avgdl = corpus_stats(doc_stats)
 
-    forward = build_forward(docs)
+    forward = build_forward(docs, with_positions=False)
     forward.cache()
     lexicon = build_lexicon(forward, id_partitions)
     lexicon.write.mode("overwrite").parquet(out.lexicon)

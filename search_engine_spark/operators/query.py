@@ -22,18 +22,19 @@ sides, and the per-doc sum is evaluated in ascending term_id order via
 aggregate(sort_array(collect_list(...))) — so multi-term scores are
 bit-equal to the oracle regardless of Spark's aggregation order.
 
-WAND threshold (theta): a SAFE lower bound of the final kth score, obtained
-by fully scoring the rarest (lowest-df) query term's postings plus every
-other term's single best block, then taking the kth per-doc partial sum.
-Any block b of term t with block_max(b) + sum_{t' != t} max_score(t') <
-theta cannot contain a top-k doc that would otherwise be lost (the doc's
-total upper bound is below theta), so skipping is lossless — asserted
-against exhaustive scoring in tests/test_wand.py.
+WAND threshold (theta): a SAFE lower bound of the final kth score — the
+kth-largest single-term score among the rarest (lowest-df) query term's
+postings, computed as a distributed TakeOrdered pass (no blobs on the
+driver). Any block b of term t with block_max(b) + sum_{t' != t}
+max_score(t') < theta cannot contain a top-k doc: such a doc's total
+upper bound sits below theta ≤ the true kth score, so neither dropping
+its t-contribution nor its (under-)scored appearance via other terms can
+change the top-k set or its scores — asserted against exhaustive scoring
+in tests/test_wand.py.
 """
 
 from __future__ import annotations
 
-import heapq
 from typing import Iterator
 
 import numpy as np
@@ -141,38 +142,27 @@ def _decode_score_df(
 
 def _estimate_theta(
     index: SearchIndex,
-    probe_rows: list,
+    probe: DataFrame,
+    rarest: int,
     idfs: dict[int, float],
     k: int,
-) -> tuple[float, dict[int, float]]:
-    """Driver-side pass-1: fully score the rarest term + best block of each
-    other term -> kth best achieved partial sum (a SAFE lower bound on the
-    true kth top-k score). probe_rows carry blobs for the scored subset only
-    (rarest term + one block per other row), so this is cheap."""
-    acc: dict[int, float] = {}
-    for row in probe_rows:
-        tid = int(row["term_id"])
-        idf = idfs[tid]
-        d, t, l = decode_posting_list(
-            bytes(row["doc_deltas"]), bytes(row["tfs"]), bytes(row["dls"])
-        )
-        if row["_best_block_only"]:
-            bm = np.asarray(row["block_maxes"], dtype=np.float64)
-            if len(bm) == 0:
-                continue
-            bi = int(np.argmax(bm))
-            sl = slice(bi * BLOCK, (bi + 1) * BLOCK)
-            d, t, l = d[sl], t[sl], l[sl]
-        tf = t.astype(np.float64)
-        dl = l.astype(np.float64)
-        score = idf * (tf * (K1 + 1.0)) / (
-            tf + K1 * ((1.0 - B) + (B * dl) / index.avgdl)
-        )
-        for doc, s in zip(d.tolist(), score.tolist()):
-            acc[doc] = acc.get(doc, 0.0) + s
-    if len(acc) < k:
-        return 0.0, {}
-    return heapq.nlargest(k, acc.values())[-1], {}
+) -> float:
+    """Distributed pass-1: kth-largest BM25 score among the RAREST query
+    term's postings — a SAFE lower bound on the true kth top-k score (k
+    docs achieve at least their rarest-term contribution, and scores are
+    non-negative, so the true kth total ≥ this theta).
+
+    Runs as orderBy(desc).limit(k) over the decoded rarest-term postings —
+    TakeOrderedAndProject, per-partition heaps; NO posting blobs ever reach
+    the driver (the previous design collected every query term's blobs
+    driver-side, which breaks at Zipf-head posting-list sizes)."""
+    scored = _decode_score_df(
+        index, probe.filter(F.col("term_id") == F.lit(rarest)), idfs, 0.0, {}
+    )
+    rows = scored.select("score").orderBy(F.desc("score")).limit(k).collect()
+    if len(rows) < k:
+        return 0.0
+    return float(rows[-1]["score"])
 
 
 def search(
@@ -209,10 +199,7 @@ def search(
             for tid in term_ids
         }
         rarest = min(term_df, key=lambda t: (term_df[t], t))
-        pass1 = probe.withColumn(
-            "_best_block_only", F.col("term_id") != F.lit(rarest)
-        ).collect()
-        theta, _ = _estimate_theta(index, pass1, idfs, k)
+        theta = _estimate_theta(index, probe, rarest, idfs, k)
 
     scored = _decode_score_df(index, probe, idfs, theta, other_max)
     per_doc = scored.groupBy("doc_id").agg(

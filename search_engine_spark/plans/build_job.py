@@ -119,7 +119,7 @@ def resumable_build(
     doc_stats = spark.read.parquet(out.doc_stats)
     n_docs, avgdl = ib.corpus_stats(doc_stats)
 
-    forward = ib.build_forward(docs)
+    forward = ib.build_forward(docs, with_positions=False)
     forward.cache()
 
     # -- step: lexicon --------------------------------------------------------
