@@ -118,7 +118,11 @@ def run_bench(sf_dir: str, cpus: str, scaling: bool) -> dict:
         spark.stop()
 
         if scaling:
-            extra["scaling"] = run_scaling(pages_path, n_pages, work)
+            n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000"))
+            spark2 = get_spark("bench-scale-gen", master=f"local[{cpus}]")
+            write_pages(spark2, n_scale, f"{work}/pages_scale")
+            spark2.stop()
+            extra["scaling"] = run_scaling(f"{work}/pages_scale", n_scale, work)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -9,10 +9,14 @@ untenable; per the north rule the rebuild stores each term's posting list as
     tfs        : binary  — varint(term frequency per posting)
     dls        : binary  — varint(doc length per posting; denormalized so the
                            BM25 scorer needs no query-time join to doc_stats)
-    block_maxes: array<float64> — per-block (BLOCK=128) max BM25 score upper
-                 bound, frozen at index time (N, avgdl known), for block-max
-                 WAND pruning (north rule; replaces the reference's crude
-                 MAX_DOCS_TO_PROCESS cap, app.py:73,604-617)
+    block_max_tf / block_min_dl : array<int64> — per-block (BLOCK=128)
+                 monotone summaries; the BM25 block upper bound
+                 bm25(max_tf, min_dl, idf, avgdl) is reconstructed AT QUERY
+                 TIME from the live corpus stats, so WAND pruning (north
+                 rule; replaces the reference's crude MAX_DOCS_TO_PROCESS
+                 cap, app.py:73,604-617) remains exact after incremental
+                 updates shift N/avgdl/df (a frozen score bound would go
+                 stale and prune unsafely)
 
 All encode/decode is numpy-vectorized (no per-element Python loops) so it can
 run inside Arrow ``applyInPandas``/``mapInPandas`` at full speed.
@@ -119,23 +123,53 @@ def block_maxes(
     return out
 
 
+def block_summaries(
+    tf: np.ndarray, dl: np.ndarray, block: int = BLOCK
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-block (max_tf, min_dl) over docID-sorted postings.
+
+    BM25 is monotone increasing in tf and decreasing in dl, so
+    ``bm25_score(max_tf, min_dl, idf, avgdl)`` is a valid per-block upper
+    bound computed AT QUERY TIME with the live (N, avgdl, df) — unlike a
+    frozen score bound, it stays exact after incremental corpus updates
+    change the global stats (streaming/incremental.py)."""
+    n = len(tf)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    t = np.asarray(tf, dtype=np.int64)
+    l = np.asarray(dl, dtype=np.int64)
+    nblocks = (n + block - 1) // block
+    mt = np.empty(nblocks, dtype=np.int64)
+    md = np.empty(nblocks, dtype=np.int64)
+    full = (n // block) * block
+    if full:
+        mt[: n // block] = t[:full].reshape(-1, block).max(axis=1)
+        md[: n // block] = l[:full].reshape(-1, block).min(axis=1)
+    if full < n:
+        mt[-1] = t[full:].max()
+        md[-1] = l[full:].min()
+    return mt, md
+
+
 def encode_posting_list(
     doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-    idf: float, avgdl: float, k1: float = 1.2, b: float = 0.75,
-) -> tuple[bytes, bytes, bytes, np.ndarray]:
+) -> tuple[bytes, bytes, bytes, np.ndarray, np.ndarray]:
     """Sort by doc key and encode one term's postings.
 
-    Returns (doc_deltas, tfs_varint, dls_varint, block_maxes)."""
+    Returns (doc_deltas, tfs_varint, dls_varint, block_max_tf,
+    block_min_dl). No global stats needed at encode time — bounds are
+    reconstructed from (max_tf, min_dl) at query time (block_summaries)."""
     order = np.argsort(doc_ids, kind="stable")
     d = np.asarray(doc_ids, dtype=np.int64)[order]
     t = np.asarray(tfs, dtype=np.int64)[order]
     l = np.asarray(dls, dtype=np.int64)[order]
-    bm = block_maxes(t, l, idf, avgdl, k1, b)
+    mt, md = block_summaries(t, l)
     return (
         delta_encode_docids(d),
         varint_encode(t.astype(np.uint64)),
         varint_encode(l.astype(np.uint64)),
-        bm,
+        mt,
+        md,
     )
 
 

@@ -5,8 +5,8 @@ create_forward_index,create_inverted_index,barrel_manager}.py).
 
 Shape (north rule): partition-parallel map (extract+tokenize pandas UDF) ->
 tf aggregation -> global lexicon with dense sorted term IDs ->
-repartition-by-term shuffle -> per-(term,salt) sort+merge+compress
-(applyInPandas) -> barrel-partitioned parquet. The reference's driver-side
+repartition-by-(term,salt) shuffle -> sortWithinPartitions ->
+streaming per-group compress (mapInPandas) -> barrel-partitioned parquet. The reference's driver-side
 reduce bottleneck (create_inverted_index.py:95-161) is exactly what the
 shuffle replaces.
 
@@ -40,8 +40,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from search_engine_spark.functions.compression import (
-    BLOCK,
-    bm25_score,
+    block_summaries,
     delta_encode_docids,
     varint_encode,
 )
@@ -137,13 +136,21 @@ def build_forward(docs: DataFrame, with_positions: bool = True) -> DataFrame:
     with_positions=False skips the sort_array(collect_list) — the BM25
     build needs only tf (positions exist for phrase/position features and
     the reference-parity tests), and dropping them cuts the widest shuffle
-    of the build."""
+    of the build.
+
+    dl (doc token count) rides along through the explode + agg (first(dl)
+    per (doc,term) group is constant) — this keeps build_postings free of
+    a forward ⋈ doc_stats shuffle join just to fetch the BM25 length
+    norm."""
     exploded = docs.select(
-        "doc_id", F.posexplode(tokens_col("norm")).alias("pos", "term")
+        "doc_id",
+        F.size(tokens_col("norm")).alias("dl"),
+        F.posexplode(tokens_col("norm")).alias("pos", "term"),
     )
     aggs = [
         F.count("*").cast("int").alias("tf"),
         F.min("pos").alias("first_pos"),
+        F.first("dl").alias("dl"),
     ]
     if with_positions:
         aggs.insert(1, F.sort_array(F.collect_list("pos")).alias("positions"))
@@ -224,81 +231,145 @@ def idf_value(df: int, n_docs: int) -> float:
 
 
 POSTINGS_SCHEMA = (
-    "term_id long, salt int, df long, n_docs int, max_score double, "
-    "block_maxes array<double>, doc_deltas binary, tfs binary, dls binary"
+    "term_id long, salt int, df long, n_docs int, max_tf long, min_dl long, "
+    "block_max_tf array<long>, block_min_dl array<long>, "
+    "doc_deltas binary, tfs binary, dls binary"
 )
 
 
 def build_postings(
     forward: DataFrame,
     lexicon: DataFrame,
-    doc_stats: DataFrame,
-    n_docs: int,
-    avgdl: float,
+    doc_stats: DataFrame | None = None,
     n_salts: int = 8,
     salt_threshold: int = 50_000,
     n_barrels: int = 64,
 ) -> DataFrame:
     """Compressed, salted, barrel-partitioned posting lists.
 
-    forward ⋈ lexicon (term->term_id, df) ⋈ doc_stats (dl), salt hot terms,
-    then ONE shuffle groups each (term_id, salt) for numpy encoding. The
-    in-group np.argsort is the sortWithinPartitions(term_id, doc_id) merge
-    step — postings come out docID-sorted, the precondition for delta
-    compression (SURVEY.md §2.6 O5)."""
+    forward (which carries dl, see build_forward) ⋈ lexicon (term→term_id,
+    df), salt hot terms, then ONE shuffle groups each (term_id, salt) for
+    numpy encoding. The term join is left to AQE: at test scale the
+    lexicon auto-broadcasts; at web scale (10^8+ distinct terms) it
+    becomes a shuffle join co-partitioned on term — the same exchange the
+    encode shuffle needs, so no extra pass. The in-group np.argsort is the
+    sortWithinPartitions(term_id, doc_id) merge step — postings come out
+    docID-sorted, the precondition for delta compression (SURVEY.md §2.6
+    O5). doc_stats is accepted for API compatibility but only consulted if
+    forward lacks a dl column.
+
+    Block metadata is the monotone (max_tf, min_dl) pair per 128-posting
+    block (compression.block_summaries) — no global stats enter the encode,
+    so barrels never go stale when the corpus grows incrementally."""
     lex = lexicon.select("term", "term_id", "df")
-    dls = doc_stats.select("doc_id", "dl")
+    if "dl" in forward.columns:
+        fwd = forward.select("doc_id", "term", "tf", "dl")
+    else:
+        if doc_stats is None:
+            raise ValueError("forward lacks dl and no doc_stats given")
+        fwd = forward.select("doc_id", "term", "tf").join(
+            doc_stats.select("doc_id", "dl"), "doc_id"
+        )
     joined = (
-        forward.select("doc_id", "term", "tf")
+        fwd
         .join(lex, "term")
-        .join(dls, "doc_id")
         .select(
-            "term_id",
-            "df",
-            "doc_id",
-            "tf",
-            "dl",
-            F.when(
-                F.col("df") > salt_threshold, F.pmod("doc_id", F.lit(n_salts))
-            )
-            .otherwise(F.lit(0))
-            .cast("int")
-            .alias("salt"),
+            "term_id", "df", "doc_id", "tf", "dl",
+            salt_col(n_salts, salt_threshold),
         )
     )
+    return encode_postings(joined, n_barrels)
 
-    def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term_id, salt = int(key[0]), int(key[1])
+
+def salt_col(n_salts: int, salt_threshold: int):
+    """Hot-term skew salt (SURVEY.md §4 item 2): Zipf-head terms (df >
+    threshold) split across n_salts sub-lists keyed by doc_id, so no
+    single task encodes a full head posting list; cold terms keep salt=0
+    (one blob, no query-side merge cost)."""
+    return (
+        F.when(F.col("df") > salt_threshold, F.pmod("doc_id", F.lit(n_salts)))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("salt")
+    )
+
+
+def encode_postings(joined: DataFrame, n_barrels: int = 64) -> DataFrame:
+    """(term_id, df, doc_id, tf, dl, salt) rows -> compressed blob rows
+    (POSTINGS_SCHEMA + barrel). Shared by the batch build and the
+    incremental compactor (streaming/incremental.py).
+
+    One shuffle co-locating each (term_id, salt) group, sorted so groups
+    are contiguous AND postings are already doc_id-ordered (the
+    sortWithinPartitions(term_id, doc_id) merge, SURVEY.md §2.6 O5).
+    Encoding then runs per PARTITION via mapInPandas with streaming
+    group-boundary detection — groupBy().applyInPandas() would build a
+    pandas DataFrame per group, and with Zipf vocabularies most groups
+    are singletons, so per-group overhead dominates the whole build
+    (measured 3x the cost of this formulation at 100k docs)."""
+    parted = joined.repartition("term_id", "salt").sortWithinPartitions(
+        "term_id", "salt", "doc_id"
+    )
+
+    def encode_rows(pdf: pd.DataFrame, out: dict[str, list]) -> None:
+        """pdf: doc-sorted rows of ≥1 COMPLETE groups; append encoded rows."""
+        tid = pdf["term_id"].to_numpy(dtype=np.int64)
+        salt = pdf["salt"].to_numpy(dtype=np.int64)
         d = pdf["doc_id"].to_numpy(dtype=np.int64)
         t = pdf["tf"].to_numpy(dtype=np.int64)
         l = pdf["dl"].to_numpy(dtype=np.int64)
-        df_t = int(pdf["df"].iloc[0])
-        idf = idf_value(df_t, n_docs)
-        order = np.argsort(d, kind="stable")
-        d, t, l = d[order], t[order], l[order]
-        scores = bm25_score(t, l, idf, avgdl, K1, B)
-        nb = (len(d) + BLOCK - 1) // BLOCK
-        bm = np.array(
-            [scores[i * BLOCK : (i + 1) * BLOCK].max() for i in range(nb)],
-            dtype=np.float64,
+        dfv = pdf["df"].to_numpy(dtype=np.int64)
+        n = len(pdf)
+        starts = np.concatenate(
+            ([0], np.flatnonzero((tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])) + 1)
         )
-        return pd.DataFrame(
-            {
-                "term_id": [term_id],
-                "salt": [salt],
-                "df": [df_t],
-                "n_docs": [len(d)],
-                "max_score": [float(bm.max()) if nb else 0.0],
-                "block_maxes": [bm.tolist()],
-                "doc_deltas": [delta_encode_docids(d)],
-                "tfs": [varint_encode(t.astype(np.uint64))],
-                "dls": [varint_encode(l.astype(np.uint64))],
-            }
-        )
+        ends = np.concatenate((starts[1:], [n]))
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            ds, ts, ls = d[s:e], t[s:e], l[s:e]
+            mt, md = block_summaries(ts, ls)
+            out["term_id"].append(tid[s])
+            out["salt"].append(salt[s])
+            out["df"].append(dfv[s])
+            out["n_docs"].append(e - s)
+            out["max_tf"].append(int(ts.max()))
+            out["min_dl"].append(int(ls.min()))
+            out["block_max_tf"].append(mt.tolist())
+            out["block_min_dl"].append(md.tolist())
+            out["doc_deltas"].append(delta_encode_docids(ds))
+            out["tfs"].append(varint_encode(ts.astype(np.uint64)))
+            out["dls"].append(varint_encode(ls.astype(np.uint64)))
 
-    postings = joined.groupBy("term_id", "salt").applyInPandas(
-        encode_group, schema=POSTINGS_SCHEMA
-    )
+    _COLS = [
+        "term_id", "salt", "df", "n_docs", "max_tf", "min_dl",
+        "block_max_tf", "block_min_dl", "doc_deltas", "tfs", "dls",
+    ]
+
+    def encode_partition(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        tail: pd.DataFrame | None = None  # open group spanning batches
+        for pdf in batches:
+            if tail is not None:
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+            tid = pdf["term_id"].to_numpy()
+            salt = pdf["salt"].to_numpy()
+            changes = np.flatnonzero(
+                (tid[1:] != tid[:-1]) | (salt[1:] != salt[:-1])
+            )
+            if len(changes) == 0:
+                tail = pdf  # whole batch is one (possibly open) group
+                continue
+            cut = int(changes[-1]) + 1  # last group may continue next batch
+            complete, tail = pdf.iloc[:cut], pdf.iloc[cut:].reset_index(drop=True)
+            out: dict[str, list] = {c: [] for c in _COLS}
+            encode_rows(complete, out)
+            yield pd.DataFrame(out)
+        if tail is not None and len(tail):
+            out = {c: [] for c in _COLS}
+            encode_rows(tail, out)
+            yield pd.DataFrame(out)
+
+    postings = parted.mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
     return postings.withColumn(
         "barrel", F.pmod("term_id", F.lit(n_barrels)).cast("int")
     )
@@ -358,7 +429,7 @@ def build_index(
     lexicon = spark.read.parquet(out.lexicon)
 
     postings = build_postings(
-        forward, lexicon, doc_stats, n_docs, avgdl,
+        forward, lexicon, doc_stats,
         n_salts, salt_threshold, n_barrels,
     )
     postings.write.mode("overwrite").partitionBy("barrel").parquet(out.postings)

@@ -107,7 +107,16 @@ def _decode_score_df(
             for row in pdf.itertuples(index=False):
                 tid = int(row.term_id)
                 idf = idfs[tid]
-                bm = np.asarray(row.block_maxes, dtype=np.float64)
+                # per-block BM25 upper bound from the monotone (max_tf,
+                # min_dl) summaries, with LIVE idf/avgdl — exact even after
+                # incremental updates (compression.block_summaries)
+                mt = np.asarray(row.block_max_tf, dtype=np.float64)
+                md = np.asarray(row.block_min_dl, dtype=np.float64)
+                bm = (
+                    idf
+                    * (mt * (K1 + 1.0))
+                    / (mt + K1 * ((1.0 - B) + (B * md) / avgdl))
+                )
                 if theta > 0.0:
                     keep = bm + other_max.get(tid, 0.0) >= theta
                     if not keep.any():
@@ -187,13 +196,22 @@ def search(
     theta = 0.0
     other_max: dict[int, float] = {}
     if use_wand and len(term_ids) > 1 and mode == "OR":
-        # per-term global max scores (tiny metadata aggregate)
-        maxes = {
-            int(r["term_id"]): float(r["mx"])
-            for r in probe.groupBy("term_id")
-            .agg(F.max("max_score").alias("mx"))
+        # per-term global upper bound from (max tf, min dl) scalars — a
+        # tiny metadata aggregate; the bound itself uses live idf/avgdl
+        k1, b = K1, B
+        maxes = {}
+        for r in (
+            probe.groupBy("term_id")
+            .agg(F.max("max_tf").alias("mt"), F.min("min_dl").alias("md"))
             .collect()
-        }
+        ):
+            tid = int(r["term_id"])
+            mt, md = float(r["mt"]), float(r["md"])
+            maxes[tid] = (
+                idfs[tid]
+                * (mt * (k1 + 1.0))
+                / (mt + k1 * ((1.0 - b) + (b * md) / index.avgdl))
+            )
         other_max = {
             tid: sum(v for t2, v in maxes.items() if t2 != tid)
             for tid in term_ids

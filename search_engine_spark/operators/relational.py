@@ -324,9 +324,61 @@ def q_event_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sessionization (gap-based) — the batch twin of a stateful streaming
+# operator (applyInPandasWithState shape); pure window functions ----------
+
+
+SESSION_GAP_S = 1800
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a >30-min silence starts a new session.
+    lag → gap flag → running sum = session number → per-session stats.
+    One shuffle on user_id serves every window; the groupBy reuses the
+    same partitioning."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > SESSION_GAP_S),
+        1,
+    ).otherwise(0)
+    sess = e.select(
+        "user_id", "ts", "event_id",
+        F.sum(new_sess).over(w).cast("long").alias("session_no"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("duration_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 ORACLE_SQL: dict[str, str] = {
+    "sessionize": f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('second', LAG(ts) OVER w, ts) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS session_no
+  FROM flagged
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       COUNT(*) AS n_events,
+       date_diff('second', MIN(ts), MAX(ts)) AS duration_s
+FROM sessions GROUP BY user_id, session_no
+""",
     "filter_project": """
 SELECT l_orderkey, l_linenumber, l_quantity AS qty,
        ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price
@@ -432,6 +484,7 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 }
 
 QUERIES = {
+    "sessionize": q_sessionize,
     "filter_project": q_filter_project,
     "join_left_broadcast": q_join_left_broadcast,
     "join_map_chain": q_join_map_chain,

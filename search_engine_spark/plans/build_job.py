@@ -140,7 +140,7 @@ def resumable_build(
 
     # -- steps: postings per barrel group ------------------------------------
     postings_all = ib.build_postings(
-        forward, lexicon, doc_stats, n_docs, avgdl,
+        forward, lexicon, doc_stats,
         n_salts, salt_threshold, n_barrels,
     )
     completed = 0

@@ -70,14 +70,16 @@ def test_posting_list_roundtrip_and_blockmax(postings):
     tfs = np.array([r[1] for r in rows], dtype=np.int64)
     dls = np.array([r[2] for r in rows], dtype=np.int64)
     idf, avgdl = 1.7, 120.0
-    dd, tv, lv, bm = encode_posting_list(doc_ids, tfs, dls, idf, avgdl)
+    dd, tv, lv, mt, md = encode_posting_list(doc_ids, tfs, dls)
     d2, t2, l2 = decode_posting_list(dd, tv, lv)
     order = np.argsort(doc_ids, kind="stable")
     assert d2.tolist() == doc_ids[order].tolist()
     assert t2.tolist() == tfs[order].tolist()
     assert l2.tolist() == dls[order].tolist()
-    # block-max soundness: bound >= every true score in the block
+    # block-bound soundness: the query-time bound bm25(max_tf, min_dl)
+    # must dominate every true score in the block, for ANY (idf, avgdl)
     scores = bm25_score(t2, l2, idf, avgdl)
+    bm = bm25_score(mt, md, idf, avgdl)
     assert len(bm) == (len(d2) + BLOCK - 1) // BLOCK
     for i, s in enumerate(scores):
         assert bm[i // BLOCK] >= s

@@ -1,0 +1,132 @@
+"""Incremental index maintenance (SURVEY.md §2.9 St1) end-to-end:
+
+base batch build + streamed micro-batches + compaction must be
+semantically IDENTICAL to a from-scratch batch build over the union
+corpus — same top-k doc sets and bit-equal float64 BM25 scores for the
+reference query set (term_ids may differ: incremental ids append at
+max_id+1 per the reference's app.py:928-944; scores never depend on
+term_id).
+
+Also: the streaming windowed-event aggregation must equal its batch twin
+on a drained (availableNow) file stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from search_engine_spark.operators import index_build as ib
+from search_engine_spark.operators.query import SearchIndex, search_topk
+from search_engine_spark.sources.pages import generate_pages_df
+
+QUERIES = ["western", "best", "good well", "best western", "clean room staff"]
+
+N_BASE = 500
+N_B1, N_B2 = 150, 120
+
+
+@pytest.fixture(scope="module")
+def incremental_setup(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("incr")
+    base = generate_pages_df(spark, N_BASE, partitions=4)
+    # batches = disjoint id ranges of the same deterministic corpus
+    full = generate_pages_df(spark, N_BASE + N_B1 + N_B2, partitions=4)
+
+    paths = ib.IndexPaths(str(root / "index"))
+    ib.build_index(
+        spark, base, paths, n_salts=4, salt_threshold=60, n_barrels=8,
+        id_partitions=8,
+    )
+
+    # stream the two batches through the real Structured Streaming path
+    stream_in = root / "stream_in"
+    stream_in.mkdir()
+    from search_engine_spark.sources.pages import PAGES_SCHEMA
+    from search_engine_spark.streaming.jobs import ingest_stream
+
+    pdf_full = full.toPandas()
+    batch1 = pdf_full.iloc[N_BASE : N_BASE + N_B1]
+    batch2 = pdf_full.iloc[N_BASE + N_B1 :]
+    spark.createDataFrame(batch1, PAGES_SCHEMA).write.parquet(str(stream_in / "b1"))
+    ingest_stream(spark, str(stream_in / "b1"), paths, str(root / "ckpt1"))
+    spark.createDataFrame(batch2, PAGES_SCHEMA).write.parquet(str(stream_in / "b2"))
+    ingest_stream(spark, str(stream_in / "b2"), paths, str(root / "ckpt2"))
+
+    from search_engine_spark.streaming.incremental import compact
+
+    result = compact(spark, paths)
+    assert result["compacted_barrels"] > 0
+
+    # from-scratch oracle build on the union corpus
+    fresh_paths = ib.IndexPaths(str(root / "fresh"))
+    ib.build_index(
+        spark, full, fresh_paths, n_salts=4, salt_threshold=60, n_barrels=8,
+        id_partitions=8,
+    )
+    return SearchIndex(spark, paths), SearchIndex(spark, fresh_paths)
+
+
+def test_corpus_stats_match(incremental_setup):
+    inc, fresh = incremental_setup
+    assert inc.n_docs == fresh.n_docs
+    assert inc.avgdl == pytest.approx(fresh.avgdl, abs=0.0)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_incremental_equals_fresh_build(incremental_setup, query):
+    inc, fresh = incremental_setup
+    a = search_topk(inc, query, k=10)
+    b = search_topk(fresh, query, k=10)
+    assert [d for d, _ in a] == [d for d, _ in b], query
+    np.testing.assert_array_equal(
+        np.array([s for _, s in a]), np.array([s for _, s in b])
+    )
+
+
+def test_delta_log_truncated(incremental_setup, spark):
+    inc, _ = incremental_setup
+    import os
+
+    from search_engine_spark.streaming.incremental import delta_dir
+
+    assert not os.path.exists(delta_dir(inc.paths))
+
+
+def test_windowed_stream_equals_batch(spark, tmp_path, sf_dir):
+    import pyspark.sql.functions as F
+
+    from search_engine_spark.streaming.jobs import run_windowed_events
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = tmp_path / "ev_in"
+    events.write.parquet(str(src))
+    out = tmp_path / "ev_out"
+    run_windowed_events(
+        spark, str(src), str(out), str(tmp_path / "ckpt")
+    )
+    got = spark.read.parquet(str(out))
+    want = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type",
+            "n_events", "sum_value",
+        )
+    )
+    # append mode withholds windows the final watermark hasn't passed
+    # (max_ts - 2h): compare only provably-closed windows, and the stream
+    # must not emit anything the batch plan doesn't have
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(hours=3)
+    g_all = set(map(tuple, got.collect()))
+    w_all = set(map(tuple, want.collect()))
+    assert g_all <= w_all
+    g = sorted(t for t in g_all if t[0] <= cutoff)
+    w = sorted(t for t in w_all if t[0] <= cutoff)
+    assert g == w and len(g) > 0
