@@ -138,13 +138,21 @@ def run_bench(sf_dir: str, cpus: str, scaling: bool) -> dict:
 
 
 def run_scaling(pages_path: str, n_pages: int, work: str) -> dict:
-    """Same build at local[8] vs local[32] (N vs 4N stand-in, north rule).
-    Fresh SparkSession per level so executor-thread count really changes."""
+    """Same build at local[4] vs local[16] (the N vs 4N stand-in pair; this
+    VM throttles aggregate CPU past ~16 threads — see tools/cpu_probe.py
+    and BASELINE.md "Hardware ceiling"). Fresh SparkSession per level so
+    executor-thread count really changes. Reports raw efficiency AND
+    efficiency normalized by the machine's own parallel-scaling ceiling
+    measured by the probe in the same session window."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
     from search_engine_spark.operators import index_build as ib
     from search_engine_spark.session import get_spark
 
     out = {}
-    for cpus in (8, 32):
+    for cpus in (4, 16):
         spark = get_spark(f"bench-scale-{cpus}", master=f"local[{cpus}]",
                           shuffle_partitions=max(8, cpus))
         pages = spark.read.parquet(pages_path)
@@ -159,10 +167,26 @@ def run_scaling(pages_path: str, n_pages: int, work: str) -> dict:
             "docs_per_sec": round(n_pages / dt, 1),
         }
         spark.stop()
-    t8 = out["local[8]"]["docs_per_sec"]
-    t32 = out["local[32]"]["docs_per_sec"]
-    # efficiency = speedup achieved / speedup available (4x cores)
-    out["scaling_efficiency"] = round((t32 / t8) / 4.0, 3)
+    lo = out["local[4]"]["docs_per_sec"]
+    hi = out["local[16]"]["docs_per_sec"]
+    out["scaling_efficiency"] = round((hi / lo) / 4.0, 3)
+    probe_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "cpu_probe.py")
+    try:
+        probe = _json.loads(
+            subprocess.run(
+                [_sys.executable, probe_path, "4", "16"],
+                capture_output=True, text=True, timeout=300,
+            ).stdout.strip().splitlines()[-1]
+        )
+        hw = probe.get("hw_efficiency_4_16")
+        out["hw_ceiling_efficiency"] = hw
+        if hw:
+            out["normalized_efficiency"] = round(
+                out["scaling_efficiency"] / hw, 3
+            )
+    except Exception:  # pragma: no cover - probe is best-effort
+        pass
     return out
 
 

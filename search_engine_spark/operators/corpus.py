@@ -471,6 +471,70 @@ def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize by label centroid (the inverted-file
+    cell), probe only the NPROBE cells whose centroids are closest to the
+    query, brute-force within. At 100 TB the probed-cell scan is the only
+    data touched — the cell assignment prunes the rest at the storage
+    layer (partition by cell id). NPROBE=2 of 10 cells here.
+
+    Exactness: top-k WITHIN the probed cells (standard IVF semantics) —
+    the oracle runs the identical two-stage plan, so results match by
+    construction."""
+    emb = embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    # stage 1: per-cell centroids (posexplode + two hash aggs, no UDF)
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg((F.sum(F.col("v").cast("double")) / F.count("*")).alias("m"))
+    )
+    centroids = per_dim.groupBy("label").agg(
+        F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("parts")
+    ).select(
+        "label",
+        F.transform("parts", lambda s: s["m"]).alias("centroid"),
+    )
+    cell_rank = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            # rounded BEFORE ranking so the cell choice is stable across
+            # engines (unrounded sums differ in the last ulp)
+            F.round(
+                _dot(F.col("centroid"), F.col("q_emb"))
+                / (
+                    F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+                    * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+                ),
+                6,
+            ).alias("c_cos"),
+        )
+        .orderBy(F.desc("c_cos"), F.asc("label"))
+        .limit(2)
+        .select("label")
+    )
+    # stage 2: exact cosine within the probed cells only
+    return (
+        emb.join(F.broadcast(cell_rank), "label", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (
+                    F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+                ),
+                4,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOPK)
+    )
+
+
 def q_embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style coarse structure: per-label centroid norm + count (the
     partition/centroid stats an IVF index maintains; posexplode + hash agg,
@@ -780,6 +844,40 @@ dots AS (
 SELECT vec_id, ROUND(dot / (na * nb), 4) AS cosine
 FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT {TOPK}
 """,
+    "embedding_ivf_topk": f"""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+cent AS (
+  SELECT label, i AS dim,
+         SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*) AS m
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+  GROUP BY label, i
+),
+qd AS (
+  SELECT i AS dim, CAST(q_emb[i] AS DOUBLE) AS qv
+  FROM q, unnest(range(1, len(q_emb) + 1)) AS t(i)
+),
+cellrank AS (
+  SELECT label,
+         ROUND(SUM(m * qv) / (SQRT(SUM(m * m)) * SQRT(SUM(qv * qv))), 6)
+           AS c_cos
+  FROM cent JOIN qd USING (dim) GROUP BY label
+  ORDER BY c_cos DESC, label ASC LIMIT 2
+),
+pairs AS (
+  SELECT e.vec_id, CAST(e.embedding[i] AS DOUBLE) AS x,
+         CAST(q.q_emb[i] AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN q,
+       unnest(range(1, len(e.embedding) + 1)) AS t(i)
+  WHERE e.vec_id <> 0 AND e.label IN (SELECT label FROM cellrank)
+),
+dots AS (
+  SELECT vec_id, SUM(x * y) AS dot, SQRT(SUM(x * x)) AS na,
+         SQRT(SUM(y * y)) AS nb
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, ROUND(dot / (na * nb), 4) AS cosine
+FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT {TOPK}
+""",
     "embedding_centroid_by_label": """
 WITH per_dim AS (
   SELECT label, i AS dim, SUM(CAST(embedding[i] AS DOUBLE)) AS s, COUNT(*) AS c
@@ -860,6 +958,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
     "embedding_cosine_topk": q_embedding_cosine_topk,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_centroid_by_label": q_embedding_centroid_by_label,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
