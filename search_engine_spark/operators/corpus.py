@@ -252,6 +252,34 @@ def q_ref_heuristic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_position_bonus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference TEST engine's scorer variant (SURVEY.md §2.5 W3,
+    test_search.py:608-632): heuristic score + per-term early-position
+    bonus max(0, 1 - first_pos/100)·0.5. Exercises the first_pos channel
+    of the forward index."""
+    qterms = QUERY_OR.split(" ")
+    tf = q_term_tf(spark, sf_dir).filter(F.col("term").isin(qterms))
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("freq"),
+        F.sum(
+            F.greatest(F.lit(0.0), 1.0 - F.col("first_pos") / 100.0) * 0.5
+        ).alias("pos_bonus"),
+    )
+    base = (0.3 * F.col("freq") + 0.2 * F.least(F.lit(len(qterms)), F.col("freq"))) / (
+        1.0 + 0.05 * F.col("freq")
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            F.round(F.greatest(base, F.lit(0.3)) + F.col("pos_bonus"), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: deduplication
 
@@ -535,6 +563,36 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidate pairs, BLOCKED BY CELL (label):
+    the scalable shape — an equi-join on the blocking key instead of an
+    all-pairs cross product, then exact cosine + threshold within each
+    block. At 100 TB the blocking key comes from coarse quantization
+    (IVF cell / LSH bucket); here the label column plays that role."""
+    emb = embeddings(spark, sf_dir).select("vec_id", "label", "embedding")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), "label",
+        F.col("embedding").alias("emb_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), "label",
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b"))
+        / (
+            F.sqrt(_dot(F.col("emb_a"), F.col("emb_a")))
+            * F.sqrt(_dot(F.col("emb_b"), F.col("emb_b")))
+        ),
+        4,
+    )
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
 def q_embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style coarse structure: per-label centroid norm + count (the
     partition/centroid stats an IVF index maintains; posexplode + hash agg,
@@ -766,6 +824,40 @@ SELECT doc_id,
                       / (1.0 + 0.05 * freq), 0.3), 6) AS score
 FROM agg ORDER BY score DESC, doc_id ASC LIMIT 50
 """,
+    "position_bonus_topk": f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(pos) AS first_pos FROM tok
+       WHERE term IN ({_sql_terms(QUERY_OR)}) GROUP BY doc_id, term),
+agg AS (
+  SELECT doc_id, SUM(tf) AS freq,
+         SUM(GREATEST(0.0, 1.0 - first_pos / 100.0) * 0.5) AS pos_bonus
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id,
+       ROUND(GREATEST((0.3 * freq + 0.2 * LEAST({len(QUERY_OR.split(' '))}, freq))
+                      / (1.0 + 0.05 * freq), 0.3) + pos_bonus, 6) AS score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT 50
+""",
+    "embedding_dup_pairs": """
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS emb_a,
+         b.embedding AS emb_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+),
+expanded AS (
+  SELECT vec_a, vec_b,
+         CAST(emb_a[i] AS DOUBLE) AS x, CAST(emb_b[i] AS DOUBLE) AS y
+  FROM pairs, unnest(range(1, len(emb_a) + 1)) AS t(i)
+),
+dots AS (
+  SELECT vec_a, vec_b, SUM(x * y) AS dot,
+         SQRT(SUM(x * x)) AS na, SQRT(SUM(y * y)) AS nb
+  FROM expanded GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b, ROUND(dot / (na * nb), 4) AS cosine
+FROM dots WHERE ROUND(dot / (na * nb), 4) >= 0.35
+""",
     "dedup_exact": """
 SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
 FROM documents GROUP BY md5(text)
@@ -952,6 +1044,8 @@ QUERIES = {
     "bm25_topk_and": q_bm25_topk_and,
     "query_union": q_query_union,
     "ref_heuristic_topk": q_ref_heuristic_topk,
+    "position_bonus_topk": q_position_bonus_topk,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,

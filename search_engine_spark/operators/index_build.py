@@ -201,10 +201,16 @@ def assign_dense_ids(
 
 
 def build_lexicon(forward: DataFrame, num_partitions: int = 32) -> DataFrame:
-    """lexicon(term, term_id, df, cf) — FIXTURES.md §2; dense sorted IDs.
-    df/cf are the per-term stats BM25 IDF needs (SURVEY.md §2.4 A8)."""
+    """lexicon(term, term_id, df, cf, max_tf, min_dl) — FIXTURES.md §2;
+    dense sorted IDs. df/cf are the per-term stats BM25 IDF needs
+    (SURVEY.md §2.4 A8); (max_tf, min_dl) is the term-level WAND upper
+    bound input, kept here so query planning needs NO probe-metadata
+    aggregation job — the bound comes with the term binding."""
     stats = forward.groupBy("term").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("cf")
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+        F.max("tf").cast("long").alias("max_tf"),
+        F.min("dl").cast("long").alias("min_dl"),
     )
     ids = assign_dense_ids(
         stats.select("term"), "term", "term_id", num_partitions

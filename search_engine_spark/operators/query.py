@@ -69,17 +69,30 @@ class SearchIndex:
 
     # -- step 1+2: query terms -> term ids (driver-side; lexicon probe is a
     # pushed-down IN filter, not a full scan)
-    def bind_terms(self, query: str) -> dict[int, int]:
-        """-> {term_id: df} for query terms present in the lexicon."""
+    def bind_terms(self, query: str) -> dict[int, dict]:
+        """-> {term_id: {df, max_tf, min_dl}} for query terms in the
+        lexicon. The (max_tf, min_dl) term bound rides along with the
+        binding, so WAND needs no extra metadata job over the postings."""
         tokens = sorted({t for t in normalize_text(query).split(" ") if t})
         if not tokens:
             return {}
+        cols = ["term_id", "df"]
+        has_bounds = "max_tf" in self.lexicon.columns
+        if has_bounds:
+            cols += ["max_tf", "min_dl"]
         rows = (
             self.lexicon.filter(F.col("term").isin(tokens))
-            .select("term_id", "df")
+            .select(*cols)
             .collect()
         )
-        return {int(r["term_id"]): int(r["df"]) for r in rows}
+        return {
+            int(r["term_id"]): {
+                "df": int(r["df"]),
+                "max_tf": int(r["max_tf"]) if has_bounds else None,
+                "min_dl": int(r["min_dl"]) if has_bounds else None,
+            }
+            for r in rows
+        }
 
 
 def _probe(index: SearchIndex, term_ids: list[int]) -> DataFrame:
@@ -174,6 +187,27 @@ def _estimate_theta(
     return float(rows[-1]["score"])
 
 
+def _probe_term_bounds(
+    probe: DataFrame, idfs: dict[int, float], avgdl: float
+) -> dict[int, float]:
+    """Fallback per-term upper bounds via a probe metadata aggregate (for
+    indexes whose lexicon lacks max_tf/min_dl)."""
+    out = {}
+    for r in (
+        probe.groupBy("term_id")
+        .agg(F.max("max_tf").alias("mt"), F.min("min_dl").alias("md"))
+        .collect()
+    ):
+        tid = int(r["term_id"])
+        mt, md = float(r["mt"]), float(r["md"])
+        out[tid] = (
+            idfs[tid]
+            * (mt * (K1 + 1.0))
+            / (mt + K1 * ((1.0 - B) + (B * md) / avgdl))
+        )
+    return out
+
+
 def search(
     index: SearchIndex,
     query: str,
@@ -186,37 +220,38 @@ def search(
     mode="OR": reference union semantics. mode="AND": posting-list
     intersection (north rule)."""
     spark = index.spark
-    term_df = index.bind_terms(query)
-    if not term_df:
+    bound = index.bind_terms(query)
+    if not bound:
         return spark.createDataFrame([], "doc_id long, score double")
-    term_ids = sorted(term_df)
-    idfs = {tid: idf_value(df, index.n_docs) for tid, df in term_df.items()}
+    term_ids = sorted(bound)
+    idfs = {tid: idf_value(b["df"], index.n_docs) for tid, b in bound.items()}
 
     probe = _probe(index, term_ids)
     theta = 0.0
     other_max: dict[int, float] = {}
     if use_wand and len(term_ids) > 1 and mode == "OR":
-        # per-term global upper bound from (max tf, min dl) scalars — a
-        # tiny metadata aggregate; the bound itself uses live idf/avgdl
+        # per-term global upper bound from the lexicon's (max_tf, min_dl)
+        # term bounds — no metadata job; bound uses live idf/avgdl
         k1, b = K1, B
         maxes = {}
-        for r in (
-            probe.groupBy("term_id")
-            .agg(F.max("max_tf").alias("mt"), F.min("min_dl").alias("md"))
-            .collect()
-        ):
-            tid = int(r["term_id"])
-            mt, md = float(r["mt"]), float(r["md"])
+        for tid in term_ids:
+            mt = bound[tid]["max_tf"]
+            md = bound[tid]["min_dl"]
+            if mt is None or md is None or mt <= 0:
+                # legacy index without term bounds, or uncompacted fresh
+                # term: fall back to a probe metadata aggregate
+                maxes = _probe_term_bounds(probe, idfs, index.avgdl)
+                break
             maxes[tid] = (
                 idfs[tid]
-                * (mt * (k1 + 1.0))
-                / (mt + k1 * ((1.0 - b) + (b * md) / index.avgdl))
+                * (float(mt) * (k1 + 1.0))
+                / (float(mt) + k1 * ((1.0 - b) + (b * float(md)) / index.avgdl))
             )
         other_max = {
             tid: sum(v for t2, v in maxes.items() if t2 != tid)
             for tid in term_ids
         }
-        rarest = min(term_df, key=lambda t: (term_df[t], t))
+        rarest = min(bound, key=lambda t: (bound[t]["df"], t))
         theta = _estimate_theta(index, probe, rarest, idfs, k)
 
     scored = _decode_score_df(index, probe, idfs, theta, other_max)

@@ -97,6 +97,8 @@ def apply_incremental_batch(
             "term", "term_id",
             F.lit(0).cast("long").alias("df"),
             F.lit(0).cast("long").alias("cf"),
+            F.lit(0).cast("long").alias("max_tf"),
+            F.lit(0).cast("long").alias("min_dl"),
         )
     )
     new_lex.write.mode("append").parquet(paths.lexicon)
@@ -197,7 +199,10 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     # absolute per-term stats over the merged rows — authoritative df/cf
     # for both the re-encode and the lexicon refresh
     term_stats = all_rows.groupBy("term_id").agg(
-        F.count("*").alias("df"), F.sum("tf").cast("long").alias("cf")
+        F.count("*").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.max("tf").cast("long").alias("max_tf"),
+        F.min("dl").cast("long").alias("min_dl"),
     )
     term_stats.cache()
     joined = (
@@ -214,7 +219,9 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     # 6. refreshed lexicon: absolute df/cf recount from the merged rows
     # (no additive drift)
     lexicon = spark.read.parquet(paths.lexicon)
-    upd = term_stats.withColumnsRenamed({"df": "df_new", "cf": "cf_new"})
+    upd = term_stats.withColumnsRenamed(
+        {"df": "df_new", "cf": "cf_new", "max_tf": "mt_new", "min_dl": "md_new"}
+    )
     new_lex = (
         lexicon.join(upd, "term_id", "left")
         .select(
@@ -222,6 +229,8 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
             "term_id",
             F.coalesce("df_new", F.col("df")).cast("long").alias("df"),
             F.coalesce("cf_new", F.col("cf")).cast("long").alias("cf"),
+            F.coalesce("mt_new", F.col("max_tf")).cast("long").alias("max_tf"),
+            F.coalesce("md_new", F.col("min_dl")).cast("long").alias("min_dl"),
         )
     )
 
