@@ -280,6 +280,77 @@ def q_position_bonus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ENGINE_INDEX_CACHE: dict[str, object] = {}
+
+
+def _engine_index(spark: SparkSession, sf_dir: str):
+    """Build (once per process per sf_dir) a REAL compressed-barrel index
+    over the documents table and return a SearchIndex handle.
+
+    documents.text is pre-normalized lowercase ASCII, so the engine's
+    full normalize pipeline (URL strip, contractions, punctuation,
+    case-sensitive stopword removal, lowercase — functions/text.py)
+    degenerates to exactly the whitespace+stoplist tokenization the SQL
+    oracle uses: the physical engine becomes directly DuckDB-checkable."""
+    key = sf_dir
+    if key in _ENGINE_INDEX_CACHE:
+        return _ENGINE_INDEX_CACHE[key]
+    import tempfile
+
+    from search_engine_spark.operators import index_build as ib
+    from search_engine_spark.operators.query import SearchIndex
+
+    root = tempfile.mkdtemp(prefix="se_docs_index_")
+    out = ib.IndexPaths(root)
+    docs = (
+        documents(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            ib.normalize_udf("text").alias("norm"),
+        )
+    )
+    docs.cache()
+    ds = ib.build_doc_stats(docs)
+    ds.write.mode("overwrite").parquet(out.doc_stats)
+    doc_stats = spark.read.parquet(out.doc_stats)
+    n_docs, avgdl = ib.corpus_stats(doc_stats)
+    forward = ib.build_forward(docs, with_positions=False)
+    forward.cache()
+    lex = ib.build_lexicon(forward, 8)
+    lex.write.mode("overwrite").parquet(out.lexicon)
+    lexicon = spark.read.parquet(out.lexicon)
+    postings = ib.build_postings(
+        forward, lexicon, doc_stats, n_salts=4, salt_threshold=100, n_barrels=8
+    )
+    postings.write.mode("overwrite").partitionBy("barrel").parquet(out.postings)
+    spark.createDataFrame(
+        [(n_docs, avgdl, 4, 100, 8)],
+        "n_docs long, avgdl double, n_salts int, salt_threshold long, n_barrels int",
+    ).write.mode("overwrite").parquet(out.stats)
+    docs.unpersist()
+    forward.unpersist()
+    idx = SearchIndex(spark, out)
+    _ENGINE_INDEX_CACHE[key] = idx
+    return idx
+
+
+def q_engine_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PHYSICAL ENGINE under the driver's SQL oracle: build the
+    compressed salted barrel index over documents, run the block-max-WAND
+    BM25 top-k for the OR query set, round to the oracle's precision.
+    Must equal the declarative bm25_topk_or oracle exactly — compression,
+    salting and WAND pruning are semantically invisible."""
+    from search_engine_spark.operators.query import search
+
+    idx = _engine_index(spark, sf_dir)
+    res = search(idx, QUERY_OR, k=TOPK, mode="OR", use_wand=True)
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score")
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: deduplication
 
@@ -1034,7 +1105,11 @@ FROM documents
 """,
 }
 
+# the engine must reproduce the declarative plan's oracle exactly
+ORACLE_SQL["engine_bm25_topk"] = ORACLE_SQL["bm25_topk_or"]
+
 QUERIES = {
+    "engine_bm25_topk": q_engine_bm25_topk,
     "term_tf": q_term_tf,
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
