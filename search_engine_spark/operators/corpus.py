@@ -280,6 +280,72 @@ def q_position_bonus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sentiment_col():
+    """Doc sentiment as pure column arithmetic over exploded raw tokens
+    (SURVEY.md §2.8 F12; functions/sentiment.py holds the lexicon +
+    normalization): sum(polarity) / sqrt(n_tokens), clamped to [-1, 1]."""
+    from search_engine_spark.functions.sentiment import POLARITY
+
+    pol = F.lit(0)
+    # CASE chain compiles into codegen'd JVM branches — no UDF
+    expr = None
+    for w, p in sorted(POLARITY.items()):
+        expr = (
+            F.when(F.col("term") == w, p)
+            if expr is None
+            else expr.when(F.col("term") == w, p)
+        )
+    return expr.otherwise(pol)
+
+
+def _doc_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = documents(spark, sf_dir).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    return toks.groupBy("doc_id").agg(
+        F.least(
+            F.greatest(
+                F.sum(_sentiment_col()) / F.sqrt(F.count("*")), F.lit(-1.0)
+            ),
+            F.lit(1.0),
+        ).alias("ds")
+    )
+
+
+def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sentiment score (F12) — the VADER stage of the
+    reference (app.py:28-40) as a deterministic lexicon lookup."""
+    return _doc_sentiment(spark, sf_dir).select(
+        "doc_id", F.round("ds", 6).alias("sentiment")
+    )
+
+
+def q_ref_heuristic_sentiment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's sentiment-adjusted heuristic scorer (F13 full form,
+    app.py:679-725): base heuristic ± 0.1·|doc_sentiment| by sign
+    agreement with the (positive) query sentiment."""
+    qterms = QUERY_OR.split(" ")
+    agg = q_query_union(spark, sf_dir)
+    base = F.greatest(
+        (0.3 * F.col("freq") + 0.2 * F.least(F.lit(len(qterms)), F.col("freq")))
+        / (1.0 + 0.05 * F.col("freq")),
+        F.lit(0.3),
+    )
+    ds = _doc_sentiment(spark, sf_dir)
+    adj = (
+        F.when(F.col("ds") > 0, 0.1 * F.abs("ds"))
+        .when(F.col("ds") < 0, -0.1 * F.abs("ds"))
+        .otherwise(0.0)
+    )
+    return (
+        agg.join(ds, "doc_id", "left")
+        .na.fill({"ds": 0.0})
+        .select("doc_id", F.round(base + adj, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
 _ENGINE_INDEX_CACHE: dict[str, object] = {}
 
 
@@ -1108,6 +1174,42 @@ FROM documents
 # the engine must reproduce the declarative plan's oracle exactly
 ORACLE_SQL["engine_bm25_topk"] = ORACLE_SQL["bm25_topk_or"]
 
+
+def _sentiment_sql_cte() -> str:
+    from search_engine_spark.functions.sentiment import sql_polarity_case
+
+    return f"""
+ds AS (
+  SELECT doc_id,
+         LEAST(GREATEST(SUM({sql_polarity_case("term")}) * 1.0 / SQRT(COUNT(*)),
+                        -1.0), 1.0) AS ds
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+  GROUP BY doc_id
+)
+"""
+
+
+ORACLE_SQL["sentiment"] = f"""
+WITH {_sentiment_sql_cte()}
+SELECT doc_id, ROUND(ds, 6) AS sentiment FROM ds
+"""
+
+ORACLE_SQL["ref_heuristic_sentiment_topk"] = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN ({_sql_terms(QUERY_OR)}) GROUP BY doc_id, term),
+agg AS (SELECT doc_id, SUM(tf) AS freq FROM tf GROUP BY doc_id),
+{_sentiment_sql_cte().strip().rstrip()}
+SELECT a.doc_id,
+       ROUND(GREATEST((0.3 * freq + 0.2 * LEAST({len(QUERY_OR.split(' '))}, freq))
+                      / (1.0 + 0.05 * freq), 0.3)
+             + CASE WHEN COALESCE(d.ds, 0) > 0 THEN 0.1 * ABS(d.ds)
+                    WHEN COALESCE(d.ds, 0) < 0 THEN -0.1 * ABS(d.ds)
+                    ELSE 0.0 END, 6) AS score
+FROM agg a LEFT JOIN ds d ON a.doc_id = d.doc_id
+ORDER BY score DESC, a.doc_id ASC LIMIT 50
+"""
+
 QUERIES = {
     "engine_bm25_topk": q_engine_bm25_topk,
     "term_tf": q_term_tf,
@@ -1121,6 +1223,8 @@ QUERIES = {
     "ref_heuristic_topk": q_ref_heuristic_topk,
     "position_bonus_topk": q_position_bonus_topk,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    "sentiment": q_sentiment,
+    "ref_heuristic_sentiment_topk": q_ref_heuristic_sentiment_topk,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,

@@ -54,9 +54,20 @@ from search_engine_spark.functions.text import normalize_text
 
 
 class SearchIndex:
-    """Handle on a built index: lazily-loaded lexicon slice per query."""
+    """Handle on a built index: lazily-loaded lexicon slice per query.
 
-    def __init__(self, spark: SparkSession, paths: IndexPaths):
+    ``local_lexicon_max_rows``: if the lexicon fits under this row count
+    it is collected ONCE into a driver dict, making term binding free (no
+    Spark job per query) — the reference keeps its whole lexicon resident
+    the same way (app.py:228). At web scale (10^8+ terms) set 0: binding
+    falls back to a pushed-down IN-filter scan, which is one cheap job."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        paths: IndexPaths,
+        local_lexicon_max_rows: int = 2_000_000,
+    ):
         self.spark = spark
         self.paths = paths
         stats = read_stats(spark, paths)
@@ -66,6 +77,28 @@ class SearchIndex:
         self.lexicon = spark.read.parquet(paths.lexicon)
         self.postings = spark.read.parquet(paths.postings)
         self.doc_stats = spark.read.parquet(paths.doc_stats)
+        self._local_lexicon: dict[str, dict] | None = None
+        if local_lexicon_max_rows and self.lexicon.count() <= local_lexicon_max_rows:
+            has_bounds = "max_tf" in self.lexicon.columns
+            self._local_lexicon = {
+                r["term"]: {
+                    "term_id": int(r["term_id"]),
+                    "df": int(r["df"]),
+                    "max_tf": int(r["max_tf"]) if has_bounds else None,
+                    "min_dl": int(r["min_dl"]) if has_bounds else None,
+                }
+                for r in self.lexicon.collect()
+            }
+
+    def refresh(self) -> "SearchIndex":
+        """Re-open after an incremental ingest/compaction changed the
+        on-disk tables (the cached driver lexicon would otherwise be
+        stale)."""
+        return SearchIndex(
+            self.spark,
+            self.paths,
+            2_000_000 if self._local_lexicon is not None else 0,
+        )
 
     # -- step 1+2: query terms -> term ids (driver-side; lexicon probe is a
     # pushed-down IN filter, not a full scan)
@@ -76,6 +109,12 @@ class SearchIndex:
         tokens = sorted({t for t in normalize_text(query).split(" ") if t})
         if not tokens:
             return {}
+        if self._local_lexicon is not None:
+            return {
+                e["term_id"]: {k: e[k] for k in ("df", "max_tf", "min_dl")}
+                for t in tokens
+                if (e := self._local_lexicon.get(t)) is not None
+            }
         cols = ["term_id", "df"]
         has_bounds = "max_tf" in self.lexicon.columns
         if has_bounds:
