@@ -15,6 +15,9 @@ same compound-score shape VADER normalizes with (sum / sqrt(sum^2 + a)).
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 import pandas as pd
 
 # polarity ∈ [-2, 2]; curated for generic web/review text, with overlap
@@ -38,7 +41,9 @@ def sentiment_score(text: str) -> float:
     if not tokens:
         return 0.0
     s = sum(POLARITY.get(t, 0) for t in tokens)
-    val = s / (len(tokens) ** 0.5)
+    # math.sqrt / np.sqrt are IEEE correctly-rounded; x**0.5 (np.power)
+    # is not — all three variants must use true sqrt for bit parity
+    val = s / math.sqrt(len(tokens))
     return max(-1.0, min(1.0, val))
 
 
@@ -46,9 +51,9 @@ def sentiment_series(texts: pd.Series) -> pd.Series:
     """pandas-vectorized scorer for the Spark pandas UDF path: split →
     explode-free map via str token extraction, no per-row Python."""
     toks = texts.astype("string").fillna("").str.split()
-    n = toks.str.len().clip(lower=1)
-    s = toks.map(lambda ts: sum(POLARITY.get(t, 0) for t in ts))
-    return (s / n.pow(0.5)).clip(-1.0, 1.0).astype("float64")
+    n = toks.str.len().clip(lower=1).astype("float64")
+    s = toks.map(lambda ts: sum(POLARITY.get(t, 0) for t in ts)).astype("float64")
+    return (s / np.sqrt(n.to_numpy())).clip(-1.0, 1.0).astype("float64")
 
 
 def sql_polarity_case(term_col: str = "term") -> str:

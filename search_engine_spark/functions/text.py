@@ -154,6 +154,29 @@ def remove_stopwords(text: str) -> str:
     return " ".join(w for w in str(text).split() if w not in STOPWORDS)
 
 
+_CURLY_RE = re.compile("[“”]")  # “ ” (cleaner.py:53-55)
+
+
+def clean_title(text: str) -> str:
+    """The CLEANER's normalization variant (SURVEY.md §2.8 F2/F8,
+    cleaner.py:14-16,53-55): curly quotes stripped, punctuation DELETED
+    (not spaced), lowercased. Distinct from the tokenizer pipeline —
+    kept separately for byte parity with the reference's cleaned fields."""
+    text = _CURLY_RE.sub("", str(text))
+    text = remove_punctuation(text, to_space=False)
+    return " ".join(text.lower().split())
+
+
+def clean_title_series(s: pd.Series) -> pd.Series:
+    """Vectorized clean_title (pandas .str ops only)."""
+    s = s.astype("string").fillna("")
+    s = s.str.replace(_CURLY_RE, "", regex=True)
+    s = s.str.replace(_PUNCT_CLASS, "", regex=True)
+    s = s.str.lower()
+    s = s.str.replace(_WS_RE, " ", regex=True).str.strip()
+    return s.astype(object).fillna("")
+
+
 def normalize_text(text: str) -> str:
     """Pure-Python normalization: full tokenizer pipeline minus the final
     split. Returns single-space-joined tokens. Oracle-side implementation."""

@@ -79,3 +79,21 @@ def test_extract_text_inverts_synthetic_wrapper():
     assert extract_text(html) == "t1 Some text with spaces"
     s = pd.Series([html, None, b"<b>x</b>"])
     assert extract_series(s).tolist() == ["t1 Some text with spaces", "", "x"]
+
+
+def test_clean_title_variant():
+    """F2 cleaner-variant (punctuation DELETED) + F8 curly quotes."""
+    import pandas as pd
+
+    from search_engine_spark.functions.text import clean_title, clean_title_series
+
+    cases = [
+        ('“Best Western” Hotel!', "best western hotel"),
+        ("don't-stop", "dontstop"),
+        ("", ""),
+        ("A  B\tC", "a b c"),
+    ]
+    for raw, want in cases:
+        assert clean_title(raw) == want, raw
+    got = clean_title_series(pd.Series([c[0] for c in cases], dtype=object))
+    assert got.tolist() == [c[1] for c in cases]
