@@ -138,3 +138,40 @@ def test_out_of_lexicon_term_dropped(spark_index, oracle_index):
 def test_all_stopword_query_empty(spark_index):
     assert search_topk(spark_index, "the and of") == []
     assert search_topk(spark_index, "") == []
+
+
+def test_hot_terms_are_salted(spark_index):
+    """The fixture builds with salt_threshold=60: Zipf-head terms must be
+    split across multiple salt rows, and cold terms must keep salt=0 —
+    the skew-handling contract (SURVEY.md §4 item 2)."""
+    import pyspark.sql.functions as F
+
+    per_term = (
+        spark_index.postings.groupBy("term_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.max("df").alias("df"),
+            F.sum("n_docs").alias("total_postings"),
+        )
+        .collect()
+    )
+    salted = [r for r in per_term if r["n_rows"] > 1]
+    assert salted, "no term got salted despite threshold=60"
+    for r in per_term:
+        if r["df"] > 60:
+            assert r["n_rows"] > 1, f"hot term {r['term_id']} unsalted"
+        # salt split must not lose postings
+        assert r["total_postings"] == r["df"]
+
+
+def test_salted_term_query_merges_salts(spark, spark_index, oracle_index):
+    """A single-term query on a SALTED term must still produce oracle-equal
+    results (query-side re-merge across salt rows)."""
+    from search_engine_spark.oracle import engine as oracle
+    from search_engine_spark.operators.query import search_topk
+
+    # 'best' is a Zipf-head token in the fixture corpus -> salted
+    got = search_topk(spark_index, "best", k=10)
+    want = oracle.search(oracle_index, "best", k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert [s for _, s in got] == [s for _, s in want]

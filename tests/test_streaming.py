@@ -130,3 +130,19 @@ def test_windowed_stream_equals_batch(spark, tmp_path, sf_dir):
     g = sorted(t for t in g_all if t[0] <= cutoff)
     w = sorted(t for t in w_all if t[0] <= cutoff)
     assert g == w and len(g) > 0
+
+
+def test_incremental_new_term_queryable(incremental_setup):
+    """A term that exists ONLY in the streamed batches (each doc's unique
+    title token) must be bindable and queryable after compaction, equal to
+    the fresh build."""
+    inc, fresh = incremental_setup
+    # doc N_BASE+10 arrived in batch 1; its title token is t<id>
+    q = f"t{N_BASE + 10}"
+    a = search_topk(inc, q, k=5)
+    b = search_topk(fresh, q, k=5)
+    assert len(a) >= 1
+    assert [d for d, _ in a] == [d for d, _ in b]
+    np.testing.assert_array_equal(
+        np.array([s for _, s in a]), np.array([s for _, s in b])
+    )
