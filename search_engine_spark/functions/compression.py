@@ -34,12 +34,14 @@ _BIAS = np.uint64(1 << 63)
 _MAXB = 10  # max varint bytes for a 64-bit value
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-style varint encoding of a uint64 array (vectorized)."""
+def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-style varint encoding of a uint64 array (vectorized).
+    Returns (buffer, per-value byte sizes) — the sizes feed the per-block
+    byte-length tables that make blocks independently sliceable."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # byte length per value: ceil(bitlen/7), min 1
     nbytes = np.ones(n, dtype=np.int64)
     shifted = v >> np.uint64(7)
@@ -55,7 +57,11 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = ((v[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[mask] > b + 1).astype(np.uint8) << 7
         out[offsets[mask] + b] = chunk | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    return varint_encode_with_sizes(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
@@ -151,10 +157,118 @@ def block_summaries(
     return mt, md
 
 
+def _block_starts(n: int, block: int = BLOCK) -> np.ndarray:
+    return np.arange(0, n, block, dtype=np.int64)
+
+
+def encode_posting_blocks(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, block: int = BLOCK
+) -> dict:
+    """Sort by doc key and encode one term's postings with INDEPENDENTLY
+    DECODABLE blocks: each block's first doc delta is its absolute
+    (biased) key, and per-block byte lengths are recorded for all three
+    streams, so a pruned block is never even decompressed — true
+    block-max WAND decode skipping, the thing the north rule's
+    MAX_DOCS_TO_PROCESS replacement actually pays off with.
+
+    Returns dict: doc_deltas, tfs, dls (bytes); db_lens, tf_lens, dl_lens
+    (per-block byte lengths); block_max_tf, block_min_dl; max_tf, min_dl;
+    n_docs."""
+    order = np.argsort(doc_ids, kind="stable")
+    d = np.asarray(doc_ids, dtype=np.int64)[order]
+    t = np.asarray(tfs, dtype=np.int64)[order]
+    l = np.asarray(dls, dtype=np.int64)[order]
+    n = len(d)
+    mt, md = block_summaries(t, l, block)
+    if n == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return {
+            "doc_deltas": b"", "tfs": b"", "dls": b"",
+            "db_lens": empty, "tf_lens": empty, "dl_lens": empty,
+            "block_max_tf": mt, "block_min_dl": md,
+            "max_tf": 0, "min_dl": 1, "n_docs": 0,
+        }
+    u = d.view(np.uint64) + _BIAS
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = u[0]
+    np.subtract(u[1:], u[:-1], out=deltas[1:])
+    starts = _block_starts(n, block)
+    deltas[starts] = u[starts]  # block-local absolute base
+    db, db_sz = varint_encode_with_sizes(deltas)
+    tb, tf_sz = varint_encode_with_sizes(t.astype(np.uint64))
+    lb, dl_sz = varint_encode_with_sizes(l.astype(np.uint64))
+    return {
+        "doc_deltas": db, "tfs": tb, "dls": lb,
+        "db_lens": np.add.reduceat(db_sz, starts),
+        "tf_lens": np.add.reduceat(tf_sz, starts),
+        "dl_lens": np.add.reduceat(dl_sz, starts),
+        "block_max_tf": mt, "block_min_dl": md,
+        "max_tf": int(t.max()), "min_dl": int(l.min()), "n_docs": n,
+    }
+
+
+def decode_posting_blocks(
+    doc_deltas: bytes,
+    tfs: bytes,
+    dls: bytes,
+    db_lens: np.ndarray,
+    tf_lens: np.ndarray,
+    dl_lens: np.ndarray,
+    keep: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode only the blocks where ``keep`` is True (None = all).
+    Returns (doc_ids int64 sorted, tf int64, dl int64) over the kept
+    blocks. Skipped blocks cost ZERO decode work — their bytes are never
+    touched (slicing is offset arithmetic on the lens tables)."""
+    db_lens = np.asarray(db_lens, dtype=np.int64)
+    tf_lens = np.asarray(tf_lens, dtype=np.int64)
+    dl_lens = np.asarray(dl_lens, dtype=np.int64)
+    nb = len(db_lens)
+    if nb == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    if keep is None:
+        keep = np.ones(nb, dtype=bool)
+    keep = np.asarray(keep, dtype=bool)
+    db_off = np.concatenate(([0], np.cumsum(db_lens)))
+    tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
+    dl_off = np.concatenate(([0], np.cumsum(dl_lens)))
+    kept = np.flatnonzero(keep)
+    if len(kept) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    # concatenate kept byte ranges (contiguous runs collapse naturally)
+    db_sel = b"".join(doc_deltas[db_off[i] : db_off[i + 1]] for i in kept)
+    tf_sel = b"".join(tfs[tf_off[i] : tf_off[i + 1]] for i in kept)
+    dl_sel = b"".join(dls[dl_off[i] : dl_off[i + 1]] for i in kept)
+    vals = varint_decode(db_sel)
+    t = varint_decode(tf_sel).view(np.int64)
+    l = varint_decode(dl_sel).view(np.int64)
+    # per-kept-block value counts: all full blocks except possibly the
+    # last overall block; recover counts from the tf stream segmentation
+    # by decoding per-block sizes via lens -> we already know counts:
+    # every block has BLOCK postings except the final one.
+    n_total_last = None  # inferred below
+    counts = np.full(len(kept), BLOCK, dtype=np.int64)
+    # the only short block is the globally-last one
+    if kept[-1] == nb - 1:
+        counts[-1] = len(vals) - BLOCK * (len(kept) - 1)
+    # vectorized per-block cumsum: docs = base_b + (cs - cs_at_block_start)
+    cs = np.cumsum(vals, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    base = vals[starts]  # absolute biased first key per block
+    cs_start = cs[starts]
+    expand = np.repeat(np.arange(len(kept)), counts)
+    u = base[expand] + (cs - cs_start[expand])
+    d = (u - _BIAS).view(np.int64)
+    del n_total_last
+    return d, t, l
+
+
 def encode_posting_list(
     doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
 ) -> tuple[bytes, bytes, bytes, np.ndarray, np.ndarray]:
-    """Sort by doc key and encode one term's postings.
+    """Legacy single-stream form (kept for round-trip tests).
 
     Returns (doc_deltas, tfs_varint, dls_varint, block_max_tf,
     block_min_dl). No global stats needed at encode time — bounds are

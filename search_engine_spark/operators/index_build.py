@@ -39,11 +39,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from search_engine_spark.functions.compression import (
-    block_summaries,
-    delta_encode_docids,
-    varint_encode,
-)
+from search_engine_spark.functions.compression import encode_posting_blocks
 from search_engine_spark.functions.hashing import DOC_ID_HEX_CHARS
 from search_engine_spark.functions.text import extract_series, normalize_series
 
@@ -239,6 +235,7 @@ def idf_value(df: int, n_docs: int) -> float:
 POSTINGS_SCHEMA = (
     "term_id long, salt int, df long, n_docs int, max_tf long, min_dl long, "
     "block_max_tf array<long>, block_min_dl array<long>, "
+    "db_lens array<long>, tf_lens array<long>, dl_lens array<long>, "
     "doc_deltas binary, tfs binary, dls binary"
 )
 
@@ -331,23 +328,26 @@ def encode_postings(joined: DataFrame, n_barrels: int = 64) -> DataFrame:
         )
         ends = np.concatenate((starts[1:], [n]))
         for s, e in zip(starts.tolist(), ends.tolist()):
-            ds, ts, ls = d[s:e], t[s:e], l[s:e]
-            mt, md = block_summaries(ts, ls)
+            enc = encode_posting_blocks(d[s:e], t[s:e], l[s:e])
             out["term_id"].append(tid[s])
             out["salt"].append(salt[s])
             out["df"].append(dfv[s])
             out["n_docs"].append(e - s)
-            out["max_tf"].append(int(ts.max()))
-            out["min_dl"].append(int(ls.min()))
-            out["block_max_tf"].append(mt.tolist())
-            out["block_min_dl"].append(md.tolist())
-            out["doc_deltas"].append(delta_encode_docids(ds))
-            out["tfs"].append(varint_encode(ts.astype(np.uint64)))
-            out["dls"].append(varint_encode(ls.astype(np.uint64)))
+            out["max_tf"].append(enc["max_tf"])
+            out["min_dl"].append(enc["min_dl"])
+            out["block_max_tf"].append(enc["block_max_tf"].tolist())
+            out["block_min_dl"].append(enc["block_min_dl"].tolist())
+            out["db_lens"].append(enc["db_lens"].tolist())
+            out["tf_lens"].append(enc["tf_lens"].tolist())
+            out["dl_lens"].append(enc["dl_lens"].tolist())
+            out["doc_deltas"].append(enc["doc_deltas"])
+            out["tfs"].append(enc["tfs"])
+            out["dls"].append(enc["dls"])
 
     _COLS = [
         "term_id", "salt", "df", "n_docs", "max_tf", "min_dl",
-        "block_max_tf", "block_min_dl", "doc_deltas", "tfs", "dls",
+        "block_max_tf", "block_min_dl", "db_lens", "tf_lens", "dl_lens",
+        "doc_deltas", "tfs", "dls",
     ]
 
     def encode_partition(

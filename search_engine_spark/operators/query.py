@@ -42,7 +42,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from search_engine_spark.functions.compression import BLOCK, decode_posting_list
+from search_engine_spark.functions.compression import decode_posting_blocks
 from search_engine_spark.operators.index_build import (
     B,
     K1,
@@ -174,11 +174,13 @@ def _decode_score_df(
                     if not keep.any():
                         continue
                 else:
-                    keep = np.ones(len(bm), dtype=bool)
-                d, t, l = decode_posting_list(row.doc_deltas, row.tfs, row.dls)
-                n = len(d)
-                mask = np.repeat(keep, BLOCK)[:n]
-                d, t, l = d[mask], t[mask], l[mask]
+                    keep = None  # decode all blocks
+                # pruned blocks are never DECOMPRESSED — the per-block
+                # byte-length tables make skipping pure offset arithmetic
+                d, t, l = decode_posting_blocks(
+                    row.doc_deltas, row.tfs, row.dls,
+                    row.db_lens, row.tf_lens, row.dl_lens, keep,
+                )
                 tf = t.astype(np.float64)
                 dl = l.astype(np.float64)
                 score = (

@@ -137,13 +137,16 @@ def decode_postings_rows(postings: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from search_engine_spark.functions.compression import decode_posting_list
+    from search_engine_spark.functions.compression import decode_posting_blocks
 
     def decode(batches):
         for pdf in batches:
             tids, docs_, tfs, dls = [], [], [], []
             for row in pdf.itertuples(index=False):
-                d, t, l = decode_posting_list(row.doc_deltas, row.tfs, row.dls)
+                d, t, l = decode_posting_blocks(
+                    row.doc_deltas, row.tfs, row.dls,
+                    row.db_lens, row.tf_lens, row.dl_lens,
+                )
                 tids.append(np.full(len(d), int(row.term_id), dtype=np.int64))
                 docs_.append(d)
                 tfs.append(t)

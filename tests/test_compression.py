@@ -92,3 +92,55 @@ def test_empty():
     assert block_maxes(
         np.empty(0), np.empty(0), 1.0, 1.0
     ).tolist() == []
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**60), max_value=2**60),
+            st.integers(min_value=1, max_value=1000),
+            st.integers(min_value=1, max_value=5000),
+        ),
+        min_size=0,
+        max_size=700,
+    ),
+    st.randoms(),
+)
+@settings(max_examples=100, deadline=None)
+def test_block_codec_roundtrip_and_selective_decode(postings, rnd):
+    """Block-structured codec: full decode round-trips; masked decode
+    returns exactly the kept blocks' postings without touching the rest."""
+    from search_engine_spark.functions.compression import (
+        decode_posting_blocks,
+        encode_posting_blocks,
+    )
+
+    seen, rows = set(), []
+    for d, t, l in postings:
+        if d not in seen:
+            seen.add(d)
+            rows.append((d, t, l))
+    rows.sort()
+    d = np.array([r[0] for r in rows], dtype=np.int64)
+    t = np.array([r[1] for r in rows], dtype=np.int64)
+    l = np.array([r[2] for r in rows], dtype=np.int64)
+    enc = encode_posting_blocks(d, t, l)
+    d2, t2, l2 = decode_posting_blocks(
+        enc["doc_deltas"], enc["tfs"], enc["dls"],
+        enc["db_lens"], enc["tf_lens"], enc["dl_lens"],
+    )
+    assert d2.tolist() == d.tolist()
+    assert t2.tolist() == t.tolist()
+    assert l2.tolist() == l.tolist()
+    nb = len(enc["db_lens"])
+    assert nb == (len(d) + BLOCK - 1) // BLOCK
+    if nb:
+        keep = np.array([rnd.random() < 0.5 for _ in range(nb)], dtype=bool)
+        d3, t3, l3 = decode_posting_blocks(
+            enc["doc_deltas"], enc["tfs"], enc["dls"],
+            enc["db_lens"], enc["tf_lens"], enc["dl_lens"], keep,
+        )
+        mask = np.repeat(keep, BLOCK)[: len(d)]
+        assert d3.tolist() == d[mask].tolist()
+        assert t3.tolist() == t[mask].tolist()
+        assert l3.tolist() == l[mask].tolist()

@@ -14,7 +14,7 @@ import pytest
 
 import pyspark.sql.functions as F
 
-from search_engine_spark.functions.compression import decode_posting_list
+from search_engine_spark.functions.compression import decode_posting_blocks
 from search_engine_spark.operators import index_build as ib
 from search_engine_spark.operators.query import search_topk
 from search_engine_spark.oracle import engine as oracle
@@ -80,8 +80,9 @@ def test_postings_parity(spark_index, oracle_index):
         assert rows, term
         ds, ts, ls = [], [], []
         for r in rows:
-            d, t, l = decode_posting_list(
-                bytes(r["doc_deltas"]), bytes(r["tfs"]), bytes(r["dls"])
+            d, t, l = decode_posting_blocks(
+                bytes(r["doc_deltas"]), bytes(r["tfs"]), bytes(r["dls"]),
+                r["db_lens"], r["tf_lens"], r["dl_lens"],
             )
             # within-blob doc order must be ascending (delta precondition)
             assert (np.diff(d) > 0).all() if len(d) > 1 else True
@@ -96,7 +97,7 @@ def test_postings_parity(spark_index, oracle_index):
         assert l.tolist() == ol.tolist(), term
 
 
-def test_hot_terms_are_salted(spark_index, oracle_index):
+def test_head_term_best_is_salted(spark_index, oracle_index):
     # "best"/"good" are Zipf head terms with df > 60 at N=800 -> multiple salts
     tid = oracle_index.lexicon["best"]
     assert oracle_index.term_df[tid] > 60
