@@ -52,9 +52,10 @@ BENCH_QUERIES = [
 ]
 
 ENGINE_QUERIES = {
-    "engine_q_western": "western best",
-    "engine_q_and": "good well western",
-    "engine_q_single": "best",
+    "engine_q_western": ("western best", "OR"),
+    "engine_q_multi": ("good well western", "OR"),
+    "engine_q_and": ("good well western", "AND"),
+    "engine_q_single": ("best", "OR"),
 }
 
 
@@ -98,9 +99,9 @@ def run_bench(sf_dir: str, cpus: str, scaling: bool) -> dict:
         # 2. BM25 query latency over compressed barrels (WAND on)
         idx = SearchIndex(spark, ib.IndexPaths(f"{work}/index"))
         lat = []
-        for qname, qtext in ENGINE_QUERIES.items():
+        for qname, (qtext, qmode) in ENGINE_QUERIES.items():
             t0 = time.monotonic()
-            search_topk(idx, qtext, k=10)
+            search_topk(idx, qtext, k=10, mode=qmode)
             dt = time.monotonic() - t0
             timings[qname] = round(dt, 3)
             lat.append(dt)

@@ -232,10 +232,13 @@ def idf_value(df: int, n_docs: int) -> float:
     return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
 
 
+THETA_K = 16  # real (doc, tf, dl) samples kept per (term, salt) blob
+
 POSTINGS_SCHEMA = (
     "term_id long, salt int, df long, n_docs int, max_tf long, min_dl long, "
     "block_max_tf array<long>, block_min_dl array<long>, "
     "db_lens array<long>, tf_lens array<long>, dl_lens array<long>, "
+    "theta_docs array<long>, theta_tfs array<long>, theta_dls array<long>, "
     "doc_deltas binary, tfs binary, dls binary"
 )
 
@@ -328,7 +331,12 @@ def encode_postings(joined: DataFrame, n_barrels: int = 64) -> DataFrame:
         )
         ends = np.concatenate((starts[1:], [n]))
         for s, e in zip(starts.tolist(), ends.tolist()):
-            enc = encode_posting_blocks(d[s:e], t[s:e], l[s:e])
+            ds_, ts_, ls_ = d[s:e], t[s:e], l[s:e]
+            enc = encode_posting_blocks(ds_, ts_, ls_)
+            # theta sketch: THETA_K REAL postings ranked (tf desc, dl asc)
+            # — a high-score sample whose achieved BM25 (computed at query
+            # time with live stats) lower-bounds the true top-k threshold
+            top = np.lexsort((ls_, -ts_))[:THETA_K]
             out["term_id"].append(tid[s])
             out["salt"].append(salt[s])
             out["df"].append(dfv[s])
@@ -340,6 +348,9 @@ def encode_postings(joined: DataFrame, n_barrels: int = 64) -> DataFrame:
             out["db_lens"].append(enc["db_lens"].tolist())
             out["tf_lens"].append(enc["tf_lens"].tolist())
             out["dl_lens"].append(enc["dl_lens"].tolist())
+            out["theta_docs"].append(ds_[top].tolist())
+            out["theta_tfs"].append(ts_[top].tolist())
+            out["theta_dls"].append(ls_[top].tolist())
             out["doc_deltas"].append(enc["doc_deltas"])
             out["tfs"].append(enc["tfs"])
             out["dls"].append(enc["dls"])
@@ -347,6 +358,7 @@ def encode_postings(joined: DataFrame, n_barrels: int = 64) -> DataFrame:
     _COLS = [
         "term_id", "salt", "df", "n_docs", "max_tf", "min_dl",
         "block_max_tf", "block_min_dl", "db_lens", "tf_lens", "dl_lens",
+        "theta_docs", "theta_tfs", "theta_dls",
         "doc_deltas", "tfs", "dls",
     ]
 
@@ -406,6 +418,10 @@ class IndexPaths:
         return f"{self.root}/stats"
 
     @property
+    def hot_bounds(self) -> str:
+        return f"{self.root}/hot_bounds"
+
+    @property
     def manifest(self) -> str:
         return f"{self.root}/_build_manifest"
 
@@ -440,6 +456,9 @@ def build_index(
     )
     postings.write.mode("overwrite").partitionBy("barrel").parquet(out.postings)
 
+    hb = build_hot_bounds(spark.read.parquet(out.postings), salt_threshold)
+    hb.write.mode("overwrite").parquet(out.hot_bounds)
+
     stats = spark.createDataFrame(
         [(n_docs, avgdl, n_salts, salt_threshold, n_barrels)],
         "n_docs long, avgdl double, n_salts int, salt_threshold long, n_barrels int",
@@ -448,6 +467,50 @@ def build_index(
     docs.unpersist()
     forward.unpersist()
     return {"n_docs": n_docs, "avgdl": avgdl, "n_barrels": n_barrels}
+
+
+def build_hot_bounds(
+    postings: DataFrame, salt_threshold: int, theta_k: int = THETA_K
+) -> DataFrame:
+    """hot_bounds(term_id, docs, tfs, dls): the merged theta sketch for
+    HOT (salted) terms — up to theta_k real postings per term ranked
+    (tf desc, dl asc) across salt shards. Tiny metadata aggregate: reads
+    only the theta_* columns (parquet column pruning), rows = hot terms.
+
+    Hot terms are exactly where the distributed theta pass is expensive
+    (their posting lists are the Zipf head); the sketch moves that pass
+    to the driver. Cold terms keep the cheap distributed pass — their
+    lists are bounded by salt_threshold."""
+    pairs = (
+        postings.filter(F.col("df") > salt_threshold)
+        .select(
+            "term_id",
+            F.explode(
+                F.arrays_zip(
+                    F.col("theta_docs").alias("doc"),
+                    F.col("theta_tfs").alias("tf"),
+                    F.col("theta_dls").alias("dl"),
+                )
+            ).alias("p"),
+        )
+        .select("term_id", "p.doc", "p.tf", "p.dl")
+    )
+    w = Window.partitionBy("term_id").orderBy(F.desc("tf"), F.asc("dl"), F.asc("doc"))
+    top = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= theta_k
+    )
+    # struct-collect + sort keeps the three arrays ALIGNED (separate
+    # collect_lists have no cross-column order guarantee)
+    return (
+        top.groupBy("term_id")
+        .agg(F.sort_array(F.collect_list(F.struct("rn", "doc", "tf", "dl"))).alias("ps"))
+        .select(
+            "term_id",
+            F.transform("ps", lambda p: p["doc"]).alias("docs"),
+            F.transform("ps", lambda p: p["tf"]).alias("tfs"),
+            F.transform("ps", lambda p: p["dl"]).alias("dls"),
+        )
+    )
 
 
 def read_stats(spark: SparkSession, out: IndexPaths) -> dict:

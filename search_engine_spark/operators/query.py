@@ -77,6 +77,18 @@ class SearchIndex:
         self.lexicon = spark.read.parquet(paths.lexicon)
         self.postings = spark.read.parquet(paths.postings)
         self.doc_stats = spark.read.parquet(paths.doc_stats)
+        # hot-term theta sketches (tiny: one row per SALTED term) — the
+        # driver-side WAND threshold source for Zipf-head queries
+        self.hot_bounds: dict[int, tuple] = {}
+        import os
+
+        if os.path.exists(paths.hot_bounds):
+            for r in spark.read.parquet(paths.hot_bounds).collect():
+                self.hot_bounds[int(r["term_id"])] = (
+                    np.asarray(r["docs"], dtype=np.int64),
+                    np.asarray(r["tfs"], dtype=np.float64),
+                    np.asarray(r["dls"], dtype=np.float64),
+                )
         self._local_lexicon: dict[str, dict] | None = None
         if local_lexicon_max_rows and self.lexicon.count() <= local_lexicon_max_rows:
             has_bounds = "max_tf" in self.lexicon.columns
@@ -228,6 +240,37 @@ def _estimate_theta(
     return float(rows[-1]["score"])
 
 
+def _sketch_theta(
+    index: SearchIndex, term_ids: list[int], idfs: dict[int, float], k: int
+) -> float:
+    """Driver-side theta from the hot-term sketches: accumulate ACHIEVED
+    BM25 partial sums per doc over every query term's stored real
+    postings (live idf/avgdl), take the kth largest. Zero Spark jobs.
+
+    Safe: each stored (doc, tf, dl) is a real posting, so each per-doc
+    sum is ≤ that doc's true total score; k distinct docs achieving
+    ≥ theta ⇒ the true kth top-k score ≥ theta."""
+    acc: dict[int, float] = {}
+    for tid in term_ids:
+        hb = index.hot_bounds.get(tid)
+        if hb is None:
+            continue
+        d, tf, dl = hb
+        idf = idfs[tid]
+        score = (
+            idf
+            * (tf * (K1 + 1.0))
+            / (tf + K1 * ((1.0 - B) + (B * dl) / index.avgdl))
+        )
+        for doc, sc in zip(d.tolist(), score.tolist()):
+            acc[doc] = acc.get(doc, 0.0) + sc
+    if len(acc) < k:
+        return 0.0
+    import heapq
+
+    return heapq.nlargest(k, acc.values())[-1]
+
+
 def _probe_term_bounds(
     probe: DataFrame, idfs: dict[int, float], avgdl: float
 ) -> dict[int, float]:
@@ -293,7 +336,11 @@ def search(
             for tid in term_ids
         }
         rarest = min(bound, key=lambda t: (bound[t]["df"], t))
-        theta = _estimate_theta(index, probe, rarest, idfs, k)
+        theta = _sketch_theta(index, term_ids, idfs, k)
+        if rarest not in index.hot_bounds:
+            # cold rarest term: its list is bounded by salt_threshold, so
+            # the distributed pass is cheap — and usually tighter
+            theta = max(theta, _estimate_theta(index, probe, rarest, idfs, k))
 
     scored = _decode_score_df(index, probe, idfs, theta, other_max)
     per_doc = scored.groupBy("doc_id").agg(

@@ -169,6 +169,23 @@ def resumable_build(
         )
         completed += 1
 
+    # -- step: hot-term theta sketch (driver-side WAND threshold) ------------
+    if not manifest.done("hot_bounds"):
+        t0 = time.monotonic()
+        hb = ib.build_hot_bounds(
+            spark.read.parquet(out.postings), salt_threshold
+        )
+        hb.write.mode("overwrite").parquet(out.hot_bounds)
+        rows = spark.read.parquet(out.hot_bounds).count()
+        manifest.commit(
+            {
+                "step": "hot_bounds", "run_id": run_id, "rows": rows,
+                "bytes": _dir_bytes(out.hot_bounds),
+                "wall_ms": int((time.monotonic() - t0) * 1000),
+                "input_files": lineage,
+            }
+        )
+
     # -- step: stats (last: marks the index complete) ------------------------
     if not manifest.done("stats"):
         stats = spark.createDataFrame(

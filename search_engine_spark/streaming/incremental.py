@@ -254,6 +254,13 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     shutil.rmtree(paths.lexicon)
     os.replace(lex_staging, paths.lexicon)
 
+    # refresh the hot-term theta sketches from the compacted postings
+    # (metadata-only scan: theta_* columns + df, pruned by parquet)
+    hb = ib.build_hot_bounds(
+        spark.read.parquet(paths.postings), salt_threshold
+    )
+    hb.write.mode("overwrite").parquet(paths.hot_bounds)
+
     # 7. truncate the delta log
     shutil.rmtree(ddir)
     all_rows.unpersist()
