@@ -41,6 +41,7 @@ B = 0.75
 # shape in the driver corpus).
 QUERY_OR = "fast query scan"
 QUERY_AND = "spark hash join"
+QUERY_PHRASE = "table hash"
 TOPK = 10
 
 _SQL_STOPLIST = ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORDS_LIST)
@@ -252,6 +253,59 @@ def q_ref_heuristic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase BM25 top-k, declarative form: adjacency via a
+    positions self-join (pos_b = pos_a + 1), the phrase scored as a
+    virtual term (tf = occurrence count, df = matching docs). The
+    physical positional-engine twin is q_engine_phrase_topk — same
+    oracle."""
+    t1, t2 = QUERY_PHRASE.split(" ")
+    tok = tokens(spark, sf_dir)
+    a = tok.filter(F.col("term") == t1).select("doc_id", F.col("pos").alias("pa"))
+    b = tok.filter(F.col("term") == t2).select("doc_id", F.col("pos").alias("pb"))
+    matches = (
+        a.join(b, "doc_id")
+        .filter(F.col("pb") == F.col("pa") + 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dl = q_doc_stats(spark, sf_dir)
+    stats = q_corpus_stats(spark, sf_dir)
+    dfp = matches.agg(F.count("*").alias("df"))
+    scored = (
+        matches.join(dl, "doc_id")
+        .crossJoin(F.broadcast(dfp))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (K1 + 1.0))
+                / (F.col("tf") + K1 * ((1.0 - B) + (B * F.col("dl")) / F.col("avgdl"))),
+                6,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOPK)
+
+
+def q_engine_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE POSITIONAL ENGINE under the SQL oracle: phrase search over the
+    physical positions table (query.search_phrase) must equal the
+    declarative adjacency plan exactly."""
+    from search_engine_spark.operators.query import search_phrase
+
+    idx = _engine_index(spark, sf_dir)
+    res = search_phrase(idx, QUERY_PHRASE, k=TOPK)
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score")
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 def q_position_bonus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference TEST engine's scorer variant (SURVEY.md §2.5 W3,
     test_search.py:608-632): heuristic score + per-term early-position
@@ -382,7 +436,7 @@ def _engine_index(spark: SparkSession, sf_dir: str):
     ds.write.mode("overwrite").parquet(out.doc_stats)
     doc_stats = spark.read.parquet(out.doc_stats)
     n_docs, avgdl = ib.corpus_stats(doc_stats)
-    forward = ib.build_forward(docs, with_positions=False)
+    forward = ib.build_forward(docs, with_positions=True)
     forward.cache()
     lex = ib.build_lexicon(forward, 8)
     lex.write.mode("overwrite").parquet(out.lexicon)
@@ -391,6 +445,11 @@ def _engine_index(spark: SparkSession, sf_dir: str):
         forward, lexicon, doc_stats, n_salts=4, salt_threshold=100, n_barrels=8
     )
     postings.write.mode("overwrite").partitionBy("barrel").parquet(out.postings)
+    hb = ib.build_hot_bounds(spark.read.parquet(out.postings), 100)
+    hb.write.mode("overwrite").parquet(out.hot_bounds)
+    ib.build_positions(forward, lexicon, 8).write.mode("overwrite").partitionBy(
+        "barrel"
+    ).parquet(out.positions)
     spark.createDataFrame(
         [(n_docs, avgdl, 4, 100, 8)],
         "n_docs long, avgdl double, n_salts int, salt_threshold long, n_barrels int",
@@ -1174,6 +1233,29 @@ FROM documents
 # the engine must reproduce the declarative plan's oracle exactly
 ORACLE_SQL["engine_bm25_topk"] = ORACLE_SQL["bm25_topk_or"]
 
+_P1, _P2 = QUERY_PHRASE.split(" ")
+ORACLE_SQL["phrase_bm25_topk"] = f"""
+WITH {_TOK_CTE},
+matches AS (
+  SELECT a.doc_id, COUNT(*) AS tf
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{_P1}' AND b.term = '{_P2}'
+  GROUP BY a.doc_id
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
+dfp AS (SELECT COUNT(*) AS df FROM matches)
+SELECT m.doc_id,
+       ROUND(LN((corpus.n_docs - dfp.df + 0.5) / (dfp.df + 0.5) + 1.0)
+             * (m.tf * ({K1} + 1.0))
+             / (m.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / corpus.avgdl)), 6)
+         AS score
+FROM matches m JOIN dl USING (doc_id) CROSS JOIN corpus CROSS JOIN dfp
+ORDER BY score DESC, m.doc_id ASC LIMIT {TOPK}
+"""
+ORACLE_SQL["engine_phrase_topk"] = ORACLE_SQL["phrase_bm25_topk"]
+
 
 def _sentiment_sql_cte() -> str:
     from search_engine_spark.functions.sentiment import sql_polarity_case
@@ -1212,6 +1294,8 @@ ORDER BY score DESC, a.doc_id ASC LIMIT 50
 
 QUERIES = {
     "engine_bm25_topk": q_engine_bm25_topk,
+    "engine_phrase_topk": q_engine_phrase_topk,
+    "phrase_bm25_topk": q_phrase_bm25_topk,
     "term_tf": q_term_tf,
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,

@@ -422,6 +422,10 @@ class IndexPaths:
         return f"{self.root}/hot_bounds"
 
     @property
+    def positions(self) -> str:
+        return f"{self.root}/positions"
+
+    @property
     def manifest(self) -> str:
         return f"{self.root}/_build_manifest"
 
@@ -434,9 +438,12 @@ def build_index(
     salt_threshold: int = 50_000,
     n_barrels: int = 64,
     id_partitions: int = 32,
+    with_positions: bool = False,
 ) -> dict:
     """One-shot (non-resumable) build; the resumable barrel-group driver is
-    plans/build_job.py. Returns summary stats."""
+    plans/build_job.py. Returns summary stats. with_positions=True also
+    writes the positional index (phrase queries — query.search_phrase) at
+    the cost of carrying position arrays through the forward shuffle."""
     docs = normalize_pages(pages)
     docs.cache()
     doc_stats = build_doc_stats(docs)
@@ -444,7 +451,7 @@ def build_index(
     doc_stats = spark.read.parquet(out.doc_stats)
     n_docs, avgdl = corpus_stats(doc_stats)
 
-    forward = build_forward(docs, with_positions=False)
+    forward = build_forward(docs, with_positions=with_positions)
     forward.cache()
     lexicon = build_lexicon(forward, id_partitions)
     lexicon.write.mode("overwrite").parquet(out.lexicon)
@@ -459,6 +466,11 @@ def build_index(
     hb = build_hot_bounds(spark.read.parquet(out.postings), salt_threshold)
     hb.write.mode("overwrite").parquet(out.hot_bounds)
 
+    if with_positions:
+        build_positions(forward, lexicon, n_barrels).write.mode(
+            "overwrite"
+        ).partitionBy("barrel").parquet(out.positions)
+
     stats = spark.createDataFrame(
         [(n_docs, avgdl, n_salts, salt_threshold, n_barrels)],
         "n_docs long, avgdl double, n_salts int, salt_threshold long, n_barrels int",
@@ -467,6 +479,29 @@ def build_index(
     docs.unpersist()
     forward.unpersist()
     return {"n_docs": n_docs, "avgdl": avgdl, "n_barrels": n_barrels}
+
+
+def build_positions(
+    forward: DataFrame, lexicon: DataFrame, n_barrels: int = 64
+) -> DataFrame:
+    """Positional index (term_id, doc_id, positions, barrel) — the
+    reference stores positions in its forward/inverted index
+    (create_forward_index.py:38-47, create_inverted_index.py:86-91); this
+    table makes them queryable (query.search_phrase). Positions are
+    post-stopword-removal token indices, barrel-partitioned like the
+    postings so phrase probes prune identically. Parquet's int-array
+    encoding compresses the monotone position lists; a delta+varint blob
+    variant is a straightforward extension of encode_posting_blocks."""
+    return (
+        forward.select("doc_id", "term", "positions")
+        .join(lexicon.select("term", "term_id"), "term")
+        .select(
+            "term_id",
+            "doc_id",
+            "positions",
+            F.pmod("term_id", F.lit(n_barrels)).cast("int").alias("barrel"),
+        )
+    )
 
 
 def build_hot_bounds(

@@ -362,6 +362,106 @@ def search(
     )
 
 
+def search_phrase(
+    index: SearchIndex, phrase: str, k: int = 10
+) -> DataFrame:
+    """Exact-phrase BM25 top-k over the positional index (requires a build
+    with with_positions=True).
+
+    The phrase is scored as a virtual term: tf = exact adjacent-sequence
+    occurrence count per doc, df = matching docs, standard BM25 on top —
+    identical float64 expression shape as the term engine, so results are
+    bit-equal to the oracle (oracle.engine.search_phrase).
+
+    Plan shape: barrel+term_id-pruned scans of the positions table, one
+    broadcast-friendly equi-join per phrase term, adjacency via JVM array
+    ops — transform(match, +1) ∩ positions — so candidates shrink left to
+    right and nothing leaves the JVM."""
+    import os
+
+    spark = index.spark
+    if not os.path.exists(index.paths.positions):
+        raise ValueError("index was built without positions")
+    tokens = [t for t in normalize_text(phrase).split(" ") if t]
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not tokens:
+        return empty
+    # ordered binding, duplicates preserved (phrase semantics)
+    uniq = sorted(set(tokens))
+    if index._local_lexicon is not None:
+        tid_map = {
+            t: index._local_lexicon[t]["term_id"]
+            for t in uniq
+            if t in index._local_lexicon
+        }
+    else:
+        tid_map = {
+            r["term"]: int(r["term_id"])
+            for r in index.lexicon.filter(F.col("term").isin(uniq))
+            .select("term", "term_id")
+            .collect()
+        }
+    if len(tid_map) < len(uniq):
+        return empty  # a phrase term is out of lexicon -> no match
+    tids = [tid_map[t] for t in tokens]
+    pos = spark.read.parquet(index.paths.positions)
+    barrels = sorted({tid % index.n_barrels for tid in tids})
+    pos = pos.filter(
+        F.col("barrel").isin(barrels) & F.col("term_id").isin(sorted(set(tids)))
+    )
+    cur = (
+        pos.filter(F.col("term_id") == tids[0])
+        .select("doc_id", F.col("positions").alias("match"))
+    )
+    for tid in tids[1:]:
+        nxt = pos.filter(F.col("term_id") == tid).select(
+            "doc_id", F.col("positions").alias("p")
+        )
+        cur = (
+            cur.join(nxt, "doc_id")
+            .select(
+                "doc_id",
+                F.array_intersect(
+                    F.transform("match", lambda x: x + 1), F.col("p")
+                ).alias("match"),
+            )
+            .filter(F.size("match") > 0)
+        )
+    matches = cur.select("doc_id", F.size("match").cast("long").alias("tf"))
+    matches = matches.join(
+        index.doc_stats.select("doc_id", "dl"), "doc_id"
+    )
+    matches.cache()
+    df_phrase = matches.count()
+    if df_phrase == 0:
+        matches.unpersist()
+        return empty
+    idf = idf_value(df_phrase, index.n_docs)
+    score = (
+        F.lit(idf)
+        * (F.col("tf").cast("double") * (K1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + K1 * ((1.0 - B) + (B * F.col("dl").cast("double")) / index.avgdl)
+        )
+    )
+    out = (
+        matches.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    rows = out.collect()
+    matches.unpersist()
+    return spark.createDataFrame(rows, "doc_id long, score double") if rows else empty
+
+
+def search_phrase_topk(
+    index: SearchIndex, phrase: str, k: int = 10
+) -> list[tuple[int, float]]:
+    rows = search_phrase(index, phrase, k).collect()
+    return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+
 def search_topk(
     index: SearchIndex, query: str, k: int = 10, mode: str = "OR",
     use_wand: bool = True,

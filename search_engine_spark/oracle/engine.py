@@ -133,6 +133,42 @@ def search(
     return ranked[:k]
 
 
+def search_phrase(
+    idx: OracleIndex, phrase: str, k: int = 10
+) -> list[tuple[int, float]]:
+    """Exact-phrase BM25 top-k ground truth: the phrase is a virtual term
+    (tf = adjacent-occurrence count, df = matching docs); identical
+    float64 expression shape as bm25_contrib. Mirrored by the engine's
+    query.search_phrase."""
+    qtokens = [t for t in normalize_text(phrase).split(" ") if t]
+    if not qtokens:
+        return []
+    n = len(qtokens)
+    hits: list[tuple[int, int, int]] = []  # (doc_id, tf, dl)
+    for doc_id, url in idx.doc_url.items():
+        norm = idx.normalized[url]
+        toks = norm.split(" ") if norm else []
+        tf = sum(
+            1
+            for i in range(len(toks) - n + 1)
+            if toks[i : i + n] == qtokens
+        )
+        if tf:
+            hits.append((doc_id, tf, idx.doc_dl[doc_id]))
+    if not hits:
+        return []
+    df = len(hits)
+    idf = math.log((idx.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    scored = []
+    for doc_id, tf, dl in hits:
+        contrib = bm25_contrib(
+            np.array([tf]), np.array([dl]), idf, idx.avgdl
+        )[0]
+        scored.append((doc_id, float(contrib)))
+    scored.sort(key=lambda kv: (-kv[1], kv[0]))
+    return scored[:k]
+
+
 def reference_heuristic_score(tf: int, n_distinct_q: int) -> float:
     """The reference's custom scorer core (app.py:679-725, field weights
     collapsed to the single text field, sentiment off): kept as a plumbing
