@@ -36,6 +36,7 @@ PAGES_PER_SF = 200_000  # sf0.1 -> 20k synthetic pages for the build bench
 
 BENCH_QUERIES = [
     "bm25_topk_or",
+    "phrase_bm25_topk",
     "bm25_topk_and",
     "term_tf",
     "lexicon",
