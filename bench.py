@@ -14,9 +14,10 @@ Headline content (BASELINE.json metric):
   3. a cross-section of the declarative operator suite on the driver's
                       testdata tables (same plans the correctness gate runs)
 
-`python bench.py --scaling` additionally runs the index build at local[8]
-vs local[32] on the SAME corpus and reports throughput + scaling
-efficiency (the sandbox stand-in for N vs 4N executors; north rule).
+`python bench.py --scaling` additionally runs the index build at local[4]
+vs local[16] on the SAME corpus (the N-vs-4N stand-in pair with hardware
+headroom on this VM; north rule) and reports raw + ceiling-normalized
+scaling efficiency. See BASELINE.md "Hardware ceiling".
 """
 
 from __future__ import annotations

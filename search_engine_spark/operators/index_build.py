@@ -463,7 +463,7 @@ def build_index(
     )
     postings.write.mode("overwrite").partitionBy("barrel").parquet(out.postings)
 
-    hb = build_hot_bounds(spark.read.parquet(out.postings), salt_threshold)
+    hb = build_hot_bounds(read_postings(spark, out.postings), salt_threshold)
     hb.write.mode("overwrite").parquet(out.hot_bounds)
 
     if with_positions:
@@ -546,6 +546,17 @@ def build_hot_bounds(
             F.transform("ps", lambda p: p["dl"]).alias("dls"),
         )
     )
+
+
+def read_postings(spark: SparkSession, path: str) -> DataFrame:
+    """Read a postings directory, tolerating the empty-corpus case: a
+    partitionBy() write of 0 rows creates no data files, so schema
+    inference fails — fall back to an empty DataFrame with the canonical
+    schema."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:  # AnalysisException: unable to infer schema
+        return spark.createDataFrame([], POSTINGS_SCHEMA + ", barrel int")
 
 
 def read_stats(spark: SparkSession, out: IndexPaths) -> dict:

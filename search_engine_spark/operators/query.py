@@ -75,7 +75,9 @@ class SearchIndex:
         self.avgdl = float(stats["avgdl"])
         self.n_barrels = int(stats["n_barrels"])
         self.lexicon = spark.read.parquet(paths.lexicon)
-        self.postings = spark.read.parquet(paths.postings)
+        from search_engine_spark.operators.index_build import read_postings
+
+        self.postings = read_postings(spark, paths.postings)
         self.doc_stats = spark.read.parquet(paths.doc_stats)
         # hot-term theta sketches (tiny: one row per SALTED term) — the
         # driver-side WAND threshold source for Zipf-head queries

@@ -173,7 +173,7 @@ def resumable_build(
     if not manifest.done("hot_bounds"):
         t0 = time.monotonic()
         hb = ib.build_hot_bounds(
-            spark.read.parquet(out.postings), salt_threshold
+            ib.read_postings(spark, out.postings), salt_threshold
         )
         hb.write.mode("overwrite").parquet(out.hot_bounds)
         rows = spark.read.parquet(out.hot_bounds).count()

@@ -184,7 +184,7 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
         return {"compacted_barrels": 0}
     affected_terms = deltas.select("term_id").distinct()
 
-    postings = spark.read.parquet(paths.postings)
+    postings = ib.read_postings(spark, paths.postings)
     base_in_barrels = postings.filter(F.col("barrel").isin(affected_barrels))
     base_affected = base_in_barrels.join(
         F.broadcast(affected_terms), "term_id", "left_semi"
@@ -257,7 +257,7 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     # refresh the hot-term theta sketches from the compacted postings
     # (metadata-only scan: theta_* columns + df, pruned by parquet)
     hb = ib.build_hot_bounds(
-        spark.read.parquet(paths.postings), salt_threshold
+        ib.read_postings(spark, paths.postings), salt_threshold
     )
     hb.write.mode("overwrite").parquet(paths.hot_bounds)
 

@@ -67,3 +67,26 @@ def test_resume_after_interrupt(spark, tmp_path):
     idx = SearchIndex(spark, paths)
     ref_idx = SearchIndex(spark, ref_paths)
     assert search_topk(idx, "best western") == search_topk(ref_idx, "best western")
+
+
+def test_build_empty_and_non_english_corpus(spark, tmp_path):
+    """Build robustness: an all-non-English (or empty) corpus must produce
+    a valid empty index, and queries on it return [] (not crash)."""
+    import pyspark.sql.functions as F
+
+    from search_engine_spark.operators import index_build as ib
+    from search_engine_spark.operators.query import SearchIndex, search_topk
+    from search_engine_spark.sources.pages import generate_pages_df
+
+    pages = generate_pages_df(spark, 200, partitions=2).filter(
+        F.col("lang") != "en"
+    )
+    paths = ib.IndexPaths(str(tmp_path / "empty_idx"))
+    summary = ib.build_index(
+        spark, pages, paths, n_salts=2, salt_threshold=10, n_barrels=4,
+        id_partitions=2,
+    )
+    assert summary["n_docs"] == 0
+    idx = SearchIndex(spark, paths)
+    assert search_topk(idx, "best western", k=5) == []
+    assert search_topk(idx, "", k=5) == []
