@@ -1,0 +1,59 @@
+"""Physical-plan regression guard: the plan properties documented in
+PLANS.md must hold — pushdown reaching the scan, broadcast joins on small
+sides, TakeOrderedAndProject for top-k, no Python UDFs in the declarative
+suite."""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.operators import corpus, relational
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sfd(sf_dir):
+    return sf_dir
+
+
+def test_bm25_plan(spark, sfd):
+    p = _plan(corpus.q_bm25_topk_or(spark, sfd))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "EqualTo(lang,en)" in p  # predicate reached the parquet scan
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_filter_pushdown_and_pruning(spark, sfd):
+    p = _plan(relational.q_filter_project(spark, sfd))
+    assert "PushedFilters" in p and "l_quantity" in p
+    # column pruning: untouched wide columns never read
+    assert "l_comment" not in p and "l_shipmode" not in p
+
+
+def test_semi_join_plan(spark, sfd):
+    p = _plan(relational.q_semi_join(spark, sfd))
+    assert "LeftSemi" in p
+    assert "GreaterThan(o_totalprice,400000" in p
+
+
+def test_topk_plan(spark, sfd):
+    p = _plan(relational.q_topk_orders(spark, sfd))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_join_chain_broadcasts(spark, sfd):
+    p = _plan(relational.q_join_map_chain(spark, sfd))
+    assert p.count("BroadcastHashJoin") >= 2  # customer + nation dims
+
+
+def test_no_python_udf_in_declarative_suite(spark, sfd):
+    """Every driver-suite operator stays JVM-side (UDFs appear only in the
+    engine's Arrow mapInPandas stages, not here)."""
+    for name, fn in {**relational.QUERIES}.items():
+        p = _plan(fn(spark, sfd))
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
