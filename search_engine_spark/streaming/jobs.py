@@ -76,6 +76,108 @@ def windowed_event_counts(events_stream: DataFrame) -> DataFrame:
     )
 
 
+SESSION_GAP_S = 1800
+_GAP_US = SESSION_GAP_S * 1_000_000
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, n_events long, duration_s long"
+)
+_SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+
+def _sessionize_fn(key, pdfs, state):
+    """applyInPandasWithState kernel: per-user gap sessionization.
+
+    State = the one OPEN session (start_us, last_us, n). Within a batch,
+    any >gap silence closes a session immediately; the final open session
+    stays in state with an event-time timeout at last + gap, so it is
+    emitted once the watermark passes (late events inside the watermark
+    still extend it). This is the streaming twin of
+    relational.q_sessionize — same gap rule, same floor-second duration."""
+    import pandas as pd
+
+    def emit(start_us: int, last_us: int, n: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.to_datetime(start_us, unit="us")],
+                "n_events": [n],
+                # floor-of-seconds diff == batch unix_timestamp semantics
+                "duration_s": [last_us // 1_000_000 - start_us // 1_000_000],
+            }
+        )
+
+    if state.hasTimedOut:
+        if state.exists:
+            start, last, n = state.get
+            yield emit(start, last, n)
+            state.remove()
+        return
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    ts_us = (
+        rows["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    )
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start, last, n = None, None, 0
+    for t in ts_us.tolist():
+        if start is not None and t - last > _GAP_US:
+            yield emit(start, last, n)
+            start, n = None, 0
+        if start is None:
+            start = t
+            n = 0
+        last = t
+        n += 1
+    state.update((int(start), int(last), int(n)))
+    state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_S * 1000)
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ),
+):
+    """Streaming gap-sessionization: custom stateful operator via
+    applyInPandasWithState (event-time timeout + watermark), append-mode
+    parquet sink, drained with availableNow. Completed sessions emit as
+    soon as a within-batch gap closes them or the watermark passes the
+    open session's gap window; state is one tuple per live user —
+    bounded memory at unbounded stream length."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_windowed_events(
     spark: SparkSession,
     input_dir: str,

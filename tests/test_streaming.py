@@ -146,3 +146,63 @@ def test_incremental_new_term_queryable(incremental_setup):
     np.testing.assert_array_equal(
         np.array([s for _, s in a]), np.array([s for _, s in b])
     )
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization vs the batch window plan:
+    every emitted session must be a real batch session, and every session
+    CLOSED within the drained data (i.e. all but each user's final
+    session, plus any the end-of-stream watermark flushed) must be
+    emitted."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from search_engine_spark.streaming.jobs import (
+        SESSION_GAP_S,
+        sessionize_stream,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = tmp_path / "sess_in"
+    events.write.parquet(str(src))
+    out = tmp_path / "sess_out"
+    sessionize_stream(spark, str(src), str(out), str(tmp_path / "ckpt"))
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"], r["duration_s"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+
+    # batch ground truth with session_start + last flag
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > SESSION_GAP_S),
+        1,
+    ).otherwise(0)
+    sess = events.select(
+        "user_id", "ts", F.sum(new_sess).over(w).alias("sno")
+    )
+    batch = (
+        sess.groupBy("user_id", "sno")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").cast("long").alias("n_events"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("long")
+            .alias("duration_s"),
+        )
+    )
+    w2 = Window.partitionBy("user_id")
+    batch = batch.withColumn("max_sno", F.max("sno").over(w2))
+    all_sessions = {
+        (r["user_id"], r["session_start"], r["n_events"], r["duration_s"])
+        for r in batch.collect()
+    }
+    closed_sessions = {
+        (r["user_id"], r["session_start"], r["n_events"], r["duration_s"])
+        for r in batch.filter(F.col("sno") < F.col("max_sno")).collect()
+    }
+    assert got <= all_sessions
+    assert closed_sessions <= got
+    assert len(got) > 0
