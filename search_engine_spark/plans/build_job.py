@@ -94,6 +94,7 @@ def resumable_build(
     n_barrels: int = 64,
     id_partitions: int = 32,
     fail_after_groups: int | None = None,
+    with_positions: bool = False,
 ) -> dict:
     os.makedirs(out.root, exist_ok=True)
     manifest = Manifest(f"{out.root}/_build_manifest.json")
@@ -119,7 +120,7 @@ def resumable_build(
     doc_stats = spark.read.parquet(out.doc_stats)
     n_docs, avgdl = ib.corpus_stats(doc_stats)
 
-    forward = ib.build_forward(docs, with_positions=False)
+    forward = ib.build_forward(docs, with_positions=with_positions)
     forward.cache()
 
     # -- step: lexicon --------------------------------------------------------
@@ -186,6 +187,22 @@ def resumable_build(
             }
         )
 
+    # -- step: positions (optional; phrase queries) --------------------------
+    if with_positions and not manifest.done("positions"):
+        t0 = time.monotonic()
+        ib.build_positions(forward, lexicon, n_barrels).write.mode(
+            "overwrite"
+        ).partitionBy("barrel").parquet(out.positions)
+        rows = spark.read.parquet(out.positions).count()
+        manifest.commit(
+            {
+                "step": "positions", "run_id": run_id, "rows": rows,
+                "bytes": _dir_bytes(out.positions),
+                "wall_ms": int((time.monotonic() - t0) * 1000),
+                "input_files": lineage,
+            }
+        )
+
     # -- step: stats (last: marks the index complete) ------------------------
     if not manifest.done("stats"):
         stats = spark.createDataFrame(
@@ -215,6 +232,7 @@ def main(argv: Iterable[str] | None = None) -> None:
     p.add_argument("--n-barrels", type=int, default=64)
     p.add_argument("--n-salts", type=int, default=8)
     p.add_argument("--salt-threshold", type=int, default=50_000)
+    p.add_argument("--with-positions", action="store_true")
     args = p.parse_args(list(argv) if argv is not None else None)
     spark = get_spark("index-build")
     pages = spark.read.parquet(args.pages)
@@ -222,6 +240,7 @@ def main(argv: Iterable[str] | None = None) -> None:
         spark, pages, ib.IndexPaths(args.out), args.run_id,
         n_groups=args.n_groups, n_barrels=args.n_barrels,
         n_salts=args.n_salts, salt_threshold=args.salt_threshold,
+        with_positions=args.with_positions,
     )
     print(json.dumps({k: v for k, v in summary.items() if k != "manifest"}))
 
