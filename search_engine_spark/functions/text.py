@@ -25,9 +25,12 @@ Two implementations are provided and property-tested against each other
   input_hint ("Arrow-vectorized ... no per-row Python").
 
 HTML extraction (for the ``pages.html`` binary column) is ``extract_text`` /
-``extract_series``: tag strip + whitespace normalization, byte-identical to
-the page's ``text`` column by construction of the synthetic corpus
-(FIXTURES.md §1) and asserted per-url in tests.
+``extract_series``: tag strip + whitespace normalization. The per-row
+invariant (BASELINE.json input_hint) is byte-identical extracted text per
+url between the Spark UDF and the single-node oracle — asserted in
+tests/test_index_parity.py. (It is NOT equal to the synthetic ``text``
+column: the generated html wraps a ``<title>t{i}</title>`` whose text
+survives tag-stripping by design, exercising real html->text divergence.)
 """
 
 from __future__ import annotations

@@ -120,11 +120,21 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(n_docs, avgdl) scalars frozen at index time (SURVEY.md §7)."""
+def _corpus_stats_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_docs, avgdl) UNROUNDED — the form scoring must consume (rounding
+    an intermediate that feeds arithmetic diverges from the oracle's exact
+    SUM(dl)/COUNT; CLAUDE.md rounding rule)."""
     return q_doc_stats(spark, sf_dir).agg(
         F.count("*").alias("n_docs"),
-        F.round(F.sum("dl") / F.count("*"), 6).alias("avgdl"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_docs, avgdl) scalars frozen at index time (SURVEY.md §7);
+    rounded ONLY because avgdl is a final output here."""
+    return _corpus_stats_raw(spark, sf_dir).select(
+        "n_docs", F.round("avgdl", 6).alias("avgdl")
     )
 
 
@@ -172,7 +182,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str, qterms: list[str]) -> DataFra
     ln/round parity with the DuckDB oracle (module docstring)."""
     tf = q_term_tf(spark, sf_dir).filter(F.col("term").isin(qterms))
     dl = q_doc_stats(spark, sf_dir)
-    stats = q_corpus_stats(spark, sf_dir)
+    stats = _corpus_stats_raw(spark, sf_dir)
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         tf.join(F.broadcast(df_t), "term")
@@ -270,7 +280,7 @@ def q_phrase_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("tf"))
     )
     dl = q_doc_stats(spark, sf_dir)
-    stats = q_corpus_stats(spark, sf_dir)
+    stats = _corpus_stats_raw(spark, sf_dir)
     dfp = matches.agg(F.count("*").alias("df"))
     scored = (
         matches.join(dl, "doc_id")

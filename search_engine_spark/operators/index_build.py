@@ -193,7 +193,15 @@ def assign_dense_ids(
             )
             local += len(pdf)
 
-    return with_pid.mapInPandas(add_ids, schema=out_schema)
+    # eagerly materialize via localCheckpoint so (a) the sampled range
+    # partitioning can never be re-evaluated differently and (b) the
+    # staging cache can be released immediately (persist() otherwise leaks
+    # for the session — one pinned dataset per build/ingest batch)
+    ids = with_pid.mapInPandas(add_ids, schema=out_schema).localCheckpoint(
+        eager=True
+    )
+    with_pid.unpersist()
+    return ids
 
 
 def build_lexicon(forward: DataFrame, num_partitions: int = 32) -> DataFrame:
@@ -267,6 +275,23 @@ def build_postings(
     Block metadata is the monotone (max_tf, min_dl) pair per 128-posting
     block (compression.block_summaries) — no global stats enter the encode,
     so barrels never go stale when the corpus grows incrementally."""
+    joined = postings_input(forward, lexicon, doc_stats, n_salts, salt_threshold)
+    return encode_postings(joined, n_barrels)
+
+
+def postings_input(
+    forward: DataFrame,
+    lexicon: DataFrame,
+    doc_stats: DataFrame | None = None,
+    n_salts: int = 8,
+    salt_threshold: int = 50_000,
+) -> DataFrame:
+    """The pre-encode posting rows (term_id, df, doc_id, tf, dl, salt).
+    Exposed so the resumable barrel-group driver can filter by barrel
+    BELOW the encode shuffle — filtering encode_postings' output would
+    re-run the whole shuffle + compression per group (the mapInPandas
+    stage is opaque to Catalyst, so the barrel predicate cannot be pushed
+    through it)."""
     lex = lexicon.select("term", "term_id", "df")
     if "dl" in forward.columns:
         fwd = forward.select("doc_id", "term", "tf", "dl")
@@ -276,7 +301,7 @@ def build_postings(
         fwd = forward.select("doc_id", "term", "tf").join(
             doc_stats.select("doc_id", "dl"), "doc_id"
         )
-    joined = (
+    return (
         fwd
         .join(lex, "term")
         .select(
@@ -284,7 +309,6 @@ def build_postings(
             salt_col(n_salts, salt_threshold),
         )
     )
-    return encode_postings(joined, n_barrels)
 
 
 def salt_col(n_salts: int, salt_threshold: int):

@@ -16,11 +16,12 @@ Query lifecycle mirrors the reference (SURVEY.md §3.1,
   6. orderBy(score desc, doc_id asc).limit(k) — Catalyst compiles this to
      TakeOrderedAndProject, a distributed per-partition-heap top-k.
 
-Float discipline: per-posting scores are computed in numpy float64 with the
-exact expression shape of oracle.bm25_contrib, idf via math.log on both
-sides, and the per-doc sum is evaluated in ascending term_id order via
-aggregate(sort_array(collect_list(...))) — so multi-term scores are
-bit-equal to the oracle regardless of Spark's aggregation order.
+Float discipline: per-posting scores are computed in numpy float64 via the
+single canonical expression (compression.bm25_score == oracle.bm25_contrib
+shape), idf via math.log on both sides, and the per-doc sum is evaluated in
+SORTED-TERM-STRING order via aggregate(sort_array(collect_list(...))) — a
+build-independent order (term_ids shift across incremental builds), equal
+to the oracle's ascending-term_id order since oracle ids are term-sorted.
 
 WAND threshold (theta): a SAFE lower bound of the final kth score — the
 kth-largest single-term score among the rarest (lowest-df) query term's
@@ -42,7 +43,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from search_engine_spark.functions.compression import decode_posting_blocks
+from search_engine_spark.functions.compression import bm25_score, decode_posting_blocks
 from search_engine_spark.operators.index_build import (
     B,
     K1,
@@ -70,6 +71,7 @@ class SearchIndex:
     ):
         self.spark = spark
         self.paths = paths
+        self._local_lexicon_max_rows = local_lexicon_max_rows
         stats = read_stats(spark, paths)
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
@@ -109,9 +111,7 @@ class SearchIndex:
         on-disk tables (the cached driver lexicon would otherwise be
         stale)."""
         return SearchIndex(
-            self.spark,
-            self.paths,
-            2_000_000 if self._local_lexicon is not None else 0,
+            self.spark, self.paths, self._local_lexicon_max_rows
         )
 
     # -- step 1+2: query terms -> term ids (driver-side; lexicon probe is a
@@ -125,11 +125,14 @@ class SearchIndex:
             return {}
         if self._local_lexicon is not None:
             return {
-                e["term_id"]: {k: e[k] for k in ("df", "max_tf", "min_dl")}
+                e["term_id"]: {
+                    "term": t,
+                    **{k: e[k] for k in ("df", "max_tf", "min_dl")},
+                }
                 for t in tokens
                 if (e := self._local_lexicon.get(t)) is not None
             }
-        cols = ["term_id", "df"]
+        cols = ["term", "term_id", "df"]
         has_bounds = "max_tf" in self.lexicon.columns
         if has_bounds:
             cols += ["max_tf", "min_dl"]
@@ -140,6 +143,7 @@ class SearchIndex:
         )
         return {
             int(r["term_id"]): {
+                "term": r["term"],
                 "df": int(r["df"]),
                 "max_tf": int(r["max_tf"]) if has_bounds else None,
                 "min_dl": int(r["min_dl"]) if has_bounds else None,
@@ -162,14 +166,21 @@ def _decode_score_df(
     idfs: dict[int, float],
     theta: float,
     other_max: dict[int, float],
+    ranks: dict[int, int] | None = None,
 ) -> DataFrame:
-    """mapInPandas: blob rows -> (doc_id, term_id, score) with block-max
-    skipping. other_max[t] = sum of max_score over the OTHER query terms."""
+    """mapInPandas: blob rows -> (doc_id, rank, score) with block-max
+    skipping. other_max[t] = sum of max_score over the OTHER query terms.
+    ``ranks`` maps term_id -> the term's position in SORTED-BY-STRING
+    query-term order — a build-independent key for the deterministic
+    per-doc float sum (term_ids are NOT stable across incremental builds:
+    new terms append at max_id+1, so summing in term_id order would
+    diverge from a fresh build in the last ulp for 3+-term queries)."""
     avgdl = index.avgdl
+    ranks = ranks or {}
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_doc, out_term, out_score = [], [], []
+            out_doc, out_rank, out_score = [], [], []
             for row in pdf.itertuples(index=False):
                 tid = int(row.term_id)
                 idf = idfs[tid]
@@ -178,11 +189,7 @@ def _decode_score_df(
                 # incremental updates (compression.block_summaries)
                 mt = np.asarray(row.block_max_tf, dtype=np.float64)
                 md = np.asarray(row.block_min_dl, dtype=np.float64)
-                bm = (
-                    idf
-                    * (mt * (K1 + 1.0))
-                    / (mt + K1 * ((1.0 - B) + (B * md) / avgdl))
-                )
+                bm = bm25_score(mt, md, idf, avgdl, K1, B)
                 if theta > 0.0:
                     keep = bm + other_max.get(tid, 0.0) >= theta
                     if not keep.any():
@@ -195,26 +202,22 @@ def _decode_score_df(
                     row.doc_deltas, row.tfs, row.dls,
                     row.db_lens, row.tf_lens, row.dl_lens, keep,
                 )
-                tf = t.astype(np.float64)
-                dl = l.astype(np.float64)
-                score = (
-                    idf
-                    * (tf * (K1 + 1.0))
-                    / (tf + K1 * ((1.0 - B) + (B * dl) / avgdl))
-                )
+                score = bm25_score(t, l, idf, avgdl, K1, B)
                 out_doc.append(d)
-                out_term.append(np.full(len(d), tid, dtype=np.int64))
+                out_rank.append(
+                    np.full(len(d), ranks.get(tid, tid), dtype=np.int64)
+                )
                 out_score.append(score)
             if out_doc:
                 yield pd.DataFrame(
                     {
                         "doc_id": np.concatenate(out_doc),
-                        "term_id": np.concatenate(out_term),
+                        "rank": np.concatenate(out_rank),
                         "score": np.concatenate(out_score),
                     }
                 )
 
-    return probe.mapInPandas(decode, schema="doc_id long, term_id long, score double")
+    return probe.mapInPandas(decode, schema="doc_id long, rank long, score double")
 
 
 def _estimate_theta(
@@ -258,12 +261,7 @@ def _sketch_theta(
         if hb is None:
             continue
         d, tf, dl = hb
-        idf = idfs[tid]
-        score = (
-            idf
-            * (tf * (K1 + 1.0))
-            / (tf + K1 * ((1.0 - B) + (B * dl) / index.avgdl))
-        )
+        score = bm25_score(tf, dl, idfs[tid], index.avgdl, K1, B)
         for doc, sc in zip(d.tolist(), score.tolist()):
             acc[doc] = acc.get(doc, 0.0) + sc
     if len(acc) < k:
@@ -285,12 +283,9 @@ def _probe_term_bounds(
         .collect()
     ):
         tid = int(r["term_id"])
-        mt, md = float(r["mt"]), float(r["md"])
-        out[tid] = (
-            idfs[tid]
-            * (mt * (K1 + 1.0))
-            / (mt + K1 * ((1.0 - B) + (B * md) / avgdl))
-        )
+        mt = np.array([float(r["mt"])])
+        md = np.array([float(r["md"])])
+        out[tid] = float(bm25_score(mt, md, idfs[tid], avgdl, K1, B)[0])
     return out
 
 
@@ -318,7 +313,6 @@ def search(
     if use_wand and len(term_ids) > 1 and mode == "OR":
         # per-term global upper bound from the lexicon's (max_tf, min_dl)
         # term bounds — no metadata job; bound uses live idf/avgdl
-        k1, b = K1, B
         maxes = {}
         for tid in term_ids:
             mt = bound[tid]["max_tf"]
@@ -328,10 +322,11 @@ def search(
                 # term: fall back to a probe metadata aggregate
                 maxes = _probe_term_bounds(probe, idfs, index.avgdl)
                 break
-            maxes[tid] = (
-                idfs[tid]
-                * (float(mt) * (k1 + 1.0))
-                / (float(mt) + k1 * ((1.0 - b) + (b * float(md)) / index.avgdl))
+            maxes[tid] = float(
+                bm25_score(
+                    np.array([float(mt)]), np.array([float(md)]),
+                    idfs[tid], index.avgdl, K1, B,
+                )[0]
             )
         other_max = {
             tid: sum(v for t2, v in maxes.items() if t2 != tid)
@@ -344,9 +339,17 @@ def search(
             # the distributed pass is cheap — and usually tighter
             theta = max(theta, _estimate_theta(index, probe, rarest, idfs, k))
 
-    scored = _decode_score_df(index, probe, idfs, theta, other_max)
+    # per-doc sum in SORTED-TERM-STRING order: matches the oracle (its ids
+    # are sorted by term) and is identical across batch/incremental builds
+    ranks = {
+        tid: i
+        for i, tid in enumerate(
+            sorted(term_ids, key=lambda t: bound[t]["term"])
+        )
+    }
+    scored = _decode_score_df(index, probe, idfs, theta, other_max, ranks)
     per_doc = scored.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("term_id", "score"))).alias("parts")
+        F.sort_array(F.collect_list(F.struct("rank", "score"))).alias("parts")
     )
     total = per_doc.select(
         "doc_id",

@@ -284,7 +284,8 @@ def q_null_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesced."""
     c = _t(spark, sf_dir, "customer")
     band = (
-        F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+        F.when(F.col("c_acctbal").isNull(), F.lit(None).cast("string"))
+        .when(F.col("c_acctbal") < 0, F.lit("neg"))
         .when(F.col("c_acctbal") < 5000, F.lit("low"))
         .otherwise(F.lit("high"))
     )
@@ -466,7 +467,8 @@ FROM events GROUP BY event_type
 """,
     "null_scrub": """
 WITH banded AS (
-  SELECT COALESCE(CASE WHEN c_acctbal < 0 THEN 'neg'
+  SELECT COALESCE(CASE WHEN c_acctbal IS NULL THEN NULL
+                       WHEN c_acctbal < 0 THEN 'neg'
                        WHEN c_acctbal < 5000 THEN 'low'
                        ELSE 'high' END, 'unknown') AS band,
          c_acctbal

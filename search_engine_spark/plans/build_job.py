@@ -140,9 +140,12 @@ def resumable_build(
     lexicon = spark.read.parquet(out.lexicon)
 
     # -- steps: postings per barrel group ------------------------------------
-    postings_all = ib.build_postings(
-        forward, lexicon, doc_stats,
-        n_salts, salt_threshold, n_barrels,
+    # filter by barrel BELOW the encode shuffle: each group shuffles and
+    # compresses ONLY its own terms (filtering the encoded output instead
+    # would re-run the whole encode per group — mapInPandas is opaque to
+    # Catalyst, so the predicate cannot be pushed through it)
+    postings_rows = ib.postings_input(
+        forward, lexicon, doc_stats, n_salts, salt_threshold
     )
     completed = 0
     for g in range(n_groups):
@@ -156,7 +159,10 @@ def resumable_build(
         t0 = time.monotonic()
         barrels = [b for b in range(n_barrels) if b % n_groups == g]
         gdir = f"{out.postings}/group={g}"
-        gdf = postings_all.filter(F.col("barrel").isin(barrels))
+        grows = postings_rows.filter(
+            F.pmod("term_id", F.lit(n_barrels)).cast("int").isin(barrels)
+        )
+        gdf = ib.encode_postings(grows, n_barrels)
         gdf.write.mode("overwrite").partitionBy("barrel").parquet(gdir)
         rows = spark.read.parquet(gdir).count()
         manifest.commit(

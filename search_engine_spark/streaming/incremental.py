@@ -4,15 +4,17 @@ single-document background upsert (SURVEY.md §2.9 St1,
 delta log + partition-level compaction, the shape that works at
 10^12-doc scale:
 
-  ingest (per micro-batch, cheap, append-only):
+  ingest (per micro-batch, cheap, REPLAY-SAFE — every artifact lands in
+  a batch=<id> dir with mode=overwrite, so foreachBatch's at-least-once
+  delivery still yields exactly-once effects):
     new pages -> normalize -> forward rows (term, doc_id, tf, dl)
-      1. doc_stats      += new rows                        (append)
-      2. lexicon        += NEW terms with ids max_id+1...  (append;
-         the reference's "extend with fresh max ids" semantics,
+      1. doc_stats_delta/batch=N   new doc rows            (overwrite)
+      2. lexicon_delta/batch=N     NEW terms, ids max_id+1..
+         (the reference's "extend with fresh max ids" semantics,
          app.py:928-944 — incremental ids are NOT re-sorted)
-      3. postings delta += uncompressed (term_id, doc_id, tf, dl)
-         rows partitioned by barrel                        (append)
-      4. stats          rewritten (N, avgdl from doc_stats)
+      3. postings_delta/batch=N    uncompressed (term_id, doc_id, tf,
+         dl) rows partitioned by barrel                    (overwrite)
+      4. stats rewritten (N, avgdl from doc_stats base+deltas)
 
   compact (amortized, rewrites ONLY affected barrels):
       5. decode base blobs of affected barrels -> rows, union deltas,
@@ -53,15 +55,59 @@ def delta_dir(paths: ib.IndexPaths) -> str:
     return f"{paths.root}/postings_delta"
 
 
-def _n_barrels(spark: SparkSession, paths: ib.IndexPaths) -> int:
-    return int(ib.read_stats(spark, paths)["n_barrels"])
+def doc_stats_delta_dir(paths: ib.IndexPaths) -> str:
+    return f"{paths.root}/doc_stats_delta"
+
+
+def lexicon_delta_dir(paths: ib.IndexPaths) -> str:
+    return f"{paths.root}/lexicon_delta"
+
+
+def _batch_subdirs(root: str, exclude: str | None = None) -> list[str]:
+    if not os.path.exists(root):
+        return []
+    return sorted(
+        f"{root}/{d}"
+        for d in os.listdir(root)
+        if d.startswith("batch=") and d != f"batch={exclude}"
+    )
+
+
+def read_lexicon(
+    spark: SparkSession, paths: ib.IndexPaths, exclude_batch: str | None = None
+) -> DataFrame:
+    """Base lexicon ∪ per-batch uncompacted extensions. exclude_batch lets
+    a replayed ingest rebuild ITS OWN delta from scratch without seeing
+    the half-written previous attempt."""
+    lex = spark.read.parquet(paths.lexicon)
+    for d in _batch_subdirs(lexicon_delta_dir(paths), exclude_batch):
+        lex = lex.unionByName(spark.read.parquet(d))
+    return lex
+
+
+def read_doc_stats(spark: SparkSession, paths: ib.IndexPaths) -> DataFrame:
+    ds = spark.read.parquet(paths.doc_stats)
+    deltas = _batch_subdirs(doc_stats_delta_dir(paths))
+    for d in deltas:
+        ds = ds.unionByName(spark.read.parquet(d))
+    return ds
 
 
 def apply_incremental_batch(
-    spark: SparkSession, new_pages: DataFrame, paths: ib.IndexPaths
+    spark: SparkSession,
+    new_pages: DataFrame,
+    paths: ib.IndexPaths,
+    batch_id: str | int = "manual",
 ) -> dict:
     """Ingest one micro-batch of new pages (steps 1-4 above). Runs inside
-    Structured Streaming foreachBatch (jobs.ingest_stream) or standalone."""
+    Structured Streaming foreachBatch (jobs.ingest_stream) or standalone.
+
+    IDEMPOTENT per batch_id: foreachBatch is at-least-once, so every
+    artifact of a batch lands in its own batch=<id> directory with
+    mode=overwrite — a replay rewrites the same directories instead of
+    double-appending (doc counts, df/cf and posting lists stay exact).
+    compact() folds all batch dirs into the base tables and clears them."""
+    bid = str(batch_id)
     stats = ib.read_stats(spark, paths)
     n_barrels = int(stats["n_barrels"])
 
@@ -72,16 +118,18 @@ def apply_incremental_batch(
     forward.cache()
     n_new = docs.count()
 
-    # 1. doc_stats append
-    ib.build_doc_stats(docs).write.mode("append").parquet(paths.doc_stats)
-
-    # 2. lexicon extension: new terms -> max_id+1.. (app.py:928-944)
-    lexicon = spark.read.parquet(paths.lexicon)
-    max_id = lexicon.agg(F.max("term_id")).collect()[0][0] or 0
-    batch_terms = forward.groupBy("term").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    # 1. doc_stats batch delta (overwrite -> replay-safe)
+    ib.build_doc_stats(docs).write.mode("overwrite").parquet(
+        f"{doc_stats_delta_dir(paths)}/batch={bid}"
     )
-    new_terms = batch_terms.join(
+
+    # 2. lexicon extension: new terms -> max_id+1.. (app.py:928-944),
+    # written to THIS batch's delta dir. The anti-join excludes the
+    # replayed batch's own previous attempt so ids are re-derived
+    # identically from scratch.
+    lexicon = read_lexicon(spark, paths, exclude_batch=bid)
+    max_id = lexicon.agg(F.max("term_id")).collect()[0][0] or 0
+    new_terms = forward.select("term").distinct().join(
         lexicon.select("term"), "term", "left_anti"
     )
     # dense ids continuing after max_id — same two-phase assignment as the
@@ -90,7 +138,7 @@ def apply_incremental_batch(
     # writing batch counts here would double-count at compaction). Until
     # then a new term binds but matches nothing — consistent, since its
     # postings live only in the delta log the query engine doesn't read.
-    new_ids = ib.assign_dense_ids(new_terms.select("term"), "term", "term_id")
+    new_ids = ib.assign_dense_ids(new_terms, "term", "term_id")
     new_lex = (
         new_ids.withColumn("term_id", F.col("term_id") + F.lit(int(max_id) + 1))
         .select(
@@ -101,11 +149,13 @@ def apply_incremental_batch(
             F.lit(0).cast("long").alias("min_dl"),
         )
     )
-    new_lex.write.mode("append").parquet(paths.lexicon)
-    lexicon = spark.read.parquet(paths.lexicon)
+    new_lex.write.mode("overwrite").parquet(
+        f"{lexicon_delta_dir(paths)}/batch={bid}"
+    )
+    lexicon = read_lexicon(spark, paths)
 
-    # 3. delta postings append (uncompressed rows, barrel-partitioned so
-    # compaction and fresh-term queries prune)
+    # 3. delta postings for this batch (overwrite -> replay-safe),
+    # barrel-partitioned so compaction prunes
     delta = (
         forward.join(lexicon.select("term", "term_id"), "term")
         .select(
@@ -116,10 +166,12 @@ def apply_incremental_batch(
             F.pmod("term_id", F.lit(n_barrels)).cast("int").alias("barrel"),
         )
     )
-    delta.write.mode("append").partitionBy("barrel").parquet(delta_dir(paths))
+    delta.write.mode("overwrite").partitionBy("barrel").parquet(
+        f"{delta_dir(paths)}/batch={bid}"
+    )
 
-    # 4. refresh corpus stats (N, avgdl)
-    n_docs, avgdl = ib.corpus_stats(spark.read.parquet(paths.doc_stats))
+    # 4. refresh corpus stats (N, avgdl) from base + all batch deltas
+    n_docs, avgdl = ib.corpus_stats(read_doc_stats(spark, paths))
     spark.createDataFrame(
         [(n_docs, avgdl, int(stats["n_salts"]), int(stats["salt_threshold"]),
           n_barrels)],
@@ -217,11 +269,27 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     )
     re_encoded = ib.encode_postings(joined, n_barrels)
 
+    # Layout detection: a resumable (plans/build_job.py) index nests
+    # barrels under group=G dirs (G = barrel % n_groups). Re-encoded rows
+    # must carry the same group key and the swap must target the nested
+    # path — otherwise stale blobs would survive under group=*/barrel=B.
+    group_dirs = [
+        d for d in os.listdir(paths.postings) if d.startswith("group=")
+    ]
+    n_groups = len(group_dirs)
+    if n_groups:
+        re_encoded = re_encoded.withColumn(
+            "group", F.pmod("barrel", F.lit(n_groups)).cast("int")
+        )
+        base_untouched = base_untouched.withColumn(
+            "group", F.col("group").cast("int")
+        )
+
     merged = base_untouched.unionByName(re_encoded)
 
-    # 6. refreshed lexicon: absolute df/cf recount from the merged rows
-    # (no additive drift)
-    lexicon = spark.read.parquet(paths.lexicon)
+    # 6. refreshed lexicon: base ∪ uncompacted batch extensions, with
+    # absolute df/cf recount from the merged rows (no additive drift)
+    lexicon = read_lexicon(spark, paths)
     upd = term_stats.withColumnsRenamed(
         {"df": "df_new", "cf": "cf_new", "max_tf": "mt_new", "min_dl": "md_new"}
     )
@@ -241,18 +309,33 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     # against the live directories, so all writes must materialize first
     # (the Iceberg equivalent is one multi-table snapshot commit).
     staging = f"{paths.postings}_compact_staging"
-    merged.write.mode("overwrite").partitionBy("barrel").parquet(staging)
+    part_cols = ["group", "barrel"] if n_groups else ["barrel"]
+    merged.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
     lex_staging = f"{paths.lexicon}_staging"
     new_lex.write.mode("overwrite").parquet(lex_staging)
 
     for b in affected_barrels:
-        src = f"{staging}/barrel={b}"
-        dst = f"{paths.postings}/barrel={b}"
-        shutil.rmtree(dst, ignore_errors=True)
-        os.replace(src, dst)
+        sub = f"group={b % n_groups}/barrel={b}" if n_groups else f"barrel={b}"
+        src = f"{staging}/{sub}"
+        dst = f"{paths.postings}/{sub}"
+        if os.path.exists(src):  # never drop a barrel we can't replace
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(src, dst)
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(paths.lexicon)
     os.replace(lex_staging, paths.lexicon)
+
+    # fold doc_stats batch deltas into the base table: parquet part files
+    # are self-contained, so folding is a pure file MOVE (no rewrite)
+    dsd = doc_stats_delta_dir(paths)
+    for bdir in _batch_subdirs(dsd):
+        tag = os.path.basename(bdir).replace("=", "_")
+        for fn in os.listdir(bdir):
+            if fn.endswith(".parquet"):
+                os.replace(
+                    f"{bdir}/{fn}", f"{paths.doc_stats}/incr_{tag}_{fn}"
+                )
+    shutil.rmtree(dsd, ignore_errors=True)
 
     # refresh the hot-term theta sketches from the compacted postings
     # (metadata-only scan: theta_* columns + df, pruned by parquet)
@@ -261,8 +344,10 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     )
     hb.write.mode("overwrite").parquet(paths.hot_bounds)
 
-    # 7. truncate the delta log
+    # 7. truncate the delta logs (lexicon deltas were folded into the
+    # rewritten base above)
     shutil.rmtree(ddir)
+    shutil.rmtree(lexicon_delta_dir(paths), ignore_errors=True)
     all_rows.unpersist()
     term_stats.unpersist()
     return {"compacted_barrels": len(affected_barrels)}

@@ -41,8 +41,18 @@ def ingest_stream(
         .parquet(input_dir)
     )
 
+    import os
+
+    stream_key = os.path.basename(os.path.normpath(checkpoint_dir))
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        apply_incremental_batch(spark, batch_df, paths)
+        # (stream checkpoint, batch_id) keys the idempotent per-batch
+        # delta dirs: a replayed micro-batch overwrites its own artifacts
+        # (exactly-once effect on top of foreachBatch's at-least-once
+        # delivery), and batch ids from DIFFERENT streams cannot collide
+        apply_incremental_batch(
+            spark, batch_df, paths, f"{stream_key}-{batch_id}"
+        )
 
     writer = (
         stream.writeStream.foreachBatch(process)

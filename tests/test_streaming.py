@@ -206,3 +206,98 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     assert got <= all_sessions
     assert closed_sessions <= got
     assert len(got) > 0
+
+
+def test_incremental_mixed_new_old_terms_bit_equal(incremental_setup):
+    """3+-term query mixing base terms with a streamed-batch-only term:
+    float sums must still be bit-equal to the fresh build (term_ids differ
+    between the builds; the engine must sum in a build-independent
+    order)."""
+    inc, fresh = incremental_setup
+    q = f"best good t{N_BASE + 10}"
+    a = search_topk(inc, q, k=10)
+    b = search_topk(fresh, q, k=10)
+    assert [d for d, _ in a] == [d for d, _ in b]
+    np.testing.assert_array_equal(
+        np.array([s for _, s in a]), np.array([s for _, s in b])
+    )
+
+
+def test_compact_on_resumable_group_layout(spark, tmp_path):
+    """compact() must handle the resumable build's postings/group=G/barrel=B
+    layout: re-encoded rows need the group key and the barrel swap must
+    target the nested path (the flat-path swap would leave stale blobs)."""
+    from search_engine_spark.plans.build_job import resumable_build
+    from search_engine_spark.streaming.incremental import (
+        apply_incremental_batch,
+        compact,
+    )
+
+    base = generate_pages_df(spark, 300, partitions=4)
+    full = generate_pages_df(spark, 400, partitions=4)
+    paths = ib.IndexPaths(str(tmp_path / "gidx"))
+    resumable_build(
+        spark, base, paths, run_id="g1", n_groups=3, n_salts=2,
+        salt_threshold=60, n_barrels=6, id_partitions=4,
+    )
+    batch = spark.createDataFrame(
+        full.toPandas().iloc[300:],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    apply_incremental_batch(spark, batch, paths)
+    result = compact(spark, paths)
+    assert result["compacted_barrels"] > 0
+
+    fresh_paths = ib.IndexPaths(str(tmp_path / "gfresh"))
+    ib.build_index(
+        spark, full, fresh_paths, n_salts=2, salt_threshold=60, n_barrels=6,
+        id_partitions=4,
+    )
+    inc = SearchIndex(spark, paths)
+    fresh = SearchIndex(spark, fresh_paths)
+    for q in ["best western", "good well", "clean room staff"]:
+        a = search_topk(inc, q, k=10)
+        b = search_topk(fresh, q, k=10)
+        assert [d for d, _ in a] == [d for d, _ in b], q
+        np.testing.assert_array_equal(
+            np.array([s for _, s in a]), np.array([s for _, s in b])
+        )
+
+
+def test_ingest_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: applying the SAME batch_id twice
+    must leave the index identical to applying it once (batch-keyed
+    overwrite dirs), and compaction must equal a fresh build."""
+    from search_engine_spark.streaming.incremental import (
+        apply_incremental_batch,
+        compact,
+    )
+
+    base = generate_pages_df(spark, 300, partitions=4)
+    full = generate_pages_df(spark, 380, partitions=4)
+    paths = ib.IndexPaths(str(tmp_path / "ridx"))
+    ib.build_index(
+        spark, base, paths, n_salts=2, salt_threshold=60, n_barrels=4,
+        id_partitions=4,
+    )
+    batch = spark.createDataFrame(
+        full.toPandas().iloc[300:],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    r1 = apply_incremental_batch(spark, batch, paths, batch_id="b7")
+    r2 = apply_incremental_batch(spark, batch, paths, batch_id="b7")  # replay
+    assert r1["n_docs"] == r2["n_docs"]  # no double-count
+    compact(spark, paths)
+
+    fresh_paths = ib.IndexPaths(str(tmp_path / "rfresh"))
+    ib.build_index(
+        spark, full, fresh_paths, n_salts=2, salt_threshold=60, n_barrels=4,
+        id_partitions=4,
+    )
+    inc = SearchIndex(spark, paths)
+    fresh = SearchIndex(spark, fresh_paths)
+    assert inc.n_docs == fresh.n_docs
+    for q in ["best western", "good well"]:
+        a = search_topk(inc, q, k=10)
+        b = search_topk(fresh, q, k=10)
+        assert a == b, q
