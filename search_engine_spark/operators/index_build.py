@@ -222,14 +222,19 @@ def build_lexicon(forward: DataFrame, num_partitions: int = 32) -> DataFrame:
     return ids.join(stats, "term")
 
 
-def corpus_stats(doc_stats: DataFrame) -> tuple[int, float]:
-    """(N, avgdl) — computed as exact ints then divided in Python so the
-    float64 matches the oracle bit-for-bit."""
+def corpus_totals(doc_stats: DataFrame) -> tuple[int, int]:
+    """(N, total_dl) as exact ints — the additive form incremental ingest
+    needs (base scalars + per-batch delta sums, no full rescan)."""
     row = doc_stats.agg(
         F.count("*").alias("n"), F.sum("dl").alias("total")
     ).collect()[0]
-    n = int(row["n"])
-    total = int(row["total"] or 0)
+    return int(row["n"]), int(row["total"] or 0)
+
+
+def corpus_stats(doc_stats: DataFrame) -> tuple[int, float]:
+    """(N, avgdl) — computed as exact ints then divided in Python so the
+    float64 matches the oracle bit-for-bit."""
+    n, total = corpus_totals(doc_stats)
     return n, (float(total) / n if n else 0.0)
 
 
@@ -450,6 +455,10 @@ class IndexPaths:
         return f"{self.root}/positions"
 
     @property
+    def stats_base(self) -> str:
+        return f"{self.root}/stats_base"
+
+    @property
     def manifest(self) -> str:
         return f"{self.root}/_build_manifest"
 
@@ -473,7 +482,11 @@ def build_index(
     doc_stats = build_doc_stats(docs)
     doc_stats.write.mode("overwrite").parquet(out.doc_stats)
     doc_stats = spark.read.parquet(out.doc_stats)
-    n_docs, avgdl = corpus_stats(doc_stats)
+    n_docs, total_dl = corpus_totals(doc_stats)
+    avgdl = float(total_dl) / n_docs if n_docs else 0.0
+    spark.createDataFrame(
+        [(n_docs, total_dl)], "n_docs long, total_dl long"
+    ).write.mode("overwrite").parquet(out.stats_base)
 
     forward = build_forward(docs, with_positions=with_positions)
     forward.cache()

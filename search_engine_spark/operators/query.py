@@ -94,17 +94,21 @@ class SearchIndex:
                     np.asarray(r["dls"], dtype=np.float64),
                 )
         self._local_lexicon: dict[str, dict] | None = None
-        if local_lexicon_max_rows and self.lexicon.count() <= local_lexicon_max_rows:
-            has_bounds = "max_tf" in self.lexicon.columns
-            self._local_lexicon = {
-                r["term"]: {
-                    "term_id": int(r["term_id"]),
-                    "df": int(r["df"]),
-                    "max_tf": int(r["max_tf"]) if has_bounds else None,
-                    "min_dl": int(r["min_dl"]) if has_bounds else None,
+        if local_lexicon_max_rows:
+            # single scan: take(max+1) both sizes the lexicon and fetches
+            # it (count()+collect() would scan twice on every open/refresh)
+            rows = self.lexicon.take(local_lexicon_max_rows + 1)
+            if len(rows) <= local_lexicon_max_rows:
+                has_bounds = "max_tf" in self.lexicon.columns
+                self._local_lexicon = {
+                    r["term"]: {
+                        "term_id": int(r["term_id"]),
+                        "df": int(r["df"]),
+                        "max_tf": int(r["max_tf"]) if has_bounds else None,
+                        "min_dl": int(r["min_dl"]) if has_bounds else None,
+                    }
+                    for r in rows
                 }
-                for r in self.lexicon.collect()
-            }
 
     def refresh(self) -> "SearchIndex":
         """Re-open after an incremental ingest/compaction changed the
@@ -387,6 +391,15 @@ def search_phrase(
     spark = index.spark
     if not os.path.exists(index.paths.positions):
         raise ValueError("index was built without positions")
+    # the positional index is not incrementally maintained: refuse to
+    # serve stale phrase results while un-compacted deltas exist
+    for d in ("postings_delta", "doc_stats_delta"):
+        p = f"{index.paths.root}/{d}"
+        if os.path.exists(p) and os.listdir(p):
+            raise ValueError(
+                "positional index is stale (un-compacted ingest deltas "
+                "present): run streaming.incremental.compact() first"
+            )
     tokens = [t for t in normalize_text(phrase).split(" ") if t]
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not tokens:

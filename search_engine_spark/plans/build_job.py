@@ -118,7 +118,11 @@ def resumable_build(
             }
         )
     doc_stats = spark.read.parquet(out.doc_stats)
-    n_docs, avgdl = ib.corpus_stats(doc_stats)
+    n_docs, total_dl = ib.corpus_totals(doc_stats)
+    avgdl = float(total_dl) / n_docs if n_docs else 0.0
+    spark.createDataFrame(
+        [(n_docs, total_dl)], "n_docs long, total_dl long"
+    ).write.mode("overwrite").parquet(out.stats_base)
 
     forward = ib.build_forward(docs, with_positions=with_positions)
     forward.cache()

@@ -97,7 +97,7 @@ def apply_incremental_batch(
     spark: SparkSession,
     new_pages: DataFrame,
     paths: ib.IndexPaths,
-    batch_id: str | int = "manual",
+    batch_id: str | int,
 ) -> dict:
     """Ingest one micro-batch of new pages (steps 1-4 above). Runs inside
     Structured Streaming foreachBatch (jobs.ingest_stream) or standalone.
@@ -106,7 +106,16 @@ def apply_incremental_batch(
     artifact of a batch lands in its own batch=<id> directory with
     mode=overwrite — a replay rewrites the same directories instead of
     double-appending (doc counts, df/cf and posting lists stay exact).
-    compact() folds all batch dirs into the base tables and clears them."""
+    batch_id is REQUIRED and must be unique per logical batch (reusing an
+    id overwrites that batch's deltas); ingest_stream derives it from
+    (checkpoint-path hash, micro-batch id). compact() folds all batch
+    dirs into the base tables and clears them.
+
+    Limitations (documented, guarded): re-ingesting an IDENTICAL page is
+    deduplicated at compaction; re-ingesting a CHANGED page under the
+    same url needs delete+reindex (tombstone compaction — future work).
+    The positional index is NOT incrementally maintained — search_phrase
+    refuses to run while un-compacted deltas exist."""
     bid = str(batch_id)
     stats = ib.read_stats(spark, paths)
     n_barrels = int(stats["n_barrels"])
@@ -170,8 +179,19 @@ def apply_incremental_batch(
         f"{delta_dir(paths)}/batch={bid}"
     )
 
-    # 4. refresh corpus stats (N, avgdl) from base + all batch deltas
-    n_docs, avgdl = ib.corpus_stats(read_doc_stats(spark, paths))
+    # 4. refresh corpus stats: base scalars (stats_base, written at
+    # build/compact) + per-batch delta sums — O(deltas), never a full
+    # doc_stats rescan per micro-batch
+    if os.path.exists(paths.stats_base):
+        row = spark.read.parquet(paths.stats_base).collect()[0]
+        n_docs, total_dl = int(row["n_docs"]), int(row["total_dl"])
+        for d in _batch_subdirs(doc_stats_delta_dir(paths)):
+            dn, dt = ib.corpus_totals(spark.read.parquet(d))
+            n_docs += dn
+            total_dl += dt
+        avgdl = float(total_dl) / n_docs if n_docs else 0.0
+    else:  # legacy index without stats_base
+        n_docs, avgdl = ib.corpus_stats(read_doc_stats(spark, paths))
     spark.createDataFrame(
         [(n_docs, avgdl, int(stats["n_salts"]), int(stats["salt_threshold"]),
           n_barrels)],
@@ -249,7 +269,12 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     base_rows = decode_postings_rows(base_affected)
     all_rows = base_rows.unionByName(
         deltas.select("term_id", "doc_id", "tf", "dl")
-    )
+    ).dropDuplicates(["term_id", "doc_id"])
+    # the dedup makes compaction IDEMPOTENT: a crash after the barrel
+    # swap but before delta-log truncation re-folds the same rows on the
+    # next run (base already contains them) — exact duplicates collapse
+    # instead of double-counting df/scores. It also absorbs re-ingests of
+    # byte-identical pages.
     all_rows.cache()
     # absolute per-term stats over the merged rows — authoritative df/cf
     # for both the re-encode and the lexicon refresh
@@ -322,11 +347,15 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
             shutil.rmtree(dst, ignore_errors=True)
             os.replace(src, dst)
     shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(paths.lexicon)
+    lex_old = f"{paths.lexicon}_old"
+    shutil.rmtree(lex_old, ignore_errors=True)
+    os.replace(paths.lexicon, lex_old)   # old stays until new is in place
     os.replace(lex_staging, paths.lexicon)
+    shutil.rmtree(lex_old, ignore_errors=True)
 
     # fold doc_stats batch deltas into the base table: parquet part files
-    # are self-contained, so folding is a pure file MOVE (no rewrite)
+    # are self-contained, so folding is a pure file MOVE (no rewrite; each
+    # os.replace is atomic, so a crash mid-fold just resumes)
     dsd = doc_stats_delta_dir(paths)
     for bdir in _batch_subdirs(dsd):
         tag = os.path.basename(bdir).replace("=", "_")
@@ -336,6 +365,13 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
                     f"{bdir}/{fn}", f"{paths.doc_stats}/incr_{tag}_{fn}"
                 )
     shutil.rmtree(dsd, ignore_errors=True)
+
+    # refresh the base corpus scalars from the folded table (amortized —
+    # per-ingest reads stay O(delta))
+    bn, bt = ib.corpus_totals(spark.read.parquet(paths.doc_stats))
+    spark.createDataFrame(
+        [(bn, bt)], "n_docs long, total_dl long"
+    ).write.mode("overwrite").parquet(paths.stats_base)
 
     # refresh the hot-term theta sketches from the compacted postings
     # (metadata-only scan: theta_* columns + df, pruned by parquet)

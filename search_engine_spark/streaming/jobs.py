@@ -41,9 +41,15 @@ def ingest_stream(
         .parquet(input_dir)
     )
 
+    import hashlib
     import os
 
-    stream_key = os.path.basename(os.path.normpath(checkpoint_dir))
+    # key by a hash of the ABSOLUTE checkpoint path: basenames collide
+    # across streams (two ".../ckpt" dirs would overwrite each other's
+    # batch delta dirs)
+    stream_key = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # (stream checkpoint, batch_id) keys the idempotent per-batch
@@ -84,6 +90,26 @@ def windowed_event_counts(events_stream: DataFrame) -> DataFrame:
             "sum_value",
         )
     )
+
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _drain_to_parquet(df: DataFrame, output_dir: str, checkpoint_dir: str):
+    """append-mode parquet sink drained with availableNow."""
+    q = (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
 
 
 SESSION_GAP_S = 1800
@@ -134,14 +160,23 @@ def _sessionize_fn(key, pdfs, state):
     else:
         start, last, n = None, None, 0
     for t in ts_us.tolist():
-        if start is not None and t - last > _GAP_US:
-            yield emit(start, last, n)
-            start, n = None, 0
         if start is None:
-            start = t
-            n = 0
-        last = t
-        n += 1
+            start, last, n = t, t, 1
+        elif t > last + _GAP_US:
+            yield emit(start, last, n)
+            start, last, n = t, t, 1
+        elif t < start - _GAP_US:
+            # cross-batch late arrival BEFORE the open session's window:
+            # emit it as its own already-closed session. (A true merge
+            # with previously-EMITTED sessions would need retraction —
+            # documented approximation; in-order streams never hit this.)
+            yield emit(t, t, 1)
+        else:
+            # extend the open session in either direction (late events
+            # inside the watermark may precede the current start)
+            start = min(start, t)
+            last = max(last, t)
+            n += 1
     state.update((int(start), int(last), int(n)))
     state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_S * 1000)
 
@@ -151,10 +186,7 @@ def sessionize_stream(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
-    schema: str = (
-        "event_id long, ts timestamp, user_id long, event_type string, "
-        "value double, props string"
-    ),
+    schema: str = EVENTS_SCHEMA,
 ):
     """Streaming gap-sessionization: custom stateful operator via
     applyInPandasWithState (event-time timeout + watermark), append-mode
@@ -176,16 +208,7 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    q = (
-        sessions.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    return _drain_to_parquet(sessions, output_dir, checkpoint_dir)
 
 
 def run_windowed_events(
@@ -193,22 +216,11 @@ def run_windowed_events(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
-    schema: str = (
-        "event_id long, ts timestamp, user_id long, event_type string, "
-        "value double, props string"
-    ),
+    schema: str = EVENTS_SCHEMA,
 ):
     """File-source -> windowed agg -> parquet sink (append mode on
     watermark-closed windows), drained with availableNow."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
-    agg = windowed_event_counts(stream)
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _drain_to_parquet(
+        windowed_event_counts(stream), output_dir, checkpoint_dir
     )
-    q.awaitTermination()
-    return q

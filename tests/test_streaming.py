@@ -244,7 +244,7 @@ def test_compact_on_resumable_group_layout(spark, tmp_path):
         full.toPandas().iloc[300:],
         "url string, warc_ts timestamp, html binary, text string, lang string",
     )
-    apply_incremental_batch(spark, batch, paths)
+    apply_incremental_batch(spark, batch, paths, batch_id="g1b")
     result = compact(spark, paths)
     assert result["compacted_barrels"] > 0
 
