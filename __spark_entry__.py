@@ -35,11 +35,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return corpus.q_bm25_topk_or(spark, SF0001)
 
 
+def _utc(fn: Callable[[SparkSession, str], DataFrame]):
+    """Pin the session timezone for the duration of the query build: Spark
+    interprets parquet timestamps in session-local time while DuckDB reads
+    wall-clock, so a non-UTC driver session would shift hour-truncations
+    and date comparisons away from the oracle."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(corpus.QUERIES)
     out.update(relational.QUERIES)
-    return out
+    return {name: _utc(fn) for name, fn in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:
