@@ -63,6 +63,10 @@ def lexicon_delta_dir(paths: ib.IndexPaths) -> str:
     return f"{paths.root}/lexicon_delta"
 
 
+def positions_delta_dir(paths: ib.IndexPaths) -> str:
+    return f"{paths.root}/positions_delta"
+
+
 def _batch_subdirs(root: str, exclude: str | None = None) -> list[str]:
     if not os.path.exists(root):
         return []
@@ -114,16 +118,22 @@ def apply_incremental_batch(
     Limitations (documented, guarded): re-ingesting an IDENTICAL page is
     deduplicated at compaction; re-ingesting a CHANGED page under the
     same url needs delete+reindex (tombstone compaction — future work).
-    The positional index is NOT incrementally maintained — search_phrase
-    refuses to run while un-compacted deltas exist."""
+    The positional index IS maintained (positions_delta + fold at
+    compaction) when the index was built with_positions; search_phrase
+    still refuses to run while un-compacted deltas exist."""
     bid = str(batch_id)
     stats = ib.read_stats(spark, paths)
     n_barrels = int(stats["n_barrels"])
 
     docs = ib.normalize_pages(new_pages)
     docs.cache()
-    forward = ib.build_forward(docs, with_positions=False)
-    forward = forward.select("doc_id", "term", "tf", "dl")
+    # carry positions through the ingest iff the index has a positional
+    # table to maintain
+    has_positions = os.path.exists(paths.positions)
+    forward_full = ib.build_forward(docs, with_positions=has_positions)
+    forward = forward_full.select("doc_id", "term", "tf", "dl")
+    if has_positions:
+        forward_full.cache()
     forward.cache()
     n_new = docs.count()
 
@@ -179,6 +189,21 @@ def apply_incremental_batch(
         f"{delta_dir(paths)}/batch={bid}"
     )
 
+    # 3b. positional delta (same replay-safe shape) when the index keeps
+    # positions — compaction folds it so search_phrase stays exact
+    if has_positions:
+        (
+            forward_full.select("doc_id", "term", "positions")
+            .join(lexicon.select("term", "term_id"), "term")
+            .select(
+                "term_id", "doc_id", "positions",
+                F.pmod("term_id", F.lit(n_barrels)).cast("int").alias("barrel"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("barrel")
+            .parquet(f"{positions_delta_dir(paths)}/batch={bid}")
+        )
+
     # 4. refresh corpus stats: base scalars (stats_base, written at
     # build/compact) + per-batch delta sums — O(deltas), never a full
     # doc_stats rescan per micro-batch
@@ -200,6 +225,8 @@ def apply_incremental_batch(
 
     docs.unpersist()
     forward.unpersist()
+    if has_positions:
+        forward_full.unpersist()
     return {"new_docs": int(n_new), "n_docs": n_docs, "avgdl": avgdl}
 
 
@@ -372,6 +399,36 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     spark.createDataFrame(
         [(bn, bt)], "n_docs long, total_dl long"
     ).write.mode("overwrite").parquet(paths.stats_base)
+
+    # fold the positional deltas (if the index keeps positions): rewrite
+    # ONLY the affected barrels of the flat positions table, deduped so a
+    # crash-refold or identical re-ingest cannot duplicate rows
+    pdd = positions_delta_dir(paths)
+    if os.path.exists(paths.positions) and _batch_subdirs(pdd):
+        pos_deltas = spark.read.parquet(pdd).select(
+            "term_id", "doc_id", "positions", "barrel"
+        )
+        pos_barrels = sorted(
+            r["barrel"] for r in pos_deltas.select("barrel").distinct().collect()
+        )
+        base_pos = spark.read.parquet(paths.positions).filter(
+            F.col("barrel").isin(pos_barrels)
+        )
+        merged_pos = base_pos.unionByName(pos_deltas).dropDuplicates(
+            ["term_id", "doc_id"]
+        )
+        pos_staging = f"{paths.positions}_compact_staging"
+        merged_pos.write.mode("overwrite").partitionBy("barrel").parquet(
+            pos_staging
+        )
+        for b in pos_barrels:
+            src = f"{pos_staging}/barrel={b}"
+            dst = f"{paths.positions}/barrel={b}"
+            if os.path.exists(src):
+                shutil.rmtree(dst, ignore_errors=True)
+                os.replace(src, dst)
+        shutil.rmtree(pos_staging, ignore_errors=True)
+        shutil.rmtree(pdd, ignore_errors=True)
 
     # refresh the hot-term theta sketches from the compacted postings
     # (metadata-only scan: theta_* columns + df, pruned by parquet)

@@ -301,3 +301,51 @@ def test_ingest_replay_idempotent(spark, tmp_path):
         a = search_topk(inc, q, k=10)
         b = search_topk(fresh, q, k=10)
         assert a == b, q
+
+
+def test_incremental_positions_phrase_equals_fresh(spark, tmp_path):
+    """A positions-enabled index stays phrase-correct through ingest +
+    compaction: search_phrase on the compacted index must equal a fresh
+    with_positions build over the union corpus."""
+    from search_engine_spark.operators.query import search_phrase_topk
+    from search_engine_spark.streaming.incremental import (
+        apply_incremental_batch,
+        compact,
+    )
+
+    base = generate_pages_df(spark, 300, partitions=4)
+    full = generate_pages_df(spark, 380, partitions=4)
+    paths = ib.IndexPaths(str(tmp_path / "pidx"))
+    ib.build_index(
+        spark, base, paths, n_salts=2, salt_threshold=60, n_barrels=4,
+        id_partitions=4, with_positions=True,
+    )
+    batch = spark.createDataFrame(
+        full.toPandas().iloc[300:],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    apply_incremental_batch(spark, batch, paths, batch_id="p1")
+    inc = SearchIndex(spark, paths)
+    # guard: stale positional index must refuse until compaction
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stale"):
+        from search_engine_spark.operators.query import search_phrase
+
+        search_phrase(inc, "best western")
+    compact(spark, paths)
+
+    fresh_paths = ib.IndexPaths(str(tmp_path / "pfresh"))
+    ib.build_index(
+        spark, full, fresh_paths, n_salts=2, salt_threshold=60, n_barrels=4,
+        id_partitions=4, with_positions=True,
+    )
+    inc = SearchIndex(spark, paths)
+    fresh = SearchIndex(spark, fresh_paths)
+    for phrase in ["best western", "good hotel"]:
+        a = search_phrase_topk(inc, phrase, k=10)
+        b = search_phrase_topk(fresh, phrase, k=10)
+        assert [d for d, _ in a] == [d for d, _ in b], phrase
+        np.testing.assert_array_equal(
+            np.array([s for _, s in a]), np.array([s for _, s in b])
+        )
