@@ -228,6 +228,39 @@ def extract_text(html: bytes) -> str:
     return " ".join(raw.decode("utf-8", errors="replace").split())
 
 
+_TITLE_RE = re.compile(rb"<title[^>]*>(.*?)</title>", re.IGNORECASE | re.DOTALL)
+
+
+def extract_title(html: bytes) -> str:
+    """HTML -> <title> text only (first title tag; same whitespace
+    normalization as extract_text). The title is the FIRST text
+    extract_text emits for these pages, so the normalized doc is
+    norm(title) ++ norm(body) and the per-doc title token count is a
+    field boundary — the per-field channel the reference's forward index
+    records (create_forward_index.py:47-49 field_matches)."""
+    if html is None:
+        return ""
+    m = _TITLE_RE.search(bytes(html))
+    if not m:
+        return ""
+    raw = _TAG_RE.sub(b" ", m.group(1))
+    return " ".join(raw.decode("utf-8", errors="replace").split())
+
+
+_TITLE_RE_STR = re.compile(r"<title[^>]*>(.*?)</title>", re.IGNORECASE | re.DOTALL)
+
+
+def extract_title_series(s: pd.Series) -> pd.Series:
+    """Vectorized extract_title over a binary column."""
+    dec = s.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
+    dec = dec.astype("string")
+    t = dec.str.extract(_TITLE_RE_STR, expand=False)
+    t = t.fillna("")
+    t = t.str.replace(_TAG_RE_STR, " ", regex=True)
+    t = t.str.replace(_WS_RE, " ", regex=True).str.strip()
+    return t.astype(object)
+
+
 _TAG_RE_STR = re.compile(r"<[^>]*>")
 
 

@@ -28,7 +28,7 @@ No Python UDFs anywhere in this module (hot paths are JVM-only).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from search_engine_spark.functions.text import STOPWORDS_LIST
 
@@ -141,9 +141,13 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lexicon(term, term_id, df, cf): dense 0-based IDs in sorted-term
     order (reference create_parallel_lexicon.py:84 semantics — SURVEY.md
-    §2.5 W2). Window row_number here is fine at driver-compare scale; the
-    single-reducer-free assignment used by the real build is
-    index_build.assign_dense_ids (two-phase partition offsets)."""
+    §2.5 W2). IDs come from index_build.assign_dense_ids — the same
+    two-phase range-partition + per-partition-offset assignment the
+    physical build uses — NOT a global row_number window, which would
+    move the whole vocabulary to one partition (WindowExec "No Partition
+    Defined", the 100×-scale killer flagged in round 1)."""
+    from search_engine_spark.operators.index_build import assign_dense_ids
+
     stats = (
         tokens(spark, sf_dir)
         .groupBy("doc_id", "term")
@@ -151,13 +155,8 @@ def q_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf"))
     )
-    w = Window.orderBy("term")
-    return stats.select(
-        "term",
-        (F.row_number().over(w) - 1).cast("long").alias("term_id"),
-        "df",
-        "cf",
-    )
+    ids = assign_dense_ids(stats.select("term"), "term", "term_id", 16)
+    return ids.join(stats, "term").select("term", "term_id", "df", "cf")
 
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,6 +343,164 @@ def q_position_bonus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Field-aware scoring (SURVEY.md §2.8 F13 full form — the reference scores
+# every search with per-field weights, app.py:75-92,679-725; round 1 had
+# collapsed everything to one field, flagged as the top semantic gap)
+
+# Field model over the single-text-field documents table: the leading
+# TITLE_LEN post-stopword tokens are the "title" field, the rest "body" —
+# a positional field boundary both engines (and the physical index, which
+# stores a per-posting title-tf channel) express identically. The pages
+# corpus uses the real <title> tag boundary instead (index_build).
+TITLE_LEN = 8
+W_TITLE, W_BODY = 2.0, 1.0  # BM25F weighted-tf weights
+# reference SCORING_PARAMS field weights for the two fields we model
+# (app.py:76-83: title 3.0, text 1.5)
+REF_W_TITLE, REF_W_BODY = 3.0, 1.5
+FILTER_SOURCE = "src3"  # metadata predicate for the filtered-search pair
+
+
+def _field_tf(
+    spark: SparkSession, sf_dir: str, qterms: list[str] | None = None
+) -> DataFrame:
+    """(doc_id, term, tf, tf_title): per-(doc,term) total tf + title-field
+    tf (positions < TITLE_LEN). One posexplode + hash agg — the fields
+    channel costs one extra SUM(CASE), not a second tokenization pass."""
+    t = tokens(spark, sf_dir)
+    if qterms:
+        t = t.filter(F.col("term").isin(qterms))
+    return t.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.sum((F.col("pos") < TITLE_LEN).cast("long"))
+        .cast("long")
+        .alias("tf_title"),
+    )
+
+
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F-lite top-k: tf replaced by the field-weighted
+    wtf = W_TITLE·tf_title + W_BODY·tf_body inside the BM25 saturation
+    (idf and length norm unchanged) — the scale-path field scorer the
+    physical engine mirrors (engine_field_topk, same oracle)."""
+    qterms = QUERY_OR.split(" ")
+    tf = _field_tf(spark, sf_dir, qterms)
+    dl = q_doc_stats(spark, sf_dir)
+    stats = _corpus_stats_raw(spark, sf_dir)
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    wtf = W_TITLE * F.col("tf_title") + W_BODY * (
+        F.col("tf") - F.col("tf_title")
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("wtf", wtf.cast("double"))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("wtf") * (K1 + 1.0))
+            / (F.col("wtf") + K1 * ((1.0 - B) + (B * F.col("dl")) / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOPK)
+    )
+
+
+def q_field_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's field-weighted scorer, EXACT semantics
+    (app.py:679-725): per matched (term, field) the field's weight is
+    ADDED (title 3.0, text 1.5 — SCORING_PARAMS), i.e.
+    score = (0.3·freq + Σ field_weights + 0.2·min(n_q, freq))
+            / (1 + 0.05·freq), floored at 0.3.
+    A term "matches" a field when it occurs there at least once — the
+    reference's postings carry exactly that fields list
+    (create_inverted_index.py:86-91)."""
+    qterms = QUERY_OR.split(" ")
+    tf = _field_tf(spark, sf_dir, qterms)
+    fw = F.when(F.col("tf_title") > 0, F.lit(REF_W_TITLE)).otherwise(0.0) + (
+        F.when(F.col("tf") - F.col("tf_title") > 0, F.lit(REF_W_BODY)).otherwise(0.0)
+    )
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("freq"), F.sum(fw).alias("fsum")
+    )
+    score = (
+        0.3 * F.col("freq")
+        + F.col("fsum")
+        + 0.2 * F.least(F.lit(len(qterms)), F.col("freq"))
+    ) / (1.0 + 0.05 * F.col("freq"))
+    return (
+        per_doc.select(
+            "doc_id",
+            F.round(F.greatest(score, F.lit(0.3)), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered BM25 top-k (reference app.py:407-497 composes
+    location/class filters with the term match inside ONE query): the
+    doc-metadata predicate (source = 'src3') semi-joins the scored docs
+    BEFORE top-k; term stats stay corpus-global (the reference filters
+    matched docs, it does not re-derive df). The physical twin
+    (engine_filtered_topk) pushes the same semi-join below the
+    decode→aggregate, so pruned docs never enter scoring."""
+    keep = (
+        documents(spark, sf_dir)
+        .filter(F.col("source") == FILTER_SOURCE)
+        .select("doc_id")
+    )
+    return (
+        _bm25_scored(spark, sf_dir, QUERY_OR.split(" "))
+        .join(F.broadcast(keep), "doc_id", "left_semi")
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOPK)
+    )
+
+
+def q_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-document rollup (reference doc_type=all, app.py:510-546 +
+    the rev→hotel map app.py:285-297): child matches merge into their
+    parent (freq summed), then the parent set is scored with the
+    reference heuristic. Here `source` is the parent key; the child→
+    parent map is a broadcast join, the merge a re-aggregation — no
+    driver-side dict."""
+    qterms = QUERY_OR.split(" ")
+    child = q_query_union(spark, sf_dir)  # (doc_id, freq, n_terms)
+    parent = documents(spark, sf_dir).select("doc_id", "source")
+    merged = (
+        child.join(F.broadcast(parent), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("freq").cast("long").alias("freq"),
+            F.count("*").cast("long").alias("n_children"),
+        )
+    )
+    score = (
+        0.3 * F.col("freq") + 0.2 * F.least(F.lit(len(qterms)), F.col("freq"))
+    ) / (1.0 + 0.05 * F.col("freq"))
+    return (
+        merged.select(
+            "source",
+            "n_children",
+            F.round(F.greatest(score, F.lit(0.3)), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("source"))
+        .limit(TOPK)
+    )
+
+
 def _sentiment_col():
     """Doc sentiment as pure column arithmetic over exploded raw tokens
     (SURVEY.md §2.8 F12; functions/sentiment.py holds the lexicon +
@@ -505,7 +662,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_HASHES = 4  # minhash signature length (bands of 1 row for LSH below)
+# MinHash signature length and LSH banding geometry: b bands × r rows.
+# r >= 2 is what makes banding useful — the candidate probability is
+# 1-(1-s^r)^b, an S-curve around s ≈ (1/b)^(1/r) ≈ 0.5 here, so random
+# low-similarity pairs (the all-pairs blowup at 100 TB) almost never
+# collide while near-dups almost always do. Round 1 shipped r=1 over 4
+# unigram hashes, which made ~92% of all pairs candidates (flagged
+# `weak`); this is the fix.
+_N_HASHES = 16
+_LSH_BANDS = 4
+_LSH_ROWS = 4  # _N_HASHES == _LSH_BANDS * _LSH_ROWS
 
 
 def _shingles(n: int = 3) -> Column:
@@ -533,7 +699,7 @@ def shingle_df(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     )
 
 
-def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash over 3-word shingles: signature element s = min over
     shingles of md5(s || '|' || shingle) — md5 is the cross-engine hash
     family (seeded by prefix), min taken on the hex string ordering which
@@ -552,29 +718,41 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(spark, sf_dir)
+
+
 def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding over UNIGRAM minhashes (band size 1): docs sharing any
-    band bucket become candidate near-dup pairs (doc_a < doc_b, distinct).
-    The bucket join is an equi-join on (seed, minhash) — shuffle co-located
-    by bucket key, the scalable shape (no all-pairs comparison)."""
-    sh = shingle_df(spark, sf_dir, 1)
-    seeds = (
-        sh.sparkSession.range(_N_HASHES).select(F.col("id").cast("int").alias("seed"))
-    )
-    sig = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+    """LSH banding over the 3-gram MinHash signature, b=4 bands × r=4
+    rows: band key = md5 of the band's 4 minhashes concatenated in seed
+    order; docs sharing any band key become candidate near-dup pairs
+    (doc_a < doc_b, distinct). The bucket join is an equi-join on
+    (band, band_key) — shuffle co-located by bucket, never all-pairs;
+    with r=4 a random dissimilar pair collides with probability ~s^4
+    per band, so the candidate set stays ≪ n²/2 at any scale
+    (tests/test_dedup_scale.py asserts < 20% of all pairs)."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = (
+        sig.withColumn("band", F.floor(F.col("seed") / _LSH_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("seed", "minhash"))
+                        ),
+                        lambda s: s["minhash"],
+                    ),
+                )
+            ).alias("band_key")
         )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
     )
-    a = sig.select(F.col("doc_id").alias("doc_a"), "seed", "minhash")
-    b = sig.select(F.col("doc_id").alias("doc_b"), "seed", "minhash")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (
-        a.join(b, ["seed", "minhash"])
+        a.join(b, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -614,16 +792,23 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_BITS = 16
+_SIMHASH_BAND_BITS = 16
+_SIMHASH_BANDS = 4  # 4 × 16 = 64-bit fingerprint
+_SIMHASH_HAMMING_MAX = 6  # near-dup threshold over the 64 bits
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprint (16-bit, tf-weighted) per doc. Per-token hash =
-    first 4 hex chars of md5(term) -> 16-bit int via per-char hex value
-    (strpos arithmetic — identical in DuckDB); bit b of the fingerprint is
-    sign(sum over tokens of tf·(2·bit_b(h)−1)). All JVM column arithmetic;
-    the bits dimension is a broadcast explode (×16 rows of the tf agg, not
-    of the corpus)."""
+    """64-bit tf-weighted SimHash per doc, stored as 4 × 16-bit band ints
+    (sim0..sim3, sim0 = most-significant band) — the exact layout the
+    Hamming-banded near-dup query needs, and safe integer arithmetic
+    everywhere (a single 64-bit sum would overflow signed long at bit 63
+    and lose exactness past 2^53 in the double-powered oracle).
+
+    Band j hashes from md5(term) hex chars 4j+1..4j+4 via per-char hex
+    value (strpos arithmetic — identical in DuckDB); bit b of band j is
+    sign(sum over tokens of tf·(2·bit_b(h_j)−1)). All JVM column
+    arithmetic; the (band, bit) dimension is a broadcast explode (×64
+    rows of the per-doc tf agg, not of the corpus)."""
     tf = (
         tokens(spark, sf_dir)
         .groupBy("doc_id", "term")
@@ -632,35 +817,93 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hexv = lambda j: F.instr(  # noqa: E731
         F.lit("0123456789abcdef"), F.substring(F.md5(F.col("term")), j, 1)
     ) - 1
-    # h16 = hex[1]*4096 + hex[2]*256 + hex[3]*16 + hex[4]
-    h16 = hexv(1) * 4096 + hexv(2) * 256 + hexv(3) * 16 + hexv(4)
-    with_bits = (
-        tf.withColumn("h16", h16)
-        .select(
-            "doc_id",
-            "tf",
-            "h16",
-            F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bit"),
-        )
-        .withColumn(
-            "w",
+    band_h16 = [
+        hexv(4 * j + 1) * 4096 + hexv(4 * j + 2) * 256
+        + hexv(4 * j + 3) * 16 + hexv(4 * j + 4)
+        for j in range(_SIMHASH_BANDS)
+    ]
+    with_bands = tf.select(
+        "doc_id",
+        "tf",
+        F.posexplode(F.array(*band_h16)).alias("band", "h16"),
+    )
+    with_bits = with_bands.select(
+        "doc_id",
+        "band",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_SIMHASH_BAND_BITS - 1))
+        ).alias("bit"),
+        (
             F.col("tf")
             * (
                 2 * (F.floor(F.col("h16") / F.pow(F.lit(2.0), F.col("bit"))) % 2)
                 - 1
-            ),
-        )
-    )
-    per_bit = with_bits.groupBy("doc_id", "bit").agg(F.sum("w").alias("s"))
-    return (
-        per_bit.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(0)
             )
-            .cast("long")
-            .alias("simhash")
+        ).alias("w"),
+    )
+    per_bit = with_bits.groupBy("doc_id", "band", "bit").agg(
+        F.sum("w").alias("s")
+    )
+    per_band = per_bit.groupBy("doc_id", "band").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
+            ).otherwise(0)
         )
+        .cast("long")
+        .alias("band_val")
+    )
+    return per_band.groupBy("doc_id").agg(
+        *[
+            F.max(
+                F.when(F.col("band") == j, F.col("band_val"))
+            ).alias(f"sim{j}")
+            for j in range(_SIMHASH_BANDS)
+        ]
+    )
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded SimHash near-dup pairs: candidate pairs share at
+    least one identical 16-bit band (pigeonhole: any two 64-bit prints
+    within Hamming distance 3 share a clean band; the ≤6 threshold keeps
+    recall high while the band equi-join keeps the pair generation an
+    equi-join, never all-pairs), then the exact 64-bit Hamming distance
+    (bit_count of per-band XOR, summed) filters candidates."""
+    sim = q_simhash(spark, sf_dir)
+    bands = sim.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"sim{j}") for j in range(_SIMHASH_BANDS)])
+        ).alias("band", "band_val"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_val")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_val")
+    cands = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sim.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sim{j}").alias(f"a{j}") for j in range(_SIMHASH_BANDS)],
+    )
+    sb = sim.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sim{j}").alias(f"b{j}") for j in range(_SIMHASH_BANDS)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")))
+        for j in range(_SIMHASH_BANDS)
+    )
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+        )
+        .filter(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
     )
 
 
@@ -938,7 +1181,7 @@ def _sql_terms(q: str) -> str:
     return ", ".join(f"'{t}'" for t in q.split(" "))
 
 
-_MINHASH_SIG_CTE = """
+_MINHASH_SIG_CTE = f"""
 sh AS (
   SELECT DISTINCT doc_id,
          arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
@@ -946,7 +1189,7 @@ sh AS (
         FROM documents WHERE lang = 'en') d,
        unnest(range(1, GREATEST(len(arr) - 1, 1))) AS t(i)
 ),
-seeds AS (SELECT unnest(range(0, 4)) AS seed),
+seeds AS (SELECT unnest(range(0, {_N_HASHES})) AS seed),
 sig AS (
   SELECT doc_id, CAST(seed AS INT) AS seed,
          MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
@@ -954,22 +1197,19 @@ sig AS (
 )
 """
 
-_UNIGRAM_SIG_CTE = f"""
-sh1 AS (
-  SELECT DISTINCT doc_id, term AS shingle FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS term
-    FROM documents WHERE lang = 'en') raw
-  WHERE term NOT IN ({_SQL_STOPLIST})
-),
-seeds AS (SELECT unnest(range(0, 4)) AS seed),
-sig1 AS (
-  SELECT doc_id, CAST(seed AS INT) AS seed,
-         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
-  FROM sh1 CROSS JOIN seeds GROUP BY doc_id, seed
+# b×r LSH banding over the 3-gram signature (mirror of
+# q_lsh_candidate_pairs: band key = md5 of the band's minhashes in seed
+# order)
+_LSH_CANDS_CTE = f"""
+bands AS (
+  SELECT doc_id, band, md5(STRING_AGG(minhash, '|' ORDER BY seed)) AS band_key
+  FROM (SELECT doc_id, seed, CAST(seed // {_LSH_ROWS} AS INT) AS band, minhash
+        FROM sig) s
+  GROUP BY doc_id, band
 ),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sig1 a JOIN sig1 b ON a.seed = b.seed AND a.minhash = b.minhash
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
   WHERE a.doc_id < b.doc_id
 )
 """
@@ -1073,11 +1313,13 @@ WITH {_MINHASH_SIG_CTE}
 SELECT doc_id, seed, minhash FROM sig
 """,
     "lsh_candidate_pairs": f"""
-WITH {_UNIGRAM_SIG_CTE}
+WITH {_MINHASH_SIG_CTE},
+{_LSH_CANDS_CTE}
 SELECT doc_a, doc_b FROM cands
 """,
     "ngram_jaccard": f"""
-WITH {_UNIGRAM_SIG_CTE},
+WITH {_MINHASH_SIG_CTE},
+{_LSH_CANDS_CTE},
 sh3 AS (
   SELECT DISTINCT doc_id,
          arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
@@ -1101,28 +1343,7 @@ LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
 """,
-    "simhash": f"""
-WITH {_TOK_CTE},
-tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
-hashed AS (
-  SELECT doc_id, tf,
-         (strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 4096
-       + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) * 256
-       + (strpos('0123456789abcdef', substr(md5(term), 3, 1)) - 1) * 16
-       + (strpos('0123456789abcdef', substr(md5(term), 4, 1)) - 1) AS h16
-  FROM tf
-),
-bits AS (SELECT unnest(range(0, {_SIMHASH_BITS})) AS bit),
-weighted AS (
-  SELECT doc_id, bit,
-         SUM(tf * (2 * (CAST(FLOOR(h16 / POWER(2.0, bit)) AS BIGINT) % 2) - 1)) AS s
-  FROM hashed CROSS JOIN bits GROUP BY doc_id, bit
-)
-SELECT doc_id,
-       CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2.0, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
-         AS simhash
-FROM weighted GROUP BY doc_id
-""",
+    "simhash": None,  # assigned below (shared CTE with simhash_near_dup)
     "embedding_cosine_topk": f"""
 WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
 pairs AS (
@@ -1240,6 +1461,135 @@ FROM documents
 """,
 }
 
+# 64-bit SimHash as 4 × 16-bit bands (mirror of q_simhash /
+# q_simhash_near_dup: same md5-hex-char hash arithmetic, same band layout)
+_SIMHASH_CTE = f"""
+{_TOK_CTE},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+sbands AS (SELECT CAST(unnest(range(0, {_SIMHASH_BANDS})) AS INT) AS band),
+hashed AS (
+  SELECT doc_id, tf, band,
+         (strpos('0123456789abcdef', substr(md5(term), 4 * band + 1, 1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substr(md5(term), 4 * band + 2, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(md5(term), 4 * band + 3, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5(term), 4 * band + 4, 1)) - 1) AS h16
+  FROM tf CROSS JOIN sbands
+),
+bits AS (SELECT CAST(unnest(range(0, {_SIMHASH_BAND_BITS})) AS INT) AS bit),
+weighted AS (
+  SELECT doc_id, band, bit,
+         SUM(tf * (2 * (CAST(FLOOR(h16 / POWER(2.0, bit)) AS BIGINT) % 2) - 1)) AS s
+  FROM hashed CROSS JOIN bits GROUP BY doc_id, band, bit
+),
+per_band AS (
+  SELECT doc_id, band,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2.0, bit) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS band_val
+  FROM weighted GROUP BY doc_id, band
+),
+sim AS (
+  SELECT doc_id,
+         MAX(CASE WHEN band = 0 THEN band_val END) AS sim0,
+         MAX(CASE WHEN band = 1 THEN band_val END) AS sim1,
+         MAX(CASE WHEN band = 2 THEN band_val END) AS sim2,
+         MAX(CASE WHEN band = 3 THEN band_val END) AS sim3
+  FROM per_band GROUP BY doc_id
+)
+"""
+
+ORACLE_SQL["simhash"] = f"""
+WITH {_SIMHASH_CTE}
+SELECT doc_id, sim0, sim1, sim2, sim3 FROM sim
+"""
+
+ORACLE_SQL["simhash_near_dup"] = f"""
+WITH {_SIMHASH_CTE},
+scands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM per_band a JOIN per_band b
+    ON a.band = b.band AND a.band_val = b.band_val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT c.doc_a, c.doc_b,
+         CAST(bit_count(xor(sa.sim0, sb.sim0)) + bit_count(xor(sa.sim1, sb.sim1))
+            + bit_count(xor(sa.sim2, sb.sim2)) + bit_count(xor(sa.sim3, sb.sim3))
+              AS INT) AS hamming
+  FROM scands c
+  JOIN sim sa ON sa.doc_id = c.doc_a
+  JOIN sim sb ON sb.doc_id = c.doc_b
+) h WHERE hamming <= {_SIMHASH_HAMMING_MAX}
+"""
+
+# field-aware scoring oracles: tf_title = tokens at pos < TITLE_LEN
+_FIELD_TF_CTE = f"""
+ftf AS (
+  SELECT doc_id, term, COUNT(*) AS tf,
+         SUM(CASE WHEN pos < {TITLE_LEN} THEN 1 ELSE 0 END) AS tf_title
+  FROM tok WHERE term IN ({_sql_terms(QUERY_OR)})
+  GROUP BY doc_id, term
+)
+"""
+
+ORACLE_SQL["bm25f_topk"] = f"""
+WITH {_TOK_CTE},
+{_FIELD_TF_CTE},
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
+dft AS (SELECT term, COUNT(*) AS df FROM ftf GROUP BY term),
+scored AS (
+  SELECT ftf.doc_id,
+         LN((corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+           * (({W_TITLE} * ftf.tf_title + {W_BODY} * (ftf.tf - ftf.tf_title)) * ({K1} + 1.0))
+           / (({W_TITLE} * ftf.tf_title + {W_BODY} * (ftf.tf - ftf.tf_title))
+              + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / corpus.avgdl)) AS contrib
+  FROM ftf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+)
+SELECT doc_id, ROUND(SUM(contrib), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+"""
+
+ORACLE_SQL["field_weighted_topk"] = f"""
+WITH {_TOK_CTE},
+{_FIELD_TF_CTE},
+agg AS (
+  SELECT doc_id, SUM(tf) AS freq,
+         SUM(CASE WHEN tf_title > 0 THEN {REF_W_TITLE} ELSE 0.0 END
+             + CASE WHEN tf - tf_title > 0 THEN {REF_W_BODY} ELSE 0.0 END) AS fsum
+  FROM ftf GROUP BY doc_id
+)
+SELECT doc_id,
+       ROUND(GREATEST((0.3 * freq + fsum
+                       + 0.2 * LEAST({len(QUERY_OR.split(' '))}, freq))
+                      / (1.0 + 0.05 * freq), 0.3), 6) AS score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT 50
+"""
+
+ORACLE_SQL["bm25_filtered_topk"] = f"""
+WITH scored_docs AS ({_BM25_SCORED.format(terms=_sql_terms(QUERY_OR))})
+SELECT doc_id, score FROM scored_docs
+WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = '{FILTER_SOURCE}')
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+"""
+
+ORACLE_SQL["rollup_topk"] = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN ({_sql_terms(QUERY_OR)}) GROUP BY doc_id, term),
+child AS (SELECT doc_id, SUM(tf) AS freq FROM tf GROUP BY doc_id),
+merged AS (
+  SELECT d.source, CAST(SUM(c.freq) AS BIGINT) AS freq,
+         COUNT(*) AS n_children
+  FROM child c JOIN documents d USING (doc_id)
+  GROUP BY d.source
+)
+SELECT source, n_children,
+       ROUND(GREATEST((0.3 * freq + 0.2 * LEAST({len(QUERY_OR.split(' '))}, freq))
+                      / (1.0 + 0.05 * freq), 0.3), 6) AS score
+FROM merged ORDER BY score DESC, source ASC LIMIT {TOPK}
+"""
+
 # the engine must reproduce the declarative plan's oracle exactly
 ORACLE_SQL["engine_bm25_topk"] = ORACLE_SQL["bm25_topk_or"]
 
@@ -1324,6 +1674,11 @@ QUERIES = {
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
+    "simhash_near_dup": q_simhash_near_dup,
+    "bm25f_topk": q_bm25f_topk,
+    "field_weighted_topk": q_field_weighted_topk,
+    "bm25_filtered_topk": q_bm25_filtered_topk,
+    "rollup_topk": q_rollup_topk,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_centroid_by_label": q_embedding_centroid_by_label,

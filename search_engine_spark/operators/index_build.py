@@ -462,6 +462,33 @@ class IndexPaths:
     def manifest(self) -> str:
         return f"{self.root}/_build_manifest"
 
+    @property
+    def epoch(self) -> str:
+        return f"{self.root}/_epoch"
+
+
+def read_epoch(paths: IndexPaths) -> int:
+    """Index rewrite counter: 0 for a fresh build (no file), bumped by
+    compact(). SearchIndex validates it per query so a live handle can
+    never serve stale cached lexicon/theta metadata after a compaction."""
+    import os
+
+    if not os.path.exists(paths.epoch):
+        return 0
+    with open(paths.epoch) as f:
+        return int(f.read().strip() or 0)
+
+
+def bump_epoch(paths: IndexPaths) -> int:
+    cur = read_epoch(paths) + 1
+    tmp = f"{paths.epoch}.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(cur))
+    import os
+
+    os.replace(tmp, paths.epoch)
+    return cur
+
 
 def build_index(
     spark: SparkSession,

@@ -72,6 +72,9 @@ class SearchIndex:
         self.spark = spark
         self.paths = paths
         self._local_lexicon_max_rows = local_lexicon_max_rows
+        from search_engine_spark.operators.index_build import read_epoch
+
+        self._open_epoch = read_epoch(paths)
         stats = read_stats(spark, paths)
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
@@ -117,6 +120,21 @@ class SearchIndex:
         return SearchIndex(
             self.spark, self.paths, self._local_lexicon_max_rows
         )
+
+    def check_epoch(self) -> None:
+        """Raise if compact() rewrote the index since this handle was
+        opened: the cached lexicon / hot_bounds / term ids would be stale
+        (WAND bounds could silently disagree with the rewritten barrels).
+        One tiny local file read per query — no Spark job."""
+        from search_engine_spark.operators.index_build import read_epoch
+
+        current = read_epoch(self.paths)
+        if current != self._open_epoch:
+            raise ValueError(
+                f"index epoch changed ({self._open_epoch} -> {current}): "
+                "the index was compacted after this handle was opened; "
+                "call refresh() for a fresh SearchIndex"
+            )
 
     # -- step 1+2: query terms -> term ids (driver-side; lexicon probe is a
     # pushed-down IN filter, not a full scan)
@@ -303,7 +321,15 @@ def search(
     """-> DataFrame(doc_id, score) top-k, ordered (score desc, doc_id asc).
 
     mode="OR": reference union semantics. mode="AND": posting-list
-    intersection (north rule)."""
+    intersection (north rule).
+
+    Top-k ordering key is the 6-dp ROUNDED score (doc_id tiebreak) — the
+    same key every declarative/DuckDB oracle orders by — while the
+    returned ``score`` column stays the raw float64 (bit-equal to the
+    single-node oracle). Ordering by the raw float would let two docs
+    whose scores round equal straddle rank k differently across
+    engines."""
+    index.check_epoch()
     spark = index.spark
     bound = index.bind_terms(query)
     if not bound:
@@ -366,7 +392,7 @@ def search(
         total = total.filter(F.col("n_terms") == len(term_ids))
     return (
         total.select("doc_id", "score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .orderBy(F.desc(F.round("score", 6)), F.asc("doc_id"))
         .limit(k)
     )
 
@@ -385,9 +411,15 @@ def search_phrase(
     Plan shape: barrel+term_id-pruned scans of the positions table, one
     broadcast-friendly equi-join per phrase term, adjacency via JVM array
     ops — transform(match, +1) ∩ positions — so candidates shrink left to
-    right and nothing leaves the JVM."""
+    right and nothing leaves the JVM. The match set is localCheckpointed
+    (bounded: docs containing the whole phrase) so the single df action
+    and the returned lazy plan share one evaluation; the phrase idf is
+    computed driver-side from that df scalar (math.log — bit-parity with
+    the oracle) and enters the plan as a literal. The returned plan stays
+    LAZY — no collect/createDataFrame round-trip of result rows."""
     import os
 
+    index.check_epoch()
     spark = index.spark
     if not os.path.exists(index.paths.positions):
         raise ValueError("index was built without positions")
@@ -448,11 +480,9 @@ def search_phrase(
     matches = cur.select("doc_id", F.size("match").cast("long").alias("tf"))
     matches = matches.join(
         index.doc_stats.select("doc_id", "dl"), "doc_id"
-    )
-    matches.cache()
+    ).localCheckpoint(eager=True)
     df_phrase = matches.count()
     if df_phrase == 0:
-        matches.unpersist()
         return empty
     idf = idf_value(df_phrase, index.n_docs)
     score = (
@@ -463,14 +493,11 @@ def search_phrase(
             + K1 * ((1.0 - B) + (B * F.col("dl").cast("double")) / index.avgdl)
         )
     )
-    out = (
+    return (
         matches.select("doc_id", score.alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .orderBy(F.desc(F.round("score", 6)), F.asc("doc_id"))
         .limit(k)
     )
-    rows = out.collect()
-    matches.unpersist()
-    return spark.createDataFrame(rows, "doc_id long, score double") if rows else empty
 
 
 def search_phrase_topk(

@@ -129,7 +129,9 @@ def search(
     if mode == "AND":
         n = len(term_ids)
         acc = {doc: s for doc, s in acc.items() if seen_count[doc] == n}
-    ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+    # rank by the 6-dp ROUNDED score with doc_id tiebreak — the key every
+    # engine (Spark top-k, DuckDB oracle) orders by; values stay raw
+    ranked = sorted(acc.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))
     return ranked[:k]
 
 
@@ -165,7 +167,7 @@ def search_phrase(
             np.array([tf]), np.array([dl]), idf, idx.avgdl
         )[0]
         scored.append((doc_id, float(contrib)))
-    scored.sort(key=lambda kv: (-kv[1], kv[0]))
+    scored.sort(key=lambda kv: (-round(kv[1], 6), kv[0]))
     return scored[:k]
 
 

@@ -14,7 +14,8 @@ delta log + partition-level compaction, the shape that works at
          app.py:928-944 — incremental ids are NOT re-sorted)
       3. postings_delta/batch=N    uncompressed (term_id, doc_id, tf,
          dl) rows partitioned by barrel                    (overwrite)
-      4. stats rewritten (N, avgdl from doc_stats base+deltas)
+      4. (nothing served changes: the SERVED stats/lexicon/barrels stay
+         the base snapshot — deltas are invisible until compact())
 
   compact (amortized, rewrites ONLY affected barrels):
       5. decode base blobs of affected barrels -> rows, union deltas,
@@ -26,7 +27,11 @@ delta log + partition-level compaction, the shape that works at
   Because block metadata is (max_tf, min_dl) — not frozen scores —
   queries stay exact between compactions for all untouched terms, and
   WAND bounds recompute from the live (N, avgdl, df) at query time
-  (functions/compression.py design note).
+  (functions/compression.py design note). Between ingest and compaction
+  queries serve EXACTLY the base snapshot (base postings scored with
+  base stats): ingest touches only delta directories; compact() swaps
+  barrels, lexicon AND stats together and bumps the index epoch, so a
+  query never mixes new stats with old postings (or vice versa).
 
 Parquet directories stand in for Iceberg tables (per-barrel overwrite ==
 rewrite-data-files of one partition; delta append == snapshot append);
@@ -204,9 +209,10 @@ def apply_incremental_batch(
             .parquet(f"{positions_delta_dir(paths)}/batch={bid}")
         )
 
-    # 4. refresh corpus stats: base scalars (stats_base, written at
-    # build/compact) + per-batch delta sums — O(deltas), never a full
-    # doc_stats rescan per micro-batch
+    # 4. report the would-be union stats (informational ONLY — the served
+    # paths.stats is NOT touched: rewriting it here would make queries
+    # score base-only postings with union-corpus stats, which is neither
+    # the old nor the new snapshot. compact() performs the swap.)
     if os.path.exists(paths.stats_base):
         row = spark.read.parquet(paths.stats_base).collect()[0]
         n_docs, total_dl = int(row["n_docs"]), int(row["total_dl"])
@@ -217,11 +223,6 @@ def apply_incremental_batch(
         avgdl = float(total_dl) / n_docs if n_docs else 0.0
     else:  # legacy index without stats_base
         n_docs, avgdl = ib.corpus_stats(read_doc_stats(spark, paths))
-    spark.createDataFrame(
-        [(n_docs, avgdl, int(stats["n_salts"]), int(stats["salt_threshold"]),
-          n_barrels)],
-        "n_docs long, avgdl double, n_salts int, salt_threshold long, n_barrels int",
-    ).write.mode("overwrite").parquet(paths.stats)
 
     docs.unpersist()
     forward.unpersist()
@@ -394,11 +395,17 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     shutil.rmtree(dsd, ignore_errors=True)
 
     # refresh the base corpus scalars from the folded table (amortized —
-    # per-ingest reads stay O(delta))
+    # per-ingest reads stay O(delta)), and swap the SERVED stats in the
+    # same step: this is the moment the new corpus becomes visible
     bn, bt = ib.corpus_totals(spark.read.parquet(paths.doc_stats))
     spark.createDataFrame(
         [(bn, bt)], "n_docs long, total_dl long"
     ).write.mode("overwrite").parquet(paths.stats_base)
+    avgdl_new = float(bt) / bn if bn else 0.0
+    spark.createDataFrame(
+        [(bn, avgdl_new, n_salts, salt_threshold, n_barrels)],
+        "n_docs long, avgdl double, n_salts int, salt_threshold long, n_barrels int",
+    ).write.mode("overwrite").parquet(paths.stats)
 
     # fold the positional deltas (if the index keeps positions): rewrite
     # ONLY the affected barrels of the flat positions table, deduped so a
@@ -438,9 +445,12 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     hb.write.mode("overwrite").parquet(paths.hot_bounds)
 
     # 7. truncate the delta logs (lexicon deltas were folded into the
-    # rewritten base above)
+    # rewritten base above) and bump the index epoch — live SearchIndex
+    # handles opened before this compaction now refuse to serve (their
+    # cached lexicon/theta metadata is stale) until refresh()ed
     shutil.rmtree(ddir)
     shutil.rmtree(lexicon_delta_dir(paths), ignore_errors=True)
+    epoch = ib.bump_epoch(paths)
     all_rows.unpersist()
     term_stats.unpersist()
-    return {"compacted_barrels": len(affected_barrels)}
+    return {"compacted_barrels": len(affected_barrels), "epoch": epoch}

@@ -303,6 +303,63 @@ def test_ingest_replay_idempotent(spark, tmp_path):
         assert a == b, q
 
 
+def test_epoch_invalidates_stale_handle(spark, tmp_path):
+    """A SearchIndex opened before compact() must refuse to serve after it
+    (its cached lexicon / WAND bounds are stale); refresh() re-opens."""
+    from search_engine_spark.streaming.incremental import (
+        apply_incremental_batch,
+        compact,
+    )
+
+    base = generate_pages_df(spark, 200, partitions=4)
+    full = generate_pages_df(spark, 260, partitions=4)
+    paths = ib.IndexPaths(str(tmp_path / "eidx"))
+    ib.build_index(
+        spark, base, paths, n_salts=2, salt_threshold=60, n_barrels=4,
+        id_partitions=4,
+    )
+    handle = SearchIndex(spark, paths)
+    assert len(search_topk(handle, "best western", k=5)) > 0
+    batch = spark.createDataFrame(
+        full.toPandas().iloc[200:],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    apply_incremental_batch(spark, batch, paths, batch_id="e1")
+    # ingest alone changes nothing served: the stale handle still answers
+    # with the exact base snapshot
+    assert len(search_topk(handle, "best western", k=5)) > 0
+    compact(spark, paths)
+    with pytest.raises(ValueError, match="epoch"):
+        search_topk(handle, "best western", k=5)
+    fresh = handle.refresh()
+    assert len(search_topk(fresh, "best western", k=5)) > 0
+
+
+def test_ingest_leaves_served_snapshot_unchanged(spark, tmp_path):
+    """Between ingest and compact, queries must serve EXACTLY the base
+    snapshot — same docs, bit-equal scores (base postings scored with
+    base stats, not union stats)."""
+    base = generate_pages_df(spark, 200, partitions=4)
+    full = generate_pages_df(spark, 260, partitions=4)
+    paths = ib.IndexPaths(str(tmp_path / "sidx"))
+    ib.build_index(
+        spark, base, paths, n_salts=2, salt_threshold=60, n_barrels=4,
+        id_partitions=4,
+    )
+    before = search_topk(SearchIndex(spark, paths), "best good well", k=10)
+    from search_engine_spark.streaming.incremental import (
+        apply_incremental_batch,
+    )
+
+    batch = spark.createDataFrame(
+        full.toPandas().iloc[200:],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    apply_incremental_batch(spark, batch, paths, batch_id="s1")
+    after = search_topk(SearchIndex(spark, paths), "best good well", k=10)
+    assert before == after
+
+
 def test_incremental_positions_phrase_equals_fresh(spark, tmp_path):
     """A positions-enabled index stays phrase-correct through ingest +
     compaction: search_phrase on the compacted index must equal a fresh
