@@ -162,30 +162,46 @@ def _block_starts(n: int, block: int = BLOCK) -> np.ndarray:
 
 
 def encode_posting_blocks(
-    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, block: int = BLOCK
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    tf1s: np.ndarray | None = None,
+    block: int = BLOCK,
 ) -> dict:
     """Sort by doc key and encode one term's postings with INDEPENDENTLY
     DECODABLE blocks: each block's first doc delta is its absolute
-    (biased) key, and per-block byte lengths are recorded for all three
+    (biased) key, and per-block byte lengths are recorded for all four
     streams, so a pruned block is never even decompressed — true
     block-max WAND decode skipping, the thing the north rule's
     MAX_DOCS_TO_PROCESS replacement actually pays off with.
 
-    Returns dict: doc_deltas, tfs, dls (bytes); db_lens, tf_lens, dl_lens
-    (per-block byte lengths); block_max_tf, block_min_dl; max_tf, min_dl;
-    n_docs."""
+    ``tf1s`` is the per-posting TITLE-FIELD tf (the fields channel —
+    reference postings carry per-field matches,
+    create_inverted_index.py:86-91); None encodes as all-zero (1 byte per
+    posting, the varint floor). block_max_tf1 rides along so field-
+    weighted WAND bounds stay tight.
+
+    Returns dict: doc_deltas, tfs, dls, tf1s (bytes); db_lens, tf_lens,
+    dl_lens, tf1_lens (per-block byte lengths); block_max_tf,
+    block_min_dl, block_max_tf1; max_tf, min_dl; n_docs."""
     order = np.argsort(doc_ids, kind="stable")
     d = np.asarray(doc_ids, dtype=np.int64)[order]
     t = np.asarray(tfs, dtype=np.int64)[order]
     l = np.asarray(dls, dtype=np.int64)[order]
+    if tf1s is None:
+        t1 = np.zeros(len(d), dtype=np.int64)
+    else:
+        t1 = np.asarray(tf1s, dtype=np.int64)[order]
     n = len(d)
     mt, md = block_summaries(t, l, block)
+    mt1, _ = block_summaries(t1, l, block)
     if n == 0:
         empty = np.empty(0, dtype=np.int64)
         return {
-            "doc_deltas": b"", "tfs": b"", "dls": b"",
+            "doc_deltas": b"", "tfs": b"", "dls": b"", "tf1s": b"",
             "db_lens": empty, "tf_lens": empty, "dl_lens": empty,
-            "block_max_tf": mt, "block_min_dl": md,
+            "tf1_lens": empty.copy(),
+            "block_max_tf": mt, "block_min_dl": md, "block_max_tf1": mt1,
             "max_tf": 0, "min_dl": 1, "n_docs": 0,
         }
     u = d.view(np.uint64) + _BIAS
@@ -197,12 +213,14 @@ def encode_posting_blocks(
     db, db_sz = varint_encode_with_sizes(deltas)
     tb, tf_sz = varint_encode_with_sizes(t.astype(np.uint64))
     lb, dl_sz = varint_encode_with_sizes(l.astype(np.uint64))
+    t1b, tf1_sz = varint_encode_with_sizes(t1.astype(np.uint64))
     return {
-        "doc_deltas": db, "tfs": tb, "dls": lb,
+        "doc_deltas": db, "tfs": tb, "dls": lb, "tf1s": t1b,
         "db_lens": np.add.reduceat(db_sz, starts),
         "tf_lens": np.add.reduceat(tf_sz, starts),
         "dl_lens": np.add.reduceat(dl_sz, starts),
-        "block_max_tf": mt, "block_min_dl": md,
+        "tf1_lens": np.add.reduceat(tf1_sz, starts),
+        "block_max_tf": mt, "block_min_dl": md, "block_max_tf1": mt1,
         "max_tf": int(t.max()), "min_dl": int(l.min()), "n_docs": n,
     }
 
@@ -215,18 +233,24 @@ def decode_posting_blocks(
     tf_lens: np.ndarray,
     dl_lens: np.ndarray,
     keep: np.ndarray | None = None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    tf1s: bytes | None = None,
+    tf1_lens: np.ndarray | None = None,
+) -> tuple[np.ndarray, ...]:
     """Decode only the blocks where ``keep`` is True (None = all).
     Returns (doc_ids int64 sorted, tf int64, dl int64) over the kept
-    blocks. Skipped blocks cost ZERO decode work — their bytes are never
-    touched (slicing is offset arithmetic on the lens tables)."""
+    blocks — plus a 4th array (tf1 int64, the title-field channel) when
+    ``tf1s``/``tf1_lens`` are given. Skipped blocks cost ZERO decode work
+    — their bytes are never touched (slicing is offset arithmetic on the
+    lens tables)."""
+    with_tf1 = tf1s is not None and tf1_lens is not None
     db_lens = np.asarray(db_lens, dtype=np.int64)
     tf_lens = np.asarray(tf_lens, dtype=np.int64)
     dl_lens = np.asarray(dl_lens, dtype=np.int64)
     nb = len(db_lens)
     if nb == 0:
         z = np.empty(0, dtype=np.int64)
-        return z, z.copy(), z.copy()
+        out = (z, z.copy(), z.copy())
+        return out + (z.copy(),) if with_tf1 else out
     if keep is None:
         keep = np.ones(nb, dtype=bool)
     keep = np.asarray(keep, dtype=bool)
@@ -236,7 +260,8 @@ def decode_posting_blocks(
     kept = np.flatnonzero(keep)
     if len(kept) == 0:
         z = np.empty(0, dtype=np.int64)
-        return z, z.copy(), z.copy()
+        out = (z, z.copy(), z.copy())
+        return out + (z.copy(),) if with_tf1 else out
     # concatenate kept byte ranges (contiguous runs collapse naturally)
     db_sel = b"".join(doc_deltas[db_off[i] : db_off[i + 1]] for i in kept)
     tf_sel = b"".join(tfs[tf_off[i] : tf_off[i + 1]] for i in kept)
@@ -244,6 +269,11 @@ def decode_posting_blocks(
     vals = varint_decode(db_sel)
     t = varint_decode(tf_sel).view(np.int64)
     l = varint_decode(dl_sel).view(np.int64)
+    if with_tf1:
+        t1_lens = np.asarray(tf1_lens, dtype=np.int64)
+        t1_off = np.concatenate(([0], np.cumsum(t1_lens)))
+        t1_sel = b"".join(tf1s[t1_off[i] : t1_off[i + 1]] for i in kept)
+        t1 = varint_decode(t1_sel).view(np.int64)
     # per-kept-block value counts: all full blocks except possibly the
     # last overall block; recover counts from the tf stream segmentation
     # by decoding per-block sizes via lens -> we already know counts:
@@ -262,7 +292,7 @@ def decode_posting_blocks(
     u = base[expand] + (cs - cs_start[expand])
     d = (u - _BIAS).view(np.int64)
     del n_total_last
-    return d, t, l
+    return (d, t, l, t1) if with_tf1 else (d, t, l)
 
 
 def encode_posting_list(

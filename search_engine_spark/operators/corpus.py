@@ -596,6 +596,9 @@ def _engine_index(spark: SparkSession, sf_dir: str):
             "doc_id",
             F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
             ib.normalize_udf("text").alias("norm"),
+            # fields channel: the declarative TITLE_LEN positional field
+            # boundary (the pages corpus uses the real <title> boundary)
+            F.lit(TITLE_LEN).cast("int").alias("title_dl"),
         )
     )
     docs.cache()
@@ -638,6 +641,42 @@ def q_engine_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _engine_index(spark, sf_dir)
     res = search(idx, QUERY_OR, k=TOPK, mode="OR", use_wand=True)
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score")
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def q_engine_field_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PHYSICAL ENGINE's field-weighted path under the SQL oracle:
+    BM25F-lite over the compressed barrels' tf1 (title) channel with
+    block-max WAND — must equal the declarative bm25f_topk oracle
+    exactly (same field boundary, same weights)."""
+    from search_engine_spark.operators.query import search
+
+    idx = _engine_index(spark, sf_dir)
+    res = search(
+        idx, QUERY_OR, k=TOPK, mode="OR", use_wand=True,
+        field_weights=(W_TITLE, W_BODY),
+    )
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score")
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def q_engine_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PHYSICAL ENGINE's metadata-filtered path under the SQL oracle:
+    the source='src3' doc set semi-joins BELOW the decode→aggregate
+    (query.search doc_ids) — must equal the declarative
+    bm25_filtered_topk oracle exactly."""
+    from search_engine_spark.operators.query import search
+
+    idx = _engine_index(spark, sf_dir)
+    keep = (
+        documents(spark, sf_dir)
+        .filter(F.col("source") == FILTER_SOURCE)
+        .select("doc_id")
+    )
+    res = search(idx, QUERY_OR, k=TOPK, mode="OR", use_wand=True, doc_ids=keep)
     return res.select(
         "doc_id", F.round("score", 6).alias("score")
     ).orderBy(F.desc("score"), F.asc("doc_id"))
@@ -1592,6 +1631,8 @@ FROM merged ORDER BY score DESC, source ASC LIMIT {TOPK}
 
 # the engine must reproduce the declarative plan's oracle exactly
 ORACLE_SQL["engine_bm25_topk"] = ORACLE_SQL["bm25_topk_or"]
+ORACLE_SQL["engine_field_topk"] = ORACLE_SQL["bm25f_topk"]
+ORACLE_SQL["engine_filtered_topk"] = ORACLE_SQL["bm25_filtered_topk"]
 
 _P1, _P2 = QUERY_PHRASE.split(" ")
 ORACLE_SQL["phrase_bm25_topk"] = f"""
@@ -1654,6 +1695,8 @@ ORDER BY score DESC, a.doc_id ASC LIMIT 50
 
 QUERIES = {
     "engine_bm25_topk": q_engine_bm25_topk,
+    "engine_field_topk": q_engine_field_topk,
+    "engine_filtered_topk": q_engine_filtered_topk,
     "engine_phrase_topk": q_engine_phrase_topk,
     "phrase_bm25_topk": q_phrase_bm25_topk,
     "term_tf": q_term_tf,

@@ -41,7 +41,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from search_engine_spark.functions.compression import encode_posting_blocks
 from search_engine_spark.functions.hashing import DOC_ID_HEX_CHARS
-from search_engine_spark.functions.text import extract_series, normalize_series
+from search_engine_spark.functions.text import (
+    extract_series,
+    extract_title_series,
+    normalize_series,
+)
 
 K1 = 1.2
 B = 0.75
@@ -83,6 +87,33 @@ def extract_udf(col):
     return F.pandas_udf(_extract_iter, "string")(col)
 
 
+def _extract_normalize_fields_iter(
+    html: Iterator[pd.Series],
+) -> Iterator[pd.DataFrame]:
+    for s in html:
+        norm = normalize_series(extract_series(s))
+        tnorm = normalize_series(extract_title_series(s)).astype("string")
+        # vectorized token count: single-space-joined tokens -> spaces+1
+        title_dl = (tnorm.str.count(" ") + 1).where(tnorm != "", 0).astype("int32")
+        yield pd.DataFrame({"norm": norm, "title_dl": title_dl})
+
+
+def extract_normalize_fields_udf(col):
+    """html binary -> struct(norm string, title_dl int) in ONE Arrow pass
+    (tag-strip runs once for the body+title composite, once for the small
+    title slice — not two full extractions of the page).
+
+    Because the <title> is the first text extract_text emits, norm(doc) =
+    norm(title) ++ " " ++ norm(body): title_dl (the normalized title
+    token count) is the per-doc FIELD BOUNDARY inside norm — the fields
+    channel of the reference forward index
+    (create_forward_index.py:47-49) as a prefix rule, with per-posting
+    title-tf = |positions < title_dl|."""
+    return F.pandas_udf(
+        _extract_normalize_fields_iter, "norm string, title_dl int"
+    )(col)
+
+
 def normalize_udf(col):
     return F.pandas_udf(_normalize_iter, "string")(col)
 
@@ -103,31 +134,44 @@ def load_pages(spark: SparkSession, path: str) -> DataFrame:
 
 
 def normalize_pages(pages: DataFrame) -> DataFrame:
-    """pages -> docs(doc_id, url, norm). Filters to lang='en'
-    (FIXTURES.md §1). Predicate + projection push down to the scan."""
+    """pages -> docs(doc_id, url, norm, title_dl). Filters to lang='en'
+    (FIXTURES.md §1). Predicate + projection push down to the scan.
+    title_dl = normalized <title> token count — the field boundary within
+    norm (title tokens are norm's prefix; extract_title_normalize_udf)."""
     return (
         pages.filter(F.col("lang") == "en")
         .select(
             doc_id_col("url").alias("doc_id"),
             "url",
-            extract_normalize_udf("html").alias("norm"),
+            extract_normalize_fields_udf("html").alias("nf"),
         )
+        .select("doc_id", "url", "nf.norm", "nf.title_dl")
     )
 
 
 def build_doc_stats(docs: DataFrame) -> DataFrame:
-    """doc_stats(doc_id, url, dl) — dl = token count (BM25 length norm).
-    FIXTURES.md §2."""
+    """doc_stats(doc_id, url, dl, fp) — dl = token count (BM25 length
+    norm), fp = md5 content fingerprint of the normalized text. fp is
+    what lets incremental compaction distinguish an identical re-ingest
+    (collapse) from a CHANGED page under the same url (tombstone the old
+    postings — streaming/incremental.py). FIXTURES.md §2."""
     return docs.select(
-        "doc_id", "url", F.size(tokens_col("norm")).alias("dl")
+        "doc_id", "url", F.size(tokens_col("norm")).alias("dl"),
+        F.md5(F.col("norm")).alias("fp"),
     )
 
 
 def build_forward(docs: DataFrame, with_positions: bool = True) -> DataFrame:
-    """Forward index (doc_id, term, tf[, positions], first_pos) — SURVEY.md
-    §2.4 A5 (create_forward_index.py:36-49): posexplode + groupBy replaces
-    the reference's per-doc dict building; Spark's partial+final hash agg
-    is the map-side combine.
+    """Forward index (doc_id, term, tf, tf1[, positions], first_pos) —
+    SURVEY.md §2.4 A5 (create_forward_index.py:36-49): posexplode +
+    groupBy replaces the reference's per-doc dict building; Spark's
+    partial+final hash agg is the map-side combine.
+
+    tf1 is the TITLE-FIELD tf (positions < the doc's title_dl boundary) —
+    the per-field channel of the reference forward index
+    (create_forward_index.py:47-49 field_matches). Docs without a
+    title_dl column get tf1 = 0 (single-field corpus). One SUM(CASE) in
+    the same agg — the fields channel adds no extra pass or shuffle.
 
     with_positions=False skips the sort_array(collect_list) — the BM25
     build needs only tf (positions exist for phrase/position features and
@@ -138,18 +182,24 @@ def build_forward(docs: DataFrame, with_positions: bool = True) -> DataFrame:
     per (doc,term) group is constant) — this keeps build_postings free of
     a forward ⋈ doc_stats shuffle join just to fetch the BM25 length
     norm."""
+    has_fields = "title_dl" in docs.columns
+    boundary = F.col("title_dl") if has_fields else F.lit(0)
     exploded = docs.select(
         "doc_id",
         F.size(tokens_col("norm")).alias("dl"),
+        boundary.alias("_tb"),
         F.posexplode(tokens_col("norm")).alias("pos", "term"),
     )
     aggs = [
         F.count("*").cast("int").alias("tf"),
+        F.sum((F.col("pos") < F.col("_tb")).cast("int"))
+        .cast("int")
+        .alias("tf1"),
         F.min("pos").alias("first_pos"),
         F.first("dl").alias("dl"),
     ]
     if with_positions:
-        aggs.insert(1, F.sort_array(F.collect_list("pos")).alias("positions"))
+        aggs.insert(2, F.sort_array(F.collect_list("pos")).alias("positions"))
     return exploded.groupBy("doc_id", "term").agg(*aggs)
 
 
@@ -249,10 +299,11 @@ THETA_K = 16  # real (doc, tf, dl) samples kept per (term, salt) blob
 
 POSTINGS_SCHEMA = (
     "term_id long, salt int, df long, n_docs int, max_tf long, min_dl long, "
-    "block_max_tf array<long>, block_min_dl array<long>, "
+    "block_max_tf array<long>, block_min_dl array<long>, block_max_tf1 array<long>, "
     "db_lens array<long>, tf_lens array<long>, dl_lens array<long>, "
+    "tf1_lens array<long>, "
     "theta_docs array<long>, theta_tfs array<long>, theta_dls array<long>, "
-    "doc_deltas binary, tfs binary, dls binary"
+    "doc_deltas binary, tfs binary, dls binary, tf1s binary"
 )
 
 
@@ -298,19 +349,22 @@ def postings_input(
     stage is opaque to Catalyst, so the barrel predicate cannot be pushed
     through it)."""
     lex = lexicon.select("term", "term_id", "df")
+    tf1 = (
+        F.col("tf1") if "tf1" in forward.columns else F.lit(0).cast("int")
+    ).alias("tf1")
     if "dl" in forward.columns:
-        fwd = forward.select("doc_id", "term", "tf", "dl")
+        fwd = forward.select("doc_id", "term", "tf", tf1, "dl")
     else:
         if doc_stats is None:
             raise ValueError("forward lacks dl and no doc_stats given")
-        fwd = forward.select("doc_id", "term", "tf").join(
+        fwd = forward.select("doc_id", "term", "tf", tf1).join(
             doc_stats.select("doc_id", "dl"), "doc_id"
         )
     return (
         fwd
         .join(lex, "term")
         .select(
-            "term_id", "df", "doc_id", "tf", "dl",
+            "term_id", "df", "doc_id", "tf", "tf1", "dl",
             salt_col(n_salts, salt_threshold),
         )
     )
@@ -352,6 +406,7 @@ def encode_postings(joined: DataFrame, n_barrels: int = 64) -> DataFrame:
         salt = pdf["salt"].to_numpy(dtype=np.int64)
         d = pdf["doc_id"].to_numpy(dtype=np.int64)
         t = pdf["tf"].to_numpy(dtype=np.int64)
+        t1 = pdf["tf1"].to_numpy(dtype=np.int64)
         l = pdf["dl"].to_numpy(dtype=np.int64)
         dfv = pdf["df"].to_numpy(dtype=np.int64)
         n = len(pdf)
@@ -360,8 +415,8 @@ def encode_postings(joined: DataFrame, n_barrels: int = 64) -> DataFrame:
         )
         ends = np.concatenate((starts[1:], [n]))
         for s, e in zip(starts.tolist(), ends.tolist()):
-            ds_, ts_, ls_ = d[s:e], t[s:e], l[s:e]
-            enc = encode_posting_blocks(ds_, ts_, ls_)
+            ds_, ts_, t1s_, ls_ = d[s:e], t[s:e], t1[s:e], l[s:e]
+            enc = encode_posting_blocks(ds_, ts_, ls_, t1s_)
             # theta sketch: THETA_K REAL postings ranked (tf desc, dl asc)
             # — a high-score sample whose achieved BM25 (computed at query
             # time with live stats) lower-bounds the true top-k threshold
@@ -374,21 +429,25 @@ def encode_postings(joined: DataFrame, n_barrels: int = 64) -> DataFrame:
             out["min_dl"].append(enc["min_dl"])
             out["block_max_tf"].append(enc["block_max_tf"].tolist())
             out["block_min_dl"].append(enc["block_min_dl"].tolist())
+            out["block_max_tf1"].append(enc["block_max_tf1"].tolist())
             out["db_lens"].append(enc["db_lens"].tolist())
             out["tf_lens"].append(enc["tf_lens"].tolist())
             out["dl_lens"].append(enc["dl_lens"].tolist())
+            out["tf1_lens"].append(enc["tf1_lens"].tolist())
             out["theta_docs"].append(ds_[top].tolist())
             out["theta_tfs"].append(ts_[top].tolist())
             out["theta_dls"].append(ls_[top].tolist())
             out["doc_deltas"].append(enc["doc_deltas"])
             out["tfs"].append(enc["tfs"])
             out["dls"].append(enc["dls"])
+            out["tf1s"].append(enc["tf1s"])
 
     _COLS = [
         "term_id", "salt", "df", "n_docs", "max_tf", "min_dl",
-        "block_max_tf", "block_min_dl", "db_lens", "tf_lens", "dl_lens",
+        "block_max_tf", "block_min_dl", "block_max_tf1",
+        "db_lens", "tf_lens", "dl_lens", "tf1_lens",
         "theta_docs", "theta_tfs", "theta_dls",
-        "doc_deltas", "tfs", "dls",
+        "doc_deltas", "tfs", "dls", "tf1s",
     ]
 
     def encode_partition(

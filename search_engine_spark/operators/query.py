@@ -189,6 +189,7 @@ def _decode_score_df(
     theta: float,
     other_max: dict[int, float],
     ranks: dict[int, int] | None = None,
+    field_weights: tuple[float, float] | None = None,
 ) -> DataFrame:
     """mapInPandas: blob rows -> (doc_id, rank, score) with block-max
     skipping. other_max[t] = sum of max_score over the OTHER query terms.
@@ -196,9 +197,17 @@ def _decode_score_df(
     query-term order — a build-independent key for the deterministic
     per-doc float sum (term_ids are NOT stable across incremental builds:
     new terms append at max_id+1, so summing in term_id order would
-    diverge from a fresh build in the last ulp for 3+-term queries)."""
+    diverge from a fresh build in the last ulp for 3+-term queries).
+
+    ``field_weights`` = (w_title, w_body) switches to BM25F-lite: the
+    per-posting tf is replaced by wtf = w_title·tf1 + w_body·(tf−tf1)
+    (the tf1 stream decodes only in this mode). The per-block bound uses
+    block_max_tf1: for w_t ≥ w_b, wtf = w_b·tf + (w_t−w_b)·tf1 ≤
+    w_b·max_tf + (w_t−w_b)·max_tf1 — tight when title hits are rare;
+    otherwise the safe w_b·max_tf bound applies."""
     avgdl = index.avgdl
     ranks = ranks or {}
+    fw = field_weights
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -211,6 +220,13 @@ def _decode_score_df(
                 # incremental updates (compression.block_summaries)
                 mt = np.asarray(row.block_max_tf, dtype=np.float64)
                 md = np.asarray(row.block_min_dl, dtype=np.float64)
+                if fw is not None:
+                    w_t, w_b = fw
+                    if w_t >= w_b:
+                        mt1 = np.asarray(row.block_max_tf1, dtype=np.float64)
+                        mt = w_b * mt + (w_t - w_b) * mt1
+                    else:
+                        mt = w_b * mt
                 bm = bm25_score(mt, md, idf, avgdl, K1, B)
                 if theta > 0.0:
                     keep = bm + other_max.get(tid, 0.0) >= theta
@@ -220,11 +236,23 @@ def _decode_score_df(
                     keep = None  # decode all blocks
                 # pruned blocks are never DECOMPRESSED — the per-block
                 # byte-length tables make skipping pure offset arithmetic
-                d, t, l = decode_posting_blocks(
-                    row.doc_deltas, row.tfs, row.dls,
-                    row.db_lens, row.tf_lens, row.dl_lens, keep,
-                )
-                score = bm25_score(t, l, idf, avgdl, K1, B)
+                if fw is not None:
+                    d, t, l, t1 = decode_posting_blocks(
+                        row.doc_deltas, row.tfs, row.dls,
+                        row.db_lens, row.tf_lens, row.dl_lens, keep,
+                        row.tf1s, row.tf1_lens,
+                    )
+                    w_t, w_b = fw
+                    wtf = w_t * t1.astype(np.float64) + w_b * (
+                        (t - t1).astype(np.float64)
+                    )
+                    score = bm25_score(wtf, l, idf, avgdl, K1, B)
+                else:
+                    d, t, l = decode_posting_blocks(
+                        row.doc_deltas, row.tfs, row.dls,
+                        row.db_lens, row.tf_lens, row.dl_lens, keep,
+                    )
+                    score = bm25_score(t, l, idf, avgdl, K1, B)
                 out_doc.append(d)
                 out_rank.append(
                     np.full(len(d), ranks.get(tid, tid), dtype=np.int64)
@@ -248,19 +276,30 @@ def _estimate_theta(
     rarest: int,
     idfs: dict[int, float],
     k: int,
+    field_weights: tuple[float, float] | None = None,
+    doc_ids: DataFrame | None = None,
 ) -> float:
     """Distributed pass-1: kth-largest BM25 score among the RAREST query
     term's postings — a SAFE lower bound on the true kth top-k score (k
     docs achieve at least their rarest-term contribution, and scores are
     non-negative, so the true kth total ≥ this theta).
 
+    With a metadata ``doc_ids`` filter the pass applies the SAME
+    semi-join below the top-k: theta must lower-bound the kth FILTERED
+    score (an unfiltered theta could exceed it and over-prune).
+
     Runs as orderBy(desc).limit(k) over the decoded rarest-term postings —
     TakeOrderedAndProject, per-partition heaps; NO posting blobs ever reach
     the driver (the previous design collected every query term's blobs
     driver-side, which breaks at Zipf-head posting-list sizes)."""
     scored = _decode_score_df(
-        index, probe.filter(F.col("term_id") == F.lit(rarest)), idfs, 0.0, {}
+        index, probe.filter(F.col("term_id") == F.lit(rarest)), idfs, 0.0, {},
+        field_weights=field_weights,
     )
+    if doc_ids is not None:
+        scored = scored.join(
+            F.broadcast(doc_ids.select("doc_id")), "doc_id", "left_semi"
+        )
     rows = scored.select("score").orderBy(F.desc("score")).limit(k).collect()
     if len(rows) < k:
         return 0.0
@@ -317,11 +356,26 @@ def search(
     k: int = 10,
     mode: str = "OR",
     use_wand: bool = True,
+    field_weights: tuple[float, float] | None = None,
+    doc_ids: DataFrame | None = None,
 ) -> DataFrame:
     """-> DataFrame(doc_id, score) top-k, ordered (score desc, doc_id asc).
 
     mode="OR": reference union semantics. mode="AND": posting-list
     intersection (north rule).
+
+    field_weights=(w_title, w_body): BM25F-lite field-weighted scoring
+    over the postings' tf1 (title) channel — the reference scores every
+    search with per-field weights (app.py:75-92,679-725); idf and length
+    norm stay unweighted (documented simplification, mirrored by the
+    declarative bm25f_topk oracle).
+
+    doc_ids: optional DataFrame with a doc_id column — a metadata filter
+    (reference app.py:407-497 composes location/class filters inside the
+    query) applied as a broadcast semi-join BELOW scoring: filtered docs
+    never enter the per-doc aggregation, and the WAND theta is estimated
+    on the FILTERED candidate set (an unfiltered theta could over-prune).
+    Term stats stay corpus-global, like the reference.
 
     Top-k ordering key is the 6-dp ROUNDED score (doc_id tiebreak) — the
     same key every declarative/DuckDB oracle orders by — while the
@@ -352,6 +406,11 @@ def search(
                 # term: fall back to a probe metadata aggregate
                 maxes = _probe_term_bounds(probe, idfs, index.avgdl)
                 break
+            if field_weights is not None:
+                # lexicon stores only max_tf: the safe term bound is
+                # max(w)·max_tf (block-level bounds are tighter via
+                # block_max_tf1)
+                mt = max(field_weights) * float(mt)
             maxes[tid] = float(
                 bm25_score(
                     np.array([float(mt)]), np.array([float(md)]),
@@ -363,11 +422,24 @@ def search(
             for tid in term_ids
         }
         rarest = min(bound, key=lambda t: (bound[t]["df"], t))
-        theta = _sketch_theta(index, term_ids, idfs, k)
-        if rarest not in index.hot_bounds:
-            # cold rarest term: its list is bounded by salt_threshold, so
-            # the distributed pass is cheap — and usually tighter
-            theta = max(theta, _estimate_theta(index, probe, rarest, idfs, k))
+        if field_weights is None and doc_ids is None:
+            theta = _sketch_theta(index, term_ids, idfs, k)
+            if rarest not in index.hot_bounds:
+                # cold rarest term: its list is bounded by salt_threshold,
+                # so the distributed pass is cheap — and usually tighter
+                theta = max(
+                    theta, _estimate_theta(index, probe, rarest, idfs, k)
+                )
+        else:
+            # weighted/filtered mode: the driver sketches store raw tf
+            # only and ignore the filter, so their "achieved" scores are
+            # not guaranteed lower bounds here — use the distributed
+            # rarest-term pass, which scores real (filtered, weighted)
+            # postings and is therefore always safe
+            theta = _estimate_theta(
+                index, probe, rarest, idfs, k,
+                field_weights=field_weights, doc_ids=doc_ids,
+            )
 
     # per-doc sum in SORTED-TERM-STRING order: matches the oracle (its ids
     # are sorted by term) and is identical across batch/incremental builds
@@ -377,7 +449,16 @@ def search(
             sorted(term_ids, key=lambda t: bound[t]["term"])
         )
     }
-    scored = _decode_score_df(index, probe, idfs, theta, other_max, ranks)
+    scored = _decode_score_df(
+        index, probe, idfs, theta, other_max, ranks,
+        field_weights=field_weights,
+    )
+    if doc_ids is not None:
+        # metadata filter below the aggregation: pruned docs never enter
+        # the per-doc sum or the top-k heaps
+        scored = scored.join(
+            F.broadcast(doc_ids.select("doc_id")), "doc_id", "left_semi"
+        )
     per_doc = scored.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("rank", "score"))).alias("parts")
     )
@@ -510,6 +591,11 @@ def search_phrase_topk(
 def search_topk(
     index: SearchIndex, query: str, k: int = 10, mode: str = "OR",
     use_wand: bool = True,
+    field_weights: tuple[float, float] | None = None,
+    doc_ids: DataFrame | None = None,
 ) -> list[tuple[int, float]]:
-    rows = search(index, query, k, mode, use_wand).collect()
+    rows = search(
+        index, query, k, mode, use_wand,
+        field_weights=field_weights, doc_ids=doc_ids,
+    ).collect()
     return [(int(r["doc_id"]), float(r["score"])) for r in rows]

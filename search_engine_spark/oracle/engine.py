@@ -27,7 +27,11 @@ import numpy as np
 import pandas as pd
 
 from search_engine_spark.functions.hashing import doc_id_from_url
-from search_engine_spark.functions.text import extract_text, normalize_text
+from search_engine_spark.functions.text import (
+    extract_text,
+    extract_title,
+    normalize_text,
+)
 
 K1 = 1.2
 B = 0.75
@@ -40,10 +44,12 @@ class OracleIndex:
     lexicon: dict[str, int] = field(default_factory=dict)  # term -> dense id
     term_df: dict[int, int] = field(default_factory=dict)
     term_cf: dict[int, int] = field(default_factory=dict)
-    # term_id -> (doc_ids int64 sorted, tfs int64, dls int64)
-    postings: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = field(
-        default_factory=dict
-    )
+    # term_id -> (doc_ids int64 sorted, tfs int64, dls int64, tf1s int64)
+    # tf1 = TITLE-field tf (fields channel — the reference forward index
+    # records per-field matches, create_forward_index.py:47-49)
+    postings: dict[
+        int, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]
+    ] = field(default_factory=dict)
     doc_url: dict[int, str] = field(default_factory=dict)
     doc_dl: dict[int, int] = field(default_factory=dict)
     extracted: dict[str, str] = field(default_factory=dict)  # url -> bytes-identical text
@@ -59,11 +65,13 @@ def build_index(pages: pd.DataFrame) -> OracleIndex:
     rows only (FIXTURES.md §1)."""
     idx = OracleIndex()
     en = pages[pages["lang"] == "en"]
-    per_term_docs: dict[str, list[tuple[int, int, int]]] = {}
+    per_term_docs: dict[str, list[tuple[int, int, int, int]]] = {}
     dls: list[int] = []
     for url, html in zip(en["url"], en["html"]):
         extracted = extract_text(html)
         norm = normalize_text(extracted)
+        title_norm = normalize_text(extract_title(html))
+        title_dl = len(title_norm.split(" ")) if title_norm else 0
         doc_id = doc_id_from_url(url)
         tokens = norm.split(" ") if norm else []
         dl = len(tokens)
@@ -73,10 +81,15 @@ def build_index(pages: pd.DataFrame) -> OracleIndex:
         idx.doc_dl[doc_id] = dl
         dls.append(dl)
         counts: dict[str, int] = {}
-        for t in tokens:
+        t1_counts: dict[str, int] = {}
+        for pos, t in enumerate(tokens):
             counts[t] = counts.get(t, 0) + 1
+            if pos < title_dl:  # title tokens are norm's prefix
+                t1_counts[t] = t1_counts.get(t, 0) + 1
         for t, tf in counts.items():
-            per_term_docs.setdefault(t, []).append((doc_id, tf, dl))
+            per_term_docs.setdefault(t, []).append(
+                (doc_id, tf, dl, t1_counts.get(t, 0))
+            )
     idx.n_docs = len(en)
     idx.avgdl = float(sum(dls)) / idx.n_docs if idx.n_docs else 0.0
     # dense term ids in sorted-term order (reference semantics,
@@ -87,7 +100,8 @@ def build_index(pages: pd.DataFrame) -> OracleIndex:
         d = np.array([r[0] for r in rows], dtype=np.int64)
         t = np.array([r[1] for r in rows], dtype=np.int64)
         l = np.array([r[2] for r in rows], dtype=np.int64)
-        idx.postings[tid] = (d, t, l)
+        t1 = np.array([r[3] for r in rows], dtype=np.int64)
+        idx.postings[tid] = (d, t, l, t1)
         idx.term_df[tid] = len(rows)
         idx.term_cf[tid] = int(t.sum())
     return idx
@@ -104,12 +118,20 @@ def bm25_contrib(
 
 
 def search(
-    idx: OracleIndex, query: str, k: int = 10, mode: str = "OR"
+    idx: OracleIndex,
+    query: str,
+    k: int = 10,
+    mode: str = "OR",
+    field_weights: tuple[float, float] | None = None,
+    doc_filter: set[int] | None = None,
 ) -> list[tuple[int, float]]:
     """BM25 top-k: [(doc_id, score)] sorted (score desc, doc_id asc).
 
     mode="OR" is the reference union semantics (app.py:594-617);
     mode="AND" is the north-rule intersection (doc must contain all terms).
+    field_weights=(w_title, w_body): BM25F-lite weighted tf over the tf1
+    channel (same float64 expression shape as the Spark engine).
+    doc_filter: metadata-filtered search — only these doc_ids may appear.
     """
     qtokens = normalize_text(query).split(" ")
     term_ids = sorted(
@@ -121,9 +143,18 @@ def search(
     seen_count: dict[int, int] = {}
     # accumulate in ascending term_id order -> deterministic float sum order
     for tid in term_ids:
-        d, t, l = idx.postings[tid]
-        contrib = bm25_contrib(t, l, idx.idf(tid), idx.avgdl)
+        d, t, l, t1 = idx.postings[tid]
+        if field_weights is not None:
+            w_t, w_b = field_weights
+            tf_eff = w_t * t1.astype(np.float64) + w_b * (
+                (t - t1).astype(np.float64)
+            )
+        else:
+            tf_eff = t
+        contrib = bm25_contrib(tf_eff, l, idx.idf(tid), idx.avgdl)
         for doc, c in zip(d.tolist(), contrib.tolist()):
+            if doc_filter is not None and doc not in doc_filter:
+                continue
             acc[doc] = acc.get(doc, 0.0) + c
             seen_count[doc] = seen_count.get(doc, 0) + 1
     if mode == "AND":

@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from search_engine_spark.operators import index_build as ib
 
-DELTA_SCHEMA = "term_id long, doc_id long, tf int, dl long, barrel int"
+DELTA_SCHEMA = "term_id long, doc_id long, tf int, tf1 int, dl long, barrel int"
 
 
 def delta_dir(paths: ib.IndexPaths) -> str:
@@ -136,7 +136,7 @@ def apply_incremental_batch(
     # table to maintain
     has_positions = os.path.exists(paths.positions)
     forward_full = ib.build_forward(docs, with_positions=has_positions)
-    forward = forward_full.select("doc_id", "term", "tf", "dl")
+    forward = forward_full.select("doc_id", "term", "tf", "tf1", "dl")
     if has_positions:
         forward_full.cache()
     forward.cache()
@@ -186,6 +186,7 @@ def apply_incremental_batch(
             "term_id",
             "doc_id",
             "tf",
+            "tf1",
             "dl",
             F.pmod("term_id", F.lit(n_barrels)).cast("int").alias("barrel"),
         )
@@ -232,8 +233,8 @@ def apply_incremental_batch(
 
 
 def decode_postings_rows(postings: DataFrame) -> DataFrame:
-    """Inverse of encode: blob rows -> (term_id, doc_id, tf, dl) rows.
-    mapInPandas, numpy-vectorized decode (compression.py)."""
+    """Inverse of encode: blob rows -> (term_id, doc_id, tf, tf1, dl)
+    rows. mapInPandas, numpy-vectorized decode (compression.py)."""
     import numpy as np
     import pandas as pd
 
@@ -241,15 +242,17 @@ def decode_postings_rows(postings: DataFrame) -> DataFrame:
 
     def decode(batches):
         for pdf in batches:
-            tids, docs_, tfs, dls = [], [], [], []
+            tids, docs_, tfs, tf1s, dls = [], [], [], [], []
             for row in pdf.itertuples(index=False):
-                d, t, l = decode_posting_blocks(
+                d, t, l, t1 = decode_posting_blocks(
                     row.doc_deltas, row.tfs, row.dls,
-                    row.db_lens, row.tf_lens, row.dl_lens,
+                    row.db_lens, row.tf_lens, row.dl_lens, None,
+                    row.tf1s, row.tf1_lens,
                 )
                 tids.append(np.full(len(d), int(row.term_id), dtype=np.int64))
                 docs_.append(d)
                 tfs.append(t)
+                tf1s.append(t1)
                 dls.append(l)
             if tids:
                 yield pd.DataFrame(
@@ -257,11 +260,14 @@ def decode_postings_rows(postings: DataFrame) -> DataFrame:
                         "term_id": np.concatenate(tids),
                         "doc_id": np.concatenate(docs_),
                         "tf": np.concatenate(tfs).astype(np.int32),
+                        "tf1": np.concatenate(tf1s).astype(np.int32),
                         "dl": np.concatenate(dls),
                     }
                 )
 
-    return postings.mapInPandas(decode, schema="term_id long, doc_id long, tf int, dl long")
+    return postings.mapInPandas(
+        decode, schema="term_id long, doc_id long, tf int, tf1 int, dl long"
+    )
 
 
 def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
@@ -296,7 +302,7 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     # union decoded base + delta rows, refresh df per term, re-encode
     base_rows = decode_postings_rows(base_affected)
     all_rows = base_rows.unionByName(
-        deltas.select("term_id", "doc_id", "tf", "dl")
+        deltas.select("term_id", "doc_id", "tf", "tf1", "dl")
     ).dropDuplicates(["term_id", "doc_id"])
     # the dedup makes compaction IDEMPOTENT: a crash after the barrel
     # swap but before delta-log truncation re-folds the same rows on the
@@ -316,7 +322,7 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     joined = (
         all_rows.join(term_stats.select("term_id", "df"), "term_id")
         .select(
-            "term_id", "df", "doc_id", "tf", "dl",
+            "term_id", "df", "doc_id", "tf", "tf1", "dl",
             ib.salt_col(n_salts, salt_threshold),
         )
     )
