@@ -72,6 +72,78 @@ def positions_delta_dir(paths: ib.IndexPaths) -> str:
     return f"{paths.root}/positions_delta"
 
 
+def tombstones_dir(paths: ib.IndexPaths) -> str:
+    return f"{paths.root}/tombstones"
+
+
+def _seq_path(paths: ib.IndexPaths, bid: str) -> str:
+    return f"{doc_stats_delta_dir(paths)}/batch={bid}/_seq.json"
+
+
+def _assign_batch_seq(paths: ib.IndexPaths, bid: str) -> int:
+    """Monotonic per-batch sequence number for latest-wins conflict
+    resolution when the SAME doc is re-ingested across uncompacted
+    batches. A replay of the same batch_id REUSES its existing seq (the
+    batch's position in the order is a fact of the first delivery);
+    underscore-prefixed files are invisible to Spark's parquet reader."""
+    import json
+
+    p = _seq_path(paths, bid)
+    if os.path.exists(p):
+        with open(p) as f:
+            return int(json.load(f)["seq"])
+    mx = 0
+    root = doc_stats_delta_dir(paths)
+    for d in _batch_subdirs(root):
+        sp = f"{d}/_seq.json"
+        if os.path.exists(sp):
+            with open(sp) as f:
+                mx = max(mx, int(json.load(f)["seq"]))
+    seq = mx + 1
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"seq": seq, "batch": bid}, f)
+    os.replace(tmp, p)
+    return seq
+
+
+def _read_deltas_with_seq(
+    spark: SparkSession, paths: ib.IndexPaths, root: str
+) -> DataFrame | None:
+    """Union the batch=* dirs under ``root`` with each batch's seq as a
+    batch_seq column (falling back to lexicographic order for batches
+    predating seq files)."""
+    import json
+
+    dirs = _batch_subdirs(root)
+    if not dirs:
+        return None
+    out = None
+    for i, d in enumerate(sorted(dirs)):
+        bid = os.path.basename(d).split("=", 1)[1]
+        sp = _seq_path(paths, bid)
+        if os.path.exists(sp):
+            with open(sp) as f:
+                seq = int(json.load(f)["seq"])
+        else:
+            seq = i + 1
+        df = spark.read.parquet(d).withColumn("batch_seq", F.lit(seq))
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _latest_per_doc(deltas: DataFrame) -> DataFrame:
+    """Keep each doc's rows from its HIGHEST batch_seq only — a doc
+    re-ingested across uncompacted batches must contribute exactly its
+    latest version (older versions may contain terms the new one lacks)."""
+    latest = deltas.groupBy("doc_id").agg(F.max("batch_seq").alias("_bs"))
+    return (
+        deltas.join(F.broadcast(latest), "doc_id")
+        .filter(F.col("batch_seq") == F.col("_bs"))
+        .drop("_bs", "batch_seq")
+    )
+
+
 def _batch_subdirs(root: str, exclude: str | None = None) -> list[str]:
     if not os.path.exists(root):
         return []
@@ -120,12 +192,18 @@ def apply_incremental_batch(
     (checkpoint-path hash, micro-batch id). compact() folds all batch
     dirs into the base tables and clears them.
 
-    Limitations (documented, guarded): re-ingesting an IDENTICAL page is
-    deduplicated at compaction; re-ingesting a CHANGED page under the
-    same url needs delete+reindex (tombstone compaction — future work).
-    The positional index IS maintained (positions_delta + fold at
-    compaction) when the index was built with_positions; search_phrase
-    still refuses to run while un-compacted deltas exist."""
+    Re-ingest semantics (tombstone compaction): an IDENTICAL page
+    (matching doc_stats fp) re-collapses at compaction via the
+    (term_id, doc_id) dedup; a CHANGED page under the same url is
+    detected here (fp mismatch against base doc_stats) and its doc_id is
+    tombstoned — compact() then drops ALL of the old version's postings
+    (a full-merge pass over the barrels, the Lucene-style major
+    compaction; rare by construction) before folding in the new rows.
+    The same doc re-ingested across multiple uncompacted batches
+    resolves latest-batch-wins (_latest_per_doc). The positional index
+    IS maintained (positions_delta + fold at compaction) when the index
+    was built with_positions; search_phrase still refuses to run while
+    un-compacted deltas exist."""
     bid = str(batch_id)
     stats = ib.read_stats(spark, paths)
     n_barrels = int(stats["n_barrels"])
@@ -142,10 +220,41 @@ def apply_incremental_batch(
     forward.cache()
     n_new = docs.count()
 
-    # 1. doc_stats batch delta (overwrite -> replay-safe)
-    ib.build_doc_stats(docs).write.mode("overwrite").parquet(
+    # 1. doc_stats batch delta (overwrite -> replay-safe), then the
+    # batch's latest-wins sequence number
+    batch_ds = ib.build_doc_stats(docs)
+    batch_ds.write.mode("overwrite").parquet(
         f"{doc_stats_delta_dir(paths)}/batch={bid}"
     )
+    _assign_batch_seq(paths, bid)
+
+    # 1b. tombstones: incoming docs whose doc_id exists in BASE doc_stats
+    # with a DIFFERENT content fingerprint — the old version's postings
+    # must be purged at compaction. The probe is a broadcast semi-join of
+    # the (small) batch against a (doc_id, fp)-pruned base scan; Iceberg's
+    # MERGE would push the same key lookup into its metadata. Detection is
+    # deterministic per (base, batch), so a replay recreates the identical
+    # tombstone set (the dir is cleared first).
+    tomb_batch_dir = f"{tombstones_dir(paths)}/batch={bid}"
+    shutil.rmtree(tomb_batch_dir, ignore_errors=True)
+    base_ds = spark.read.parquet(paths.doc_stats)
+    batch_keys = batch_ds.select(
+        "doc_id", F.col("fp").alias("_new_fp")
+    )
+    if "fp" in base_ds.columns:
+        changed = (
+            base_ds.select("doc_id", "fp")
+            .join(F.broadcast(batch_keys), "doc_id")
+            .filter(F.col("fp") != F.col("_new_fp"))
+            .select("doc_id")
+        )
+    else:  # legacy index without fp: treat every re-ingest as changed
+        changed = base_ds.select("doc_id").join(
+            F.broadcast(batch_keys.select("doc_id")), "doc_id", "left_semi"
+        )
+    n_changed = changed.count()
+    if n_changed:
+        changed.write.mode("overwrite").parquet(tomb_batch_dir)
 
     # 2. lexicon extension: new terms -> max_id+1.. (app.py:928-944),
     # written to THIS batch's delta dir. The anti-join excludes the
@@ -210,17 +319,31 @@ def apply_incremental_batch(
             .parquet(f"{positions_delta_dir(paths)}/batch={bid}")
         )
 
-    # 4. report the would-be union stats (informational ONLY — the served
-    # paths.stats is NOT touched: rewriting it here would make queries
-    # score base-only postings with union-corpus stats, which is neither
-    # the old nor the new snapshot. compact() performs the swap.)
+    # 4. report the would-be post-compaction stats (informational ONLY —
+    # the served paths.stats is NOT touched: rewriting it here would make
+    # queries score base-only postings with union-corpus stats, which is
+    # neither the old nor the new snapshot. compact() performs the swap.)
+    # Re-ingests count once: latest delta version replaces the base row.
     if os.path.exists(paths.stats_base):
         row = spark.read.parquet(paths.stats_base).collect()[0]
         n_docs, total_dl = int(row["n_docs"]), int(row["total_dl"])
-        for d in _batch_subdirs(doc_stats_delta_dir(paths)):
-            dn, dt = ib.corpus_totals(spark.read.parquet(d))
-            n_docs += dn
-            total_dl += dt
+        all_ds = _read_deltas_with_seq(spark, paths, doc_stats_delta_dir(paths))
+        if all_ds is not None:
+            latest = _latest_per_doc(all_ds)
+            agg = latest.join(
+                base_ds.select("doc_id", F.col("dl").alias("_base_dl")),
+                "doc_id",
+                "left",
+            ).agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("_base_dl").isNull(), 1).otherwise(0)).alias(
+                    "n_new"
+                ),
+                F.sum("dl").alias("dl_new"),
+                F.sum(F.coalesce("_base_dl", F.lit(0))).alias("dl_replaced"),
+            ).collect()[0]
+            n_docs += int(agg["n_new"] or 0)
+            total_dl += int(agg["dl_new"] or 0) - int(agg["dl_replaced"] or 0)
         avgdl = float(total_dl) / n_docs if n_docs else 0.0
     else:  # legacy index without stats_base
         n_docs, avgdl = ib.corpus_stats(read_doc_stats(spark, paths))
@@ -229,7 +352,12 @@ def apply_incremental_batch(
     forward.unpersist()
     if has_positions:
         forward_full.unpersist()
-    return {"new_docs": int(n_new), "n_docs": n_docs, "avgdl": avgdl}
+    return {
+        "new_docs": int(n_new),
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "tombstoned": int(n_changed),
+    }
 
 
 def decode_postings_rows(postings: DataFrame) -> DataFrame:
@@ -272,8 +400,22 @@ def decode_postings_rows(postings: DataFrame) -> DataFrame:
 
 def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     """Fold the delta log into the compressed barrels (steps 5-7 above).
-    Rewrites ONLY the barrels that received deltas — the parquet-directory
-    equivalent of Iceberg rewrite-data-files on affected partitions."""
+
+    Common path (no tombstones): rewrites ONLY the barrels that received
+    deltas — the parquet-directory equivalent of Iceberg
+    rewrite-data-files on affected partitions.
+
+    Tombstone path (some batch re-ingested a CHANGED page): the old
+    version's postings live in barrels NO delta touched (terms the new
+    version lost), so this pass decodes EVERY barrel, drops tombstoned
+    docs' rows, folds the deltas, and re-encodes — a full merge (the
+    Lucene-style major compaction). Changed re-ingests are rare by
+    construction; at 10^12-doc scale the same design holds with a
+    deletion-bitmap service amortizing full merges further.
+
+    Conflict resolution: the same doc across multiple uncompacted batches
+    resolves latest-batch-wins; identical re-ingests collapse via the
+    (term_id, doc_id) dedup (rows are bit-identical)."""
     ddir = delta_dir(paths)
     if not os.path.exists(ddir):
         return {"compacted_barrels": 0}
@@ -282,25 +424,50 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     n_salts = int(stats["n_salts"])
     salt_threshold = int(stats["salt_threshold"])
 
-    deltas = spark.read.parquet(ddir)
-    affected_barrels = sorted(
-        r["barrel"] for r in deltas.select("barrel").distinct().collect()
-    )
-    if not affected_barrels:
+    deltas_seq = _read_deltas_with_seq(spark, paths, ddir)
+    if deltas_seq is None:
         return {"compacted_barrels": 0}
-    affected_terms = deltas.select("term_id").distinct()
+    deltas = _latest_per_doc(deltas_seq)
+
+    tdir = tombstones_dir(paths)
+    tomb = None
+    if os.path.exists(tdir) and _batch_subdirs(tdir):
+        tomb = spark.read.parquet(tdir).select("doc_id").distinct()
+        tomb.cache()
+        full_merge = tomb.count() > 0
+    else:
+        full_merge = False
 
     postings = ib.read_postings(spark, paths.postings)
-    base_in_barrels = postings.filter(F.col("barrel").isin(affected_barrels))
-    base_affected = base_in_barrels.join(
-        F.broadcast(affected_terms), "term_id", "left_semi"
-    )
-    base_untouched = base_in_barrels.join(
-        F.broadcast(affected_terms), "term_id", "left_anti"
-    )
+    if full_merge:
+        # every barrel is affected: the purged doc's terms are anywhere
+        affected_barrels = list(range(n_barrels))
+        base_affected = postings
+        base_untouched = postings.filter(F.lit(False))
+    else:
+        affected_barrels = sorted(
+            r["barrel"] for r in deltas.select("barrel").distinct().collect()
+        )
+        if not affected_barrels:
+            return {"compacted_barrels": 0}
+        affected_terms = deltas.select("term_id").distinct()
+        base_in_barrels = postings.filter(
+            F.col("barrel").isin(affected_barrels)
+        )
+        base_affected = base_in_barrels.join(
+            F.broadcast(affected_terms), "term_id", "left_semi"
+        )
+        base_untouched = base_in_barrels.join(
+            F.broadcast(affected_terms), "term_id", "left_anti"
+        )
 
-    # union decoded base + delta rows, refresh df per term, re-encode
+    # union decoded base (minus tombstoned docs) + delta rows, refresh df
+    # per term, re-encode
     base_rows = decode_postings_rows(base_affected)
+    if full_merge:
+        base_rows = base_rows.join(
+            F.broadcast(tomb), "doc_id", "left_anti"
+        )
     all_rows = base_rows.unionByName(
         deltas.select("term_id", "doc_id", "tf", "tf1", "dl")
     ).dropDuplicates(["term_id", "doc_id"])
@@ -347,20 +514,28 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     merged = base_untouched.unionByName(re_encoded)
 
     # 6. refreshed lexicon: base ∪ uncompacted batch extensions, with
-    # absolute df/cf recount from the merged rows (no additive drift)
+    # absolute df/cf recount from the merged rows (no additive drift).
+    # In a full merge, a term absent from the merged rows truly has ZERO
+    # postings left (all its docs were tombstoned) — df/cf drop to 0 but
+    # the term keeps its id (incremental ids are append-only); in the
+    # common path, absent just means untouched.
     lexicon = read_lexicon(spark, paths)
     upd = term_stats.withColumnsRenamed(
         {"df": "df_new", "cf": "cf_new", "max_tf": "mt_new", "min_dl": "md_new"}
     )
+    old_df = F.lit(0) if full_merge else F.col("df")
+    old_cf = F.lit(0) if full_merge else F.col("cf")
+    old_mt = F.lit(0) if full_merge else F.col("max_tf")
+    old_md = F.lit(0) if full_merge else F.col("min_dl")
     new_lex = (
         lexicon.join(upd, "term_id", "left")
         .select(
             "term",
             "term_id",
-            F.coalesce("df_new", F.col("df")).cast("long").alias("df"),
-            F.coalesce("cf_new", F.col("cf")).cast("long").alias("cf"),
-            F.coalesce("mt_new", F.col("max_tf")).cast("long").alias("max_tf"),
-            F.coalesce("md_new", F.col("min_dl")).cast("long").alias("min_dl"),
+            F.coalesce("df_new", old_df).cast("long").alias("df"),
+            F.coalesce("cf_new", old_cf).cast("long").alias("cf"),
+            F.coalesce("mt_new", old_mt).cast("long").alias("max_tf"),
+            F.coalesce("md_new", old_md).cast("long").alias("min_dl"),
         )
     )
 
@@ -377,9 +552,13 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
         sub = f"group={b % n_groups}/barrel={b}" if n_groups else f"barrel={b}"
         src = f"{staging}/{sub}"
         dst = f"{paths.postings}/{sub}"
-        if os.path.exists(src):  # never drop a barrel we can't replace
+        if os.path.exists(src):
             shutil.rmtree(dst, ignore_errors=True)
             os.replace(src, dst)
+        elif full_merge:
+            # a fully-merged barrel with no staged output lost ALL its
+            # rows (every doc tombstoned) — stale blobs must not survive
+            shutil.rmtree(dst, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
     lex_old = f"{paths.lexicon}_old"
     shutil.rmtree(lex_old, ignore_errors=True)
@@ -387,17 +566,54 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     os.replace(lex_staging, paths.lexicon)
     shutil.rmtree(lex_old, ignore_errors=True)
 
-    # fold doc_stats batch deltas into the base table: parquet part files
-    # are self-contained, so folding is a pure file MOVE (no rewrite; each
-    # os.replace is atomic, so a crash mid-fold just resumes)
+    # fold doc_stats batch deltas into the base table. Fast path (every
+    # delta doc is NEW and appears in exactly one batch): parquet part
+    # files are self-contained, so folding is a pure file MOVE. Rewrite
+    # path (re-ingests/tombstones/cross-batch duplicates): latest delta
+    # row per doc REPLACES the base row — this is the doc_id dedup that
+    # keeps n_docs/avgdl exact under re-ingest (no duplicate doc_stats
+    # rows, ever).
     dsd = doc_stats_delta_dir(paths)
-    for bdir in _batch_subdirs(dsd):
-        tag = os.path.basename(bdir).replace("=", "_")
-        for fn in os.listdir(bdir):
-            if fn.endswith(".parquet"):
-                os.replace(
-                    f"{bdir}/{fn}", f"{paths.doc_stats}/incr_{tag}_{fn}"
+    ds_deltas_seq = _read_deltas_with_seq(spark, paths, dsd)
+    if ds_deltas_seq is not None:
+        base_ds = spark.read.parquet(paths.doc_stats)
+        n_delta = ds_deltas_seq.count()
+        n_distinct = ds_deltas_seq.select("doc_id").distinct().count()
+        n_overlap = (
+            base_ds.select("doc_id")
+            .join(
+                F.broadcast(ds_deltas_seq.select("doc_id").distinct()),
+                "doc_id",
+                "left_semi",
+            )
+            .count()
+        )
+        if n_overlap or n_delta != n_distinct or full_merge:
+            latest_ds = _latest_per_doc(ds_deltas_seq)
+            folded = (
+                base_ds.join(
+                    F.broadcast(latest_ds.select("doc_id")),
+                    "doc_id",
+                    "left_anti",
                 )
+                .unionByName(latest_ds)
+                .dropDuplicates(["doc_id"])  # crash-refold safety
+            )
+            ds_staging = f"{paths.doc_stats}_staging"
+            folded.write.mode("overwrite").parquet(ds_staging)
+            ds_old = f"{paths.doc_stats}_old"
+            shutil.rmtree(ds_old, ignore_errors=True)
+            os.replace(paths.doc_stats, ds_old)
+            os.replace(ds_staging, paths.doc_stats)
+            shutil.rmtree(ds_old, ignore_errors=True)
+        else:
+            for bdir in _batch_subdirs(dsd):
+                tag = os.path.basename(bdir).replace("=", "_")
+                for fn in os.listdir(bdir):
+                    if fn.endswith(".parquet"):
+                        os.replace(
+                            f"{bdir}/{fn}", f"{paths.doc_stats}/incr_{tag}_{fn}"
+                        )
     shutil.rmtree(dsd, ignore_errors=True)
 
     # refresh the base corpus scalars from the folded table (amortized —
@@ -414,19 +630,29 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     ).write.mode("overwrite").parquet(paths.stats)
 
     # fold the positional deltas (if the index keeps positions): rewrite
-    # ONLY the affected barrels of the flat positions table, deduped so a
-    # crash-refold or identical re-ingest cannot duplicate rows
+    # the affected barrels of the flat positions table (ALL barrels in a
+    # full merge, tombstoned docs dropped), latest-batch-wins per doc,
+    # deduped so a crash-refold or identical re-ingest cannot duplicate
+    # rows
     pdd = positions_delta_dir(paths)
     if os.path.exists(paths.positions) and _batch_subdirs(pdd):
-        pos_deltas = spark.read.parquet(pdd).select(
+        pos_deltas_seq = _read_deltas_with_seq(spark, paths, pdd)
+        pos_deltas = _latest_per_doc(pos_deltas_seq).select(
             "term_id", "doc_id", "positions", "barrel"
         )
-        pos_barrels = sorted(
-            r["barrel"] for r in pos_deltas.select("barrel").distinct().collect()
-        )
-        base_pos = spark.read.parquet(paths.positions).filter(
-            F.col("barrel").isin(pos_barrels)
-        )
+        if full_merge:
+            pos_barrels = list(range(n_barrels))
+            base_pos = spark.read.parquet(paths.positions).join(
+                F.broadcast(tomb), "doc_id", "left_anti"
+            )
+        else:
+            pos_barrels = sorted(
+                r["barrel"]
+                for r in pos_deltas.select("barrel").distinct().collect()
+            )
+            base_pos = spark.read.parquet(paths.positions).filter(
+                F.col("barrel").isin(pos_barrels)
+            )
         merged_pos = base_pos.unionByName(pos_deltas).dropDuplicates(
             ["term_id", "doc_id"]
         )
@@ -440,6 +666,8 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
             if os.path.exists(src):
                 shutil.rmtree(dst, ignore_errors=True)
                 os.replace(src, dst)
+            elif full_merge:
+                shutil.rmtree(dst, ignore_errors=True)
         shutil.rmtree(pos_staging, ignore_errors=True)
         shutil.rmtree(pdd, ignore_errors=True)
 
@@ -456,7 +684,14 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     # cached lexicon/theta metadata is stale) until refresh()ed
     shutil.rmtree(ddir)
     shutil.rmtree(lexicon_delta_dir(paths), ignore_errors=True)
+    shutil.rmtree(tombstones_dir(paths), ignore_errors=True)
     epoch = ib.bump_epoch(paths)
     all_rows.unpersist()
     term_stats.unpersist()
-    return {"compacted_barrels": len(affected_barrels), "epoch": epoch}
+    if tomb is not None:
+        tomb.unpersist()
+    return {
+        "compacted_barrels": len(affected_barrels),
+        "epoch": epoch,
+        "full_merge": full_merge,
+    }

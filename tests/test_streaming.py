@@ -303,6 +303,168 @@ def test_ingest_replay_idempotent(spark, tmp_path):
         assert a == b, q
 
 
+def _pages_df(spark, pdf):
+    return spark.createDataFrame(
+        pdf,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+def test_reingest_changed_page_tombstone_compaction(spark, tmp_path):
+    """Re-ingesting CHANGED content under an existing url must tombstone
+    the old version: after compaction the index equals a fresh build over
+    the UPDATED corpus bit-for-bit — including terms the old version had
+    and the new one lost (their postings live in barrels no delta
+    touched)."""
+    from search_engine_spark.sources.pages import generate_pages_pandas
+    from search_engine_spark.streaming.incremental import (
+        apply_incremental_batch,
+        compact,
+    )
+
+    pdf = generate_pages_pandas(np.arange(300))
+    paths = ib.IndexPaths(str(tmp_path / "tidx"))
+    ib.build_index(
+        spark, _pages_df(spark, pdf), paths, n_salts=2, salt_threshold=60,
+        n_barrels=4, id_partitions=4,
+    )
+    # change 3 pages' content under the SAME urls: replace their text with
+    # new html whose body drops old terms and adds a fresh one
+    changed = pdf.iloc[5:8].copy()
+    changed["html"] = [
+        (
+            b"<html><head><title>t%d</title></head><body><p>"
+            b"zzznew best updated content</p></body></html>" % i
+        )
+        for i in (5, 6, 7)
+    ]
+    r = apply_incremental_batch(spark, _pages_df(spark, changed), paths, "c1")
+    assert r["tombstoned"] == 3
+    assert r["new_docs"] == 3  # ingested docs (not net-new, see n_docs)
+    assert r["n_docs"] == int(
+        (pdf["lang"].iloc[:300] == "en").sum()
+    )  # re-ingest adds no net-new docs
+    res = compact(spark, paths)
+    assert res["full_merge"] is True
+
+    # fresh build over the updated corpus
+    updated = pdf.copy()
+    updated.iloc[5:8] = changed
+    fresh_paths = ib.IndexPaths(str(tmp_path / "tfresh"))
+    ib.build_index(
+        spark, _pages_df(spark, updated), fresh_paths, n_salts=2,
+        salt_threshold=60, n_barrels=4, id_partitions=4,
+    )
+    inc = SearchIndex(spark, paths)
+    fresh = SearchIndex(spark, fresh_paths)
+    assert inc.n_docs == fresh.n_docs
+    assert inc.avgdl == fresh.avgdl
+    for q in ["best western", "zzznew", "good well best", "updated content"]:
+        a = search_topk(inc, q, k=10)
+        b = search_topk(fresh, q, k=10)
+        assert [d for d, _ in a] == [d for d, _ in b], q
+        np.testing.assert_array_equal(
+            np.array([s for _, s in a]), np.array([s for _, s in b])
+        )
+    # the OLD versions' unique title terms must still resolve to the same
+    # docs (titles unchanged), and old-only body terms must be purged:
+    # query a term that only the old version of doc 5 contained
+    old_tokens = set(pdf.iloc[5]["text"].split())
+    new_tokens = set("zzznew best updated content".split())
+    lost = [t for t in old_tokens - new_tokens if t.islower()][:3]
+    for t in lost:
+        a = search_topk(inc, t, k=1000)
+        b = search_topk(fresh, t, k=1000)
+        assert a == b, t
+
+
+def test_reingest_identical_page_no_drift(spark, tmp_path):
+    """Re-ingesting an IDENTICAL page must be a no-op after compaction:
+    no duplicate doc_stats row, no stats drift, bit-equal scores vs a
+    fresh build (ADVICE r1 medium finding)."""
+    from search_engine_spark.sources.pages import generate_pages_pandas
+    from search_engine_spark.streaming.incremental import (
+        apply_incremental_batch,
+        compact,
+    )
+
+    pdf = generate_pages_pandas(np.arange(250))
+    paths = ib.IndexPaths(str(tmp_path / "iidx"))
+    ib.build_index(
+        spark, _pages_df(spark, pdf), paths, n_salts=2, salt_threshold=60,
+        n_barrels=4, id_partitions=4,
+    )
+    r = apply_incremental_batch(
+        spark, _pages_df(spark, pdf.iloc[10:20]), paths, "i1"
+    )
+    assert r["tombstoned"] == 0  # identical content -> no tombstone
+    res = compact(spark, paths)
+    assert res["full_merge"] is False
+
+    fresh_paths = ib.IndexPaths(str(tmp_path / "ifresh"))
+    ib.build_index(
+        spark, _pages_df(spark, pdf), fresh_paths, n_salts=2,
+        salt_threshold=60, n_barrels=4, id_partitions=4,
+    )
+    inc = SearchIndex(spark, paths)
+    fresh = SearchIndex(spark, fresh_paths)
+    assert inc.n_docs == fresh.n_docs
+    assert inc.avgdl == fresh.avgdl  # no double-counted doc_stats rows
+    assert (
+        spark.read.parquet(paths.doc_stats)
+        .groupBy("doc_id").count().filter("count > 1").count() == 0
+    )
+    for q in ["best western", "good well"]:
+        a = search_topk(inc, q, k=10)
+        b = search_topk(fresh, q, k=10)
+        assert a == b, q
+
+
+def test_reingest_across_batches_latest_wins(spark, tmp_path):
+    """The same url changed in TWO uncompacted batches: compaction must
+    keep the LATEST version only (batch-seq conflict resolution), equal
+    to a fresh build over the final corpus."""
+    from search_engine_spark.sources.pages import generate_pages_pandas
+    from search_engine_spark.streaming.incremental import (
+        apply_incremental_batch,
+        compact,
+    )
+
+    pdf = generate_pages_pandas(np.arange(200))
+    paths = ib.IndexPaths(str(tmp_path / "lidx"))
+    ib.build_index(
+        spark, _pages_df(spark, pdf), paths, n_salts=2, salt_threshold=60,
+        n_barrels=4, id_partitions=4,
+    )
+    v2 = pdf.iloc[3:4].copy()
+    v2["html"] = [b"<html><head><title>t3</title></head><body><p>version two only</p></body></html>"]
+    v3 = pdf.iloc[3:4].copy()
+    v3["html"] = [b"<html><head><title>t3</title></head><body><p>version three final best</p></body></html>"]
+    apply_incremental_batch(spark, _pages_df(spark, v2), paths, "m1")
+    apply_incremental_batch(spark, _pages_df(spark, v3), paths, "m2")
+    compact(spark, paths)
+
+    updated = pdf.copy()
+    updated.iloc[3:4] = v3
+    fresh_paths = ib.IndexPaths(str(tmp_path / "lfresh"))
+    ib.build_index(
+        spark, _pages_df(spark, updated), fresh_paths, n_salts=2,
+        salt_threshold=60, n_barrels=4, id_partitions=4,
+    )
+    inc = SearchIndex(spark, paths)
+    fresh = SearchIndex(spark, fresh_paths)
+    assert inc.n_docs == fresh.n_docs
+    # v2-only term gone, v3 term present, scores bit-equal
+    assert search_topk(inc, "two", k=10) == search_topk(fresh, "two", k=10)
+    for q in ["three final", "best western"]:
+        a = search_topk(inc, q, k=10)
+        b = search_topk(fresh, q, k=10)
+        assert [d for d, _ in a] == [d for d, _ in b], q
+        np.testing.assert_array_equal(
+            np.array([s for _, s in a]), np.array([s for _, s in b])
+        )
+
+
 def test_epoch_invalidates_stale_handle(spark, tmp_path):
     """A SearchIndex opened before compact() must refuse to serve after it
     (its cached lexicon / WAND bounds are stale); refresh() re-opens."""
