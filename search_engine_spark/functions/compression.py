@@ -295,6 +295,47 @@ def decode_posting_blocks(
     return (d, t, l, t1) if with_tf1 else (d, t, l)
 
 
+def encode_position_lists(lists: list[np.ndarray]) -> list[bytes]:
+    """Batch-compress per-(term,doc) position lists (ascending ints) as
+    delta+varint blobs — one varint pass over the whole batch's
+    concatenated deltas, split back by per-row byte counts (no per-row
+    Python in the varint hot path). Empty lists encode as b''."""
+    if not lists:
+        return []
+    arrs = [np.asarray(p, dtype=np.int64) for p in lists]
+    lens = np.array([len(a) for a in arrs], dtype=np.int64)
+    if lens.sum() == 0:
+        return [b""] * len(arrs)
+    flat = np.concatenate([a for a in arrs if len(a)]).astype(np.int64)
+    # per-row delta with the row's first value kept absolute
+    deltas = np.empty(len(flat), dtype=np.uint64)
+    deltas[1:] = (flat[1:] - flat[:-1]).view(np.uint64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))[lens > 0]
+    deltas[0] = np.uint64(flat[0])
+    deltas[starts] = flat[starts].view(np.uint64)
+    buf, sizes = varint_encode_with_sizes(deltas)
+    byte_ends = np.concatenate(([0], np.cumsum(sizes)))
+    out: list[bytes] = []
+    row_start = 0
+    for n in lens.tolist():
+        if n == 0:
+            out.append(b"")
+            continue
+        b0 = int(byte_ends[row_start])
+        b1 = int(byte_ends[row_start + n])
+        out.append(buf[b0:b1])
+        row_start += n
+    return out
+
+
+def decode_position_list(blob: bytes) -> np.ndarray:
+    """Inverse of one row of encode_position_lists -> ascending int64."""
+    vals = varint_decode(blob)
+    if len(vals) == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.cumsum(vals.view(np.int64))
+
+
 def encode_posting_list(
     doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
 ) -> tuple[bytes, bytes, bytes, np.ndarray, np.ndarray]:

@@ -42,8 +42,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from search_engine_spark.functions.compression import encode_posting_blocks
 from search_engine_spark.functions.hashing import DOC_ID_HEX_CHARS
 from search_engine_spark.functions.text import (
+    extract_fields_series,
     extract_series,
-    extract_title_series,
     normalize_series,
 )
 
@@ -91,8 +91,9 @@ def _extract_normalize_fields_iter(
     html: Iterator[pd.Series],
 ) -> Iterator[pd.DataFrame]:
     for s in html:
-        norm = normalize_series(extract_series(s))
-        tnorm = normalize_series(extract_title_series(s)).astype("string")
+        body, title = extract_fields_series(s)  # one decode pass
+        norm = normalize_series(body)
+        tnorm = normalize_series(title).astype("string")
         # vectorized token count: single-space-joined tokens -> spaces+1
         title_dl = (tnorm.str.count(" ") + 1).where(tnorm != "", 0).astype("int32")
         yield pd.DataFrame({"norm": norm, "title_dl": title_dl})
@@ -607,15 +608,22 @@ def build_index(
 def build_positions(
     forward: DataFrame, lexicon: DataFrame, n_barrels: int = 64
 ) -> DataFrame:
-    """Positional index (term_id, doc_id, positions, barrel) — the
+    """Positional index (term_id, doc_id, n_pos, pos_blob, barrel) — the
     reference stores positions in its forward/inverted index
     (create_forward_index.py:38-47, create_inverted_index.py:86-91); this
     table makes them queryable (query.search_phrase). Positions are
     post-stopword-removal token indices, barrel-partitioned like the
-    postings so phrase probes prune identically. Parquet's int-array
-    encoding compresses the monotone position lists; a delta+varint blob
-    variant is a straightforward extension of encode_posting_blocks."""
-    return (
+    postings so phrase probes prune identically.
+
+    Storage: delta+varint blob per (term, doc) via
+    compression.encode_position_lists — positions are small ascending
+    ints, so most deltas fit one byte (vs parquet's 4-byte int leaves),
+    cutting the phrase-index bytes on disk AND over the shuffle. The
+    decode is one Arrow pass in search_phrase before the JVM adjacency
+    joins."""
+    import numpy as np
+
+    rows = (
         forward.select("doc_id", "term", "positions")
         .join(lexicon.select("term", "term_id"), "term")
         .select(
@@ -624,6 +632,25 @@ def build_positions(
             "positions",
             F.pmod("term_id", F.lit(n_barrels)).cast("int").alias("barrel"),
         )
+    )
+    from search_engine_spark.functions.compression import encode_position_lists
+
+    def compress(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lists = [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
+            yield pd.DataFrame(
+                {
+                    "term_id": pdf["term_id"].to_numpy(),
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_pos": np.array([len(p) for p in lists], dtype=np.int32),
+                    "pos_blob": encode_position_lists(lists),
+                    "barrel": pdf["barrel"].to_numpy(),
+                }
+            )
+
+    return rows.mapInPandas(
+        compress,
+        schema="term_id long, doc_id long, n_pos int, pos_blob binary, barrel int",
     )
 
 

@@ -540,6 +540,28 @@ def search_phrase(
     pos = pos.filter(
         F.col("barrel").isin(barrels) & F.col("term_id").isin(sorted(set(tids)))
     )
+    if "pos_blob" in pos.columns:
+        # compressed positional layout: one Arrow decode pass over ONLY
+        # the pruned (barrel, term) rows, then the JVM adjacency joins
+        from search_engine_spark.functions.compression import (
+            decode_position_list,
+        )
+
+        def _decode_pos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "term_id": pdf["term_id"].to_numpy(),
+                        "doc_id": pdf["doc_id"].to_numpy(),
+                        "positions": [
+                            decode_position_list(b) for b in pdf["pos_blob"]
+                        ],
+                    }
+                )
+
+        pos = pos.mapInPandas(
+            _decode_pos, schema="term_id long, doc_id long, positions array<long>"
+        )
     cur = (
         pos.filter(F.col("term_id") == tids[0])
         .select("doc_id", F.col("positions").alias("match"))

@@ -304,16 +304,12 @@ def apply_incremental_batch(
         f"{delta_dir(paths)}/batch={bid}"
     )
 
-    # 3b. positional delta (same replay-safe shape) when the index keeps
+    # 3b. positional delta (same replay-safe shape, same compressed
+    # delta+varint layout as the base table) when the index keeps
     # positions — compaction folds it so search_phrase stays exact
     if has_positions:
         (
-            forward_full.select("doc_id", "term", "positions")
-            .join(lexicon.select("term", "term_id"), "term")
-            .select(
-                "term_id", "doc_id", "positions",
-                F.pmod("term_id", F.lit(n_barrels)).cast("int").alias("barrel"),
-            )
+            ib.build_positions(forward_full, lexicon, n_barrels)
             .write.mode("overwrite")
             .partitionBy("barrel")
             .parquet(f"{positions_delta_dir(paths)}/batch={bid}")
@@ -637,9 +633,10 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     pdd = positions_delta_dir(paths)
     if os.path.exists(paths.positions) and _batch_subdirs(pdd):
         pos_deltas_seq = _read_deltas_with_seq(spark, paths, pdd)
-        pos_deltas = _latest_per_doc(pos_deltas_seq).select(
-            "term_id", "doc_id", "positions", "barrel"
-        )
+        pos_cols = [
+            c for c in pos_deltas_seq.columns if c != "batch_seq"
+        ]
+        pos_deltas = _latest_per_doc(pos_deltas_seq).select(*pos_cols)
         if full_merge:
             pos_barrels = list(range(n_barrels))
             base_pos = spark.read.parquet(paths.positions).join(

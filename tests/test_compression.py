@@ -144,3 +144,41 @@ def test_block_codec_roundtrip_and_selective_decode(postings, rnd):
         assert d3.tolist() == d[mask].tolist()
         assert t3.tolist() == t[mask].tolist()
         assert l3.tolist() == l[mask].tolist()
+
+
+# --- positional codec (delta+varint per (term,doc) list) -------------------
+
+
+def test_position_lists_roundtrip():
+    import numpy as np
+
+    from search_engine_spark.functions.compression import (
+        decode_position_list,
+        encode_position_lists,
+    )
+
+    rng = np.random.default_rng(7)
+    lists = []
+    for n in [0, 1, 2, 5, 128, 400, 0, 3]:
+        if n == 0:
+            lists.append(np.empty(0, dtype=np.int64))
+        else:
+            lists.append(np.cumsum(rng.integers(1, 50, size=n)).astype(np.int64))
+    blobs = encode_position_lists(lists)
+    assert len(blobs) == len(lists)
+    for blob, orig in zip(blobs, lists):
+        got = decode_position_list(blob)
+        assert got.tolist() == orig.tolist()
+
+
+def test_position_blob_smaller_than_int_arrays():
+    """The point of the codec: small ascending deltas fit ~1 byte each."""
+    import numpy as np
+
+    from search_engine_spark.functions.compression import encode_position_lists
+
+    lists = [np.arange(0, 1000, 3, dtype=np.int64) for _ in range(20)]
+    blobs = encode_position_lists(lists)
+    raw = sum(len(p) * 4 for p in lists)  # int32 array baseline
+    enc = sum(len(b) for b in blobs)
+    assert enc < raw / 2

@@ -97,3 +97,31 @@ def test_clean_title_variant():
         assert clean_title(raw) == want, raw
     got = clean_title_series(pd.Series([c[0] for c in cases], dtype=object))
     assert got.tolist() == [c[1] for c in cases]
+
+
+def test_extract_fields_series_equivalence():
+    """extract_fields_series (single-decode fast path) must equal
+    (extract_series, extract_title_series) element-wise."""
+    import pandas as pd
+
+    from search_engine_spark.functions.text import (
+        extract_fields_series,
+        extract_series,
+        extract_title_series,
+    )
+
+    cases = pd.Series(
+        [
+            b"<html><head><title>Best Hotel</title></head><body>x y</body></html>",
+            b"<html><body>no title here</body></html>",
+            b"<html><head><TITLE lang=en>Upper  Case\nTitle</TITLE></head><body>b</body></html>",
+            b"",
+            None,
+            b"<title>only title</title>",
+            b"plain text, no tags",
+        ],
+        dtype=object,
+    )
+    body, title = extract_fields_series(cases)
+    assert body.tolist() == extract_series(cases).tolist()
+    assert title.tolist() == extract_title_series(cases).tolist()
