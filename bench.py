@@ -39,11 +39,16 @@ BENCH_QUERIES = [
     "bm25_topk_or",
     "phrase_bm25_topk",
     "bm25_topk_and",
+    "bm25f_topk",
+    "field_weighted_topk",
+    "bm25_filtered_topk",
+    "rollup_topk",
     "term_tf",
     "lexicon",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash",
+    "simhash_near_dup",
     "embedding_cosine_topk",
     "quality_score",
     "groupby_multi_mean",
@@ -54,10 +59,11 @@ BENCH_QUERIES = [
 ]
 
 ENGINE_QUERIES = {
-    "engine_q_western": ("western best", "OR"),
-    "engine_q_multi": ("good well western", "OR"),
-    "engine_q_and": ("good well western", "AND"),
-    "engine_q_single": ("best", "OR"),
+    "engine_q_western": ("western best", "OR", None),
+    "engine_q_multi": ("good well western", "OR", None),
+    "engine_q_and": ("good well western", "AND", None),
+    "engine_q_single": ("best", "OR", None),
+    "engine_q_weighted": ("western best", "OR", (2.0, 1.0)),
 }
 
 
@@ -101,9 +107,9 @@ def run_bench(sf_dir: str, cpus: str, scaling: bool) -> dict:
         # 2. BM25 query latency over compressed barrels (WAND on)
         idx = SearchIndex(spark, ib.IndexPaths(f"{work}/index"))
         lat = []
-        for qname, (qtext, qmode) in ENGINE_QUERIES.items():
+        for qname, (qtext, qmode, fw) in ENGINE_QUERIES.items():
             t0 = time.monotonic()
-            search_topk(idx, qtext, k=10, mode=qmode)
+            search_topk(idx, qtext, k=10, mode=qmode, field_weights=fw)
             dt = time.monotonic() - t0
             timings[qname] = round(dt, 3)
             lat.append(dt)

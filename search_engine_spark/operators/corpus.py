@@ -620,10 +620,11 @@ def _engine_index(spark: SparkSession, sf_dir: str):
     ib.build_positions(forward, lexicon, 8).write.mode("overwrite").partitionBy(
         "barrel"
     ).parquet(out.positions)
-    spark.createDataFrame(
-        [(n_docs, avgdl, 4, 100, 8)],
+    ib.write_scalar_parquet(
+        out.stats,
         "n_docs long, avgdl double, n_salts int, salt_threshold long, n_barrels int",
-    ).write.mode("overwrite").parquet(out.stats)
+        (n_docs, avgdl, 4, 100, 8),
+    )
     docs.unpersist()
     forward.unpersist()
     idx = SearchIndex(spark, out)
@@ -738,22 +739,42 @@ def shingle_df(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     )
 
 
+# universal-hash family for the minhash signature: ONE md5 per shingle
+# (the only cryptographic hash), then k cheap (a_i·h + b_i) mod p mixes —
+# at 100 TB this cuts the signature cost from k md5 passes over every
+# shingle to one, and the mod-mul arithmetic stays in whole-stage codegen.
+# p = 2^31 - 1 keeps a·h < 2^62 (no 64-bit overflow on either engine).
+_MH_P = 2_147_483_647
+_MH_A0, _MH_A1 = 1_664_525, 1_013_904_223  # a_i = (A0 + i·A1) mod p
+_MH_B0, _MH_B1 = 12_345, 69_069  # b_i = (B0 + i·B1) mod p
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash over 3-word shingles: signature element s = min over
-    shingles of md5(s || '|' || shingle) — md5 is the cross-engine hash
-    family (seeded by prefix), min taken on the hex string ordering which
-    is identical everywhere. (doc_id, seed, minhash)."""
+    """MinHash over 3-word shingles: shingle key h = md5-derived 60-bit
+    int mod p (same md5→BIGINT idiom as doc ids — bit-identical across
+    Spark/DuckDB/Python); signature element i = min over shingles of
+    (a_i·h + b_i) mod p. (doc_id, seed, minhash)."""
     sh = shingle_df(spark, sf_dir, 3)
+    hashed = sh.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+            .cast("long")
+            % _MH_P
+        ).alias("h"),
+    )
     seeds = spark.range(_N_HASHES).select(F.col("id").cast("int").alias("seed"))
+    a = (F.lit(_MH_A0) + F.col("seed").cast("long") * F.lit(_MH_A1)) % _MH_P
+    b = (F.lit(_MH_B0) + F.col("seed").cast("long") * F.lit(_MH_B1)) % _MH_P
     return (
-        sh.crossJoin(F.broadcast(seeds))
+        hashed.crossJoin(F.broadcast(seeds))
         .select(
             "doc_id",
             "seed",
-            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+            ((a * F.col("h") + b) % _MH_P).alias("mh"),
         )
         .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+        .agg(F.min("mh").alias("minhash"))
     )
 
 
@@ -782,7 +803,7 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.sort_array(
                             F.collect_list(F.struct("seed", "minhash"))
                         ),
-                        lambda s: s["minhash"],
+                        lambda s: s["minhash"].cast("string"),
                     ),
                 )
             ).alias("band_key")
@@ -1229,10 +1250,16 @@ sh AS (
        unnest(range(1, GREATEST(len(arr) - 1, 1))) AS t(i)
 ),
 seeds AS (SELECT unnest(range(0, {_N_HASHES})) AS seed),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {_MH_P} AS h
+  FROM sh
+),
 sig AS (
   SELECT doc_id, CAST(seed AS INT) AS seed,
-         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
-  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+         MIN((((({_MH_A0} + seed * {_MH_A1}) % {_MH_P}) * h
+               + (({_MH_B0} + seed * {_MH_B1}) % {_MH_P})) % {_MH_P})) AS minhash
+  FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed
 )
 """
 
@@ -1241,7 +1268,8 @@ sig AS (
 # order)
 _LSH_CANDS_CTE = f"""
 bands AS (
-  SELECT doc_id, band, md5(STRING_AGG(minhash, '|' ORDER BY seed)) AS band_key
+  SELECT doc_id, band,
+         md5(STRING_AGG(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
   FROM (SELECT doc_id, seed, CAST(seed // {_LSH_ROWS} AS INT) AS band, minhash
         FROM sig) s
   GROUP BY doc_id, band

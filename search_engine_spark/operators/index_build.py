@@ -87,32 +87,32 @@ def extract_udf(col):
     return F.pandas_udf(_extract_iter, "string")(col)
 
 
-def _extract_normalize_fields_iter(
-    html: Iterator[pd.Series],
+def _extract_normalize_fields_fn(
+    batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    for s in html:
-        body, title = extract_fields_series(s)  # one decode pass
-        norm = normalize_series(body)
-        tnorm = normalize_series(title).astype("string")
-        # vectorized token count: single-space-joined tokens -> spaces+1
-        title_dl = (tnorm.str.count(" ") + 1).where(tnorm != "", 0).astype("int32")
-        yield pd.DataFrame({"norm": norm, "title_dl": title_dl})
+    """(url, html) -> (url, norm, title_dl) in ONE Arrow pass.
 
-
-def extract_normalize_fields_udf(col):
-    """html binary -> struct(norm string, title_dl int) in ONE Arrow pass
-    (tag-strip runs once for the body+title composite, once for the small
-    title slice — not two full extractions of the page).
+    mapInPandas, NOT a struct-returning pandas_udf: Catalyst collapses
+    the two struct-field projections into TWO copies of the UDF
+    expression, silently doubling the extraction cost (measured 2.2 s vs
+    1.1 s on 50k pages) — mapInPandas evaluates once by construction.
 
     Because the <title> is the first text extract_text emits, norm(doc) =
     norm(title) ++ " " ++ norm(body): title_dl (the normalized title
     token count) is the per-doc FIELD BOUNDARY inside norm — the fields
-    channel of the reference forward index
-    (create_forward_index.py:47-49) as a prefix rule, with per-posting
-    title-tf = |positions < title_dl|."""
-    return F.pandas_udf(
-        _extract_normalize_fields_iter, "norm string, title_dl int"
-    )(col)
+    channel of the reference forward index (create_forward_index.py:47-49)
+    as a prefix rule, with per-posting title-tf = |positions < title_dl|."""
+    for pdf in batches:
+        body, title = extract_fields_series(pdf["html"])  # one decode pass
+        norm = normalize_series(body)
+        tnorm = normalize_series(title).astype("string")
+        # vectorized token count: single-space-joined tokens -> spaces+1
+        title_dl = (
+            (tnorm.str.count(" ") + 1).where(tnorm != "", 0).astype("int32")
+        )
+        yield pd.DataFrame(
+            {"url": pdf["url"], "norm": norm, "title_dl": title_dl}
+        )
 
 
 def normalize_udf(col):
@@ -141,12 +141,12 @@ def normalize_pages(pages: DataFrame) -> DataFrame:
     norm (title tokens are norm's prefix; extract_title_normalize_udf)."""
     return (
         pages.filter(F.col("lang") == "en")
-        .select(
-            doc_id_col("url").alias("doc_id"),
-            "url",
-            extract_normalize_fields_udf("html").alias("nf"),
+        .select("url", "html")
+        .mapInPandas(
+            _extract_normalize_fields_fn,
+            schema="url string, norm string, title_dl int",
         )
-        .select("doc_id", "url", "nf.norm", "nf.title_dl")
+        .select(doc_id_col("url").alias("doc_id"), "url", "norm", "title_dl")
     )
 
 
@@ -163,45 +163,99 @@ def build_doc_stats(docs: DataFrame) -> DataFrame:
 
 
 def build_forward(docs: DataFrame, with_positions: bool = True) -> DataFrame:
-    """Forward index (doc_id, term, tf, tf1[, positions], first_pos) —
-    SURVEY.md §2.4 A5 (create_forward_index.py:36-49): posexplode +
-    groupBy replaces the reference's per-doc dict building; Spark's
-    partial+final hash agg is the map-side combine.
+    """Forward index (doc_id, term, tf, tf1[, positions], first_pos, dl)
+    — SURVEY.md §2.4 A5 (create_forward_index.py:36-49), computed
+    ENTIRELY map-side in one Arrow pass: per-(doc, term) aggregation is a
+    within-document operation, so a (doc_id, term) groupBy would shuffle
+    millions of already-unique rows just to confirm they are unique.
+    Round 1 paid that exchange (posexplode + partial/final hash agg); at
+    100 TB it is a full-corpus shuffle that moves nothing anywhere — the
+    pandas groupby inside the UDF produces the identical rows with ZERO
+    exchanges. The downstream shuffles that remain (lexicon groupBy(term),
+    postings repartition(term_id, salt)) are the ones that genuinely
+    relocate data.
 
     tf1 is the TITLE-FIELD tf (positions < the doc's title_dl boundary) —
     the per-field channel of the reference forward index
     (create_forward_index.py:47-49 field_matches). Docs without a
-    title_dl column get tf1 = 0 (single-field corpus). One SUM(CASE) in
-    the same agg — the fields channel adds no extra pass or shuffle.
+    title_dl column get tf1 = 0 (single-field corpus).
 
-    with_positions=False skips the sort_array(collect_list) — the BM25
-    build needs only tf (positions exist for phrase/position features and
-    the reference-parity tests), and dropping them cuts the widest shuffle
-    of the build.
+    with_positions=True adds the per-(doc,term) ascending positions list
+    (phrase/position features); skipping it avoids materializing the
+    widest column.
 
-    dl (doc token count) rides along through the explode + agg (first(dl)
-    per (doc,term) group is constant) — this keeps build_postings free of
-    a forward ⋈ doc_stats shuffle join just to fetch the BM25 length
-    norm."""
+    dl (doc token count) rides along (constant per doc) — this keeps
+    build_postings free of a forward ⋈ doc_stats shuffle join just to
+    fetch the BM25 length norm."""
     has_fields = "title_dl" in docs.columns
-    boundary = F.col("title_dl") if has_fields else F.lit(0)
-    exploded = docs.select(
-        "doc_id",
-        F.size(tokens_col("norm")).alias("dl"),
-        boundary.alias("_tb"),
-        F.posexplode(tokens_col("norm")).alias("pos", "term"),
-    )
-    aggs = [
-        F.count("*").cast("int").alias("tf"),
-        F.sum((F.col("pos") < F.col("_tb")).cast("int"))
-        .cast("int")
-        .alias("tf1"),
-        F.min("pos").alias("first_pos"),
-        F.first("dl").alias("dl"),
-    ]
+    cols = ["doc_id", "norm"] + (["title_dl"] if has_fields else [])
+
+    def fwd_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = pdf["norm"].str.split(" ")
+            lens = np.array(
+                [0 if (len(t) == 1 and t[0] == "") else len(t) for t in toks],
+                dtype=np.int64,
+            )
+            n_docs = len(pdf)
+            doc_ids = pdf["doc_id"].to_numpy()
+            tdl = (
+                pdf["title_dl"].to_numpy()
+                if has_fields
+                else np.zeros(n_docs, dtype=np.int64)
+            )
+            flat_terms = np.concatenate(
+                [np.asarray(t, dtype=object) for t, n in zip(toks, lens) if n]
+            ) if lens.sum() else np.empty(0, dtype=object)
+            doc_rep = np.repeat(np.arange(n_docs), lens)
+            pos = np.arange(len(flat_terms)) - np.repeat(
+                np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+            )
+            g = pd.DataFrame(
+                {
+                    "d": doc_rep,
+                    "term": flat_terms,
+                    "pos": pos,
+                    "in_title": (pos < tdl[doc_rep]).astype(np.int32),
+                }
+            )
+            if with_positions:
+                grouped = g.groupby(["d", "term"], sort=False).agg(
+                    tf=("pos", "count"),
+                    first_pos=("pos", "min"),
+                    tf1=("in_title", "sum"),
+                    positions=("pos", lambda x: x.to_list()),
+                )
+            else:
+                grouped = g.groupby(["d", "term"], sort=False).agg(
+                    tf=("pos", "count"),
+                    first_pos=("pos", "min"),
+                    tf1=("in_title", "sum"),
+                )
+            grouped = grouped.reset_index()
+            d_idx = grouped["d"].to_numpy()
+            out = {
+                "doc_id": doc_ids[d_idx],
+                "term": grouped["term"].to_numpy(),
+                "tf": grouped["tf"].to_numpy().astype(np.int32),
+                "tf1": grouped["tf1"].to_numpy().astype(np.int32),
+                "first_pos": grouped["first_pos"].to_numpy().astype(np.int32),
+                "dl": lens[d_idx],
+            }
+            if with_positions:
+                out["positions"] = grouped["positions"].to_numpy()
+                yield pd.DataFrame(out)[
+                    ["doc_id", "term", "tf", "tf1", "positions",
+                     "first_pos", "dl"]
+                ]
+            else:
+                yield pd.DataFrame(out)
+
+    schema = "doc_id long, term string, tf int, tf1 int, "
     if with_positions:
-        aggs.insert(2, F.sort_array(F.collect_list("pos")).alias("positions"))
-    return exploded.groupBy("doc_id", "term").agg(*aggs)
+        schema += "positions array<int>, "
+    schema += "first_pos int, dl long"
+    return docs.select(*cols).mapInPandas(fwd_fn, schema=schema)
 
 
 def assign_dense_ids(
@@ -571,9 +625,9 @@ def build_index(
     doc_stats = spark.read.parquet(out.doc_stats)
     n_docs, total_dl = corpus_totals(doc_stats)
     avgdl = float(total_dl) / n_docs if n_docs else 0.0
-    spark.createDataFrame(
-        [(n_docs, total_dl)], "n_docs long, total_dl long"
-    ).write.mode("overwrite").parquet(out.stats_base)
+    write_scalar_parquet(
+        out.stats_base, "n_docs long, total_dl long", (n_docs, total_dl)
+    )
 
     forward = build_forward(docs, with_positions=with_positions)
     forward.cache()
@@ -595,11 +649,11 @@ def build_index(
             "overwrite"
         ).partitionBy("barrel").parquet(out.positions)
 
-    stats = spark.createDataFrame(
-        [(n_docs, avgdl, n_salts, salt_threshold, n_barrels)],
+    write_scalar_parquet(
+        out.stats,
         "n_docs long, avgdl double, n_salts int, salt_threshold long, n_barrels int",
+        (n_docs, avgdl, n_salts, salt_threshold, n_barrels),
     )
-    stats.write.mode("overwrite").parquet(out.stats)
     docs.unpersist()
     forward.unpersist()
     return {"n_docs": n_docs, "avgdl": avgdl, "n_barrels": n_barrels}
@@ -712,3 +766,34 @@ def read_postings(spark: SparkSession, path: str) -> DataFrame:
 def read_stats(spark: SparkSession, out: IndexPaths) -> dict:
     r = spark.read.parquet(out.stats).collect()[0]
     return {k: r[k] for k in r.asDict()}
+
+
+_PA_TYPES = {"long": "int64", "double": "float64", "int": "int32"}
+
+
+def write_scalar_parquet(path: str, schema: str, row: tuple) -> None:
+    """Write a ONE-ROW parquet table driver-side via pyarrow — no Spark
+    job. The build/compact paths write several single-row metadata tables
+    (stats, stats_base); as Spark jobs each costs ~0.5-1 s of pure
+    scheduling+commit overhead, which is SERIAL time under Amdahl and was
+    a measurable slice of the round-1 N→4N scaling gap. ``schema`` is the
+    same Spark DDL string the previous createDataFrame(...) used, so
+    readers see identical column types."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields = []
+    for col in schema.split(","):
+        name, typ = col.strip().split(" ")
+        fields.append(pa.field(name, getattr(pa, _PA_TYPES[typ])()))
+    table = pa.Table.from_arrays(
+        [pa.array([v], type=f.type) for v, f in zip(row, fields)],
+        schema=pa.schema(fields),
+    )
+    import os
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(table, f"{path}/part-00000.parquet")

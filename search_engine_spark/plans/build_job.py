@@ -120,9 +120,9 @@ def resumable_build(
     doc_stats = spark.read.parquet(out.doc_stats)
     n_docs, total_dl = ib.corpus_totals(doc_stats)
     avgdl = float(total_dl) / n_docs if n_docs else 0.0
-    spark.createDataFrame(
-        [(n_docs, total_dl)], "n_docs long, total_dl long"
-    ).write.mode("overwrite").parquet(out.stats_base)
+    ib.write_scalar_parquet(
+        out.stats_base, "n_docs long, total_dl long", (n_docs, total_dl)
+    )
 
     forward = ib.build_forward(docs, with_positions=with_positions)
     forward.cache()
@@ -215,11 +215,11 @@ def resumable_build(
 
     # -- step: stats (last: marks the index complete) ------------------------
     if not manifest.done("stats"):
-        stats = spark.createDataFrame(
-            [(n_docs, avgdl, n_salts, salt_threshold, n_barrels)],
+        ib.write_scalar_parquet(
+            out.stats,
             "n_docs long, avgdl double, n_salts int, salt_threshold long, n_barrels int",
+            (n_docs, avgdl, n_salts, salt_threshold, n_barrels),
         )
-        stats.write.mode("overwrite").parquet(out.stats)
         manifest.commit(
             {"step": "stats", "run_id": run_id, "rows": 1, "bytes": _dir_bytes(out.stats),
              "wall_ms": 0, "input_files": lineage}

@@ -21,9 +21,20 @@ def get_spark(
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(8, int(cpus) if cpus.isdigit() else 32)
+    # scaling-measurement hook (tools/scaling_campaign.py): e.g.
+    # -XX:ActiveProcessorCount=N so the JVM sizes GC/JIT thread pools for
+    # the measured core budget instead of the host's 32 — without it a
+    # local[4] run borrows ~32-core GC parallelism and the N->4N
+    # comparison undercounts the 4-core cost
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+    )
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
+    builder = (
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

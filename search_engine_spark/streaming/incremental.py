@@ -616,14 +616,15 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     # per-ingest reads stay O(delta)), and swap the SERVED stats in the
     # same step: this is the moment the new corpus becomes visible
     bn, bt = ib.corpus_totals(spark.read.parquet(paths.doc_stats))
-    spark.createDataFrame(
-        [(bn, bt)], "n_docs long, total_dl long"
-    ).write.mode("overwrite").parquet(paths.stats_base)
+    ib.write_scalar_parquet(
+        paths.stats_base, "n_docs long, total_dl long", (bn, bt)
+    )
     avgdl_new = float(bt) / bn if bn else 0.0
-    spark.createDataFrame(
-        [(bn, avgdl_new, n_salts, salt_threshold, n_barrels)],
+    ib.write_scalar_parquet(
+        paths.stats,
         "n_docs long, avgdl double, n_salts int, salt_threshold long, n_barrels int",
-    ).write.mode("overwrite").parquet(paths.stats)
+        (bn, avgdl_new, n_salts, salt_threshold, n_barrels),
+    )
 
     # fold the positional deltas (if the index keeps positions): rewrite
     # the affected barrels of the flat positions table (ALL barrels in a

@@ -41,9 +41,12 @@ def main() -> None:
             p.map(burn, range(TASKS))
         out[str(n)] = round(time.monotonic() - t0, 2)
     result = {"wall_sec": out}
-    for a, b in [(4, 16), (8, 32)]:
+    pairs = [(4, 16), (8, 32)]
+    if len(levels) == 2 and levels[1] == 4 * levels[0]:
+        pairs.append((levels[0], levels[1]))
+    for a, b in pairs:
         ka, kb = str(a), str(b)
-        if ka in out and kb in out:
+        if ka in out and kb in out and f"hw_speedup_{a}_{b}" not in result:
             result[f"hw_speedup_{a}_{b}"] = round(out[ka] / out[kb], 2)
             result[f"hw_efficiency_{a}_{b}"] = round(out[ka] / out[kb] / 4.0, 3)
     print(json.dumps(result))
