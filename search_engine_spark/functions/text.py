@@ -91,6 +91,31 @@ _CONTRACTIONS_BASE = {
     "here's": "here is", "what's": "what is", "who's": "who is",
     "let's": "let us", "y'all": "you all", "gonna": "going to",
     "wanna": "want to", "gotta": "got to",
+    # extended coverage toward the `contractions` package's inventory
+    # (reference tokenizer.py:55-56): wh-forms, modal+'ve, common slang
+    "that'd": "that would", "there'd": "there would",
+    "there'll": "there will", "there're": "there are",
+    "what're": "what are", "what've": "what have", "what'll": "what will",
+    "where's": "where is", "where're": "where are", "where'd": "where did",
+    "when's": "when is", "why's": "why is", "how's": "how is",
+    "how'd": "how did", "how'll": "how will",
+    "who're": "who are", "who've": "who have", "who'll": "who will",
+    "who'd": "who would", "which's": "which is",
+    "would've": "would have", "could've": "could have",
+    "should've": "should have", "might've": "might have",
+    "must've": "must have", "needn't've": "need not have",
+    "shouldn't've": "should not have", "wouldn't've": "would not have",
+    "couldn't've": "could not have", "mightn't've": "might not have",
+    "daren't": "dare not", "oughtn't": "ought not", "mayn't": "may not",
+    "'cause": "because", "o'clock": "of the clock", "ma'am": "madam",
+    "ne'er": "never", "'tis": "it is", "'twas": "it was",
+    "gimme": "give me", "lemme": "let me", "dunno": "do not know",
+    "kinda": "kind of", "sorta": "sort of", "outta": "out of",
+    "lotta": "lot of", "cuppa": "cup of", "gotta've": "got to have",
+    "somebody's": "somebody is", "someone's": "someone is",
+    "something's": "something is", "everybody's": "everybody is",
+    "everyone's": "everyone is", "everything's": "everything is",
+    "nobody's": "nobody is", "nothing's": "nothing is",
 }
 
 

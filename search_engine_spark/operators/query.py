@@ -86,11 +86,19 @@ class SearchIndex:
         self.doc_stats = spark.read.parquet(paths.doc_stats)
         # hot-term theta sketches (tiny: one row per SALTED term) — the
         # driver-side WAND threshold source for Zipf-head queries
+        # Driver-memory cap: one tiny row (≤THETA_K postings) per HOT term;
+        # hot terms are the Zipf head so their count grows ~log with the
+        # corpus, but the cap bounds the worst case. An un-loaded hot term
+        # degrades gracefully: _sketch_theta simply contributes nothing
+        # for it (theta stays a valid lower bound) and search() falls back
+        # to the distributed rarest-term pass when the rarest term has no
+        # sketch.
         self.hot_bounds: dict[int, tuple] = {}
+        max_hot_terms = 200_000
         import os
 
         if os.path.exists(paths.hot_bounds):
-            for r in spark.read.parquet(paths.hot_bounds).collect():
+            for r in spark.read.parquet(paths.hot_bounds).take(max_hot_terms):
                 self.hot_bounds[int(r["term_id"])] = (
                     np.asarray(r["docs"], dtype=np.int64),
                     np.asarray(r["tfs"], dtype=np.float64),
