@@ -1072,6 +1072,67 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_K = 8
+_KMEANS_ITERS = 2
+
+
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned IVF coarse quantizer: K-means (Lloyd) centroids over the
+    embedding table — deterministic init (the vectors with vec_id 1..K),
+    _KMEANS_ITERS assignment/recompute rounds, all declarative (posexplode
+    + hash aggs + broadcast joins, no UDF). Output: per-cluster size and
+    centroid norm after the final recompute.
+
+    Cross-engine determinism: assignment uses squared L2 distance ROUNDED
+    to 6 dp with cluster-id tiebreak, and centroid components are rounded
+    to 6 dp per iteration before re-entering arithmetic — the same
+    round-before-rank discipline the IVF cell probe uses (unrounded float
+    sums differ in the last ulp between engines and could flip an argmin).
+    At 100 TB each iteration is one scan + one (cluster, dim) hash agg;
+    centroids broadcast (K·dim doubles)."""
+    emb = embeddings(spark, sf_dir).select("vec_id", "embedding")
+    # exploded points: (vec_id, dim, x)
+    pts = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    # init: cluster c (0-based) = vector vec_id = c+1, components rounded
+    cents = (
+        pts.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _KMEANS_K))
+        .select(
+            (F.col("vec_id") - 1).cast("int").alias("c"),
+            "dim",
+            F.round("x", 6).alias("m"),
+        )
+    )
+    for _ in range(_KMEANS_ITERS):
+        # assign: argmin_c round(sum_d (x - m)^2, 6), tie -> lowest c
+        d2 = (
+            pts.join(F.broadcast(cents), "dim")
+            .withColumn("sq", (F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
+            .groupBy("vec_id", "c")
+            .agg(F.round(F.sum("sq"), 6).alias("d2"))
+        )
+        assign = (
+            d2.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "c")).alias("best"))
+            .select("vec_id", F.col("best.c").alias("c"))
+        )
+        # recompute: per-(cluster, dim) mean, rounded
+        cents = (
+            pts.join(assign, "vec_id")
+            .groupBy("c", "dim")
+            .agg(F.round(F.sum("x") / F.count("*"), 6).alias("m"))
+        )
+    sizes = assign.groupBy("c").agg(F.count("*").cast("long").alias("n_vectors"))
+    norms = cents.groupBy("c").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_norm")
+    )
+    return (
+        sizes.join(norms, "c")
+        .select(F.col("c").cast("int").alias("cluster"), "n_vectors", "centroid_norm")
+    )
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs, BLOCKED BY CELL (label):
     the scalable shape — an equi-join on the blocking key instead of an
@@ -1464,6 +1525,7 @@ dots AS (
 SELECT vec_id, ROUND(dot / (na * nb), 4) AS cosine
 FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT {TOPK}
 """,
+    "kmeans_centroids": None,  # assigned below (iteration-unrolled CTE)
     "embedding_centroid_by_label": """
 WITH per_dim AS (
   SELECT label, i AS dim, SUM(CAST(embedding[i] AS DOUBLE)) AS s, COUNT(*) AS c
@@ -1527,6 +1589,58 @@ SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
 FROM documents
 """,
 }
+
+def _kmeans_sql() -> str:
+    """Iteration-unrolled Lloyd mirror of q_kmeans_centroids (same init,
+    same round-before-rank discipline, ROW_NUMBER tie-break = Spark's
+    min(struct(d2, c)))."""
+    parts = [
+        """
+pts AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+cent0 AS (
+  SELECT CAST(vec_id - 1 AS INT) AS c, dim, ROUND(x, 6) AS m
+  FROM pts WHERE vec_id BETWEEN 1 AND {k}
+)""".format(k=_KMEANS_K)
+    ]
+    prev = "cent0"
+    for it in range(1, _KMEANS_ITERS + 1):
+        parts.append(
+            f"""
+d2_{it} AS (
+  SELECT p.vec_id, c.c, ROUND(SUM((p.x - c.m) * (p.x - c.m)), 6) AS d2
+  FROM pts p JOIN {prev} c USING (dim) GROUP BY p.vec_id, c.c
+),
+a_{it} AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+    FROM d2_{it}
+  ) r WHERE rn = 1
+),
+cent_{it} AS (
+  SELECT a.c, p.dim, ROUND(SUM(p.x) / COUNT(*), 6) AS m
+  FROM pts p JOIN a_{it} a USING (vec_id) GROUP BY a.c, p.dim
+)"""
+        )
+        prev = f"cent_{it}"
+    last_a = f"a_{_KMEANS_ITERS}"
+    return (
+        "WITH " + ",".join(parts) + f"""
+, sizes AS (SELECT c, COUNT(*) AS n_vectors FROM {last_a} GROUP BY c),
+norms AS (
+  SELECT c, ROUND(SQRT(SUM(m * m)), 4) AS centroid_norm
+  FROM {prev} GROUP BY c
+)
+SELECT CAST(s.c AS INT) AS cluster, s.n_vectors, n.centroid_norm
+FROM sizes s JOIN norms n USING (c)
+"""
+    )
+
+
+ORACLE_SQL["kmeans_centroids"] = _kmeans_sql()
 
 # 64-bit SimHash as 4 × 16-bit bands (mirror of q_simhash /
 # q_simhash_near_dup: same md5-hex-char hash arithmetic, same band layout)
@@ -1753,6 +1867,7 @@ QUERIES = {
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_centroid_by_label": q_embedding_centroid_by_label,
+    "kmeans_centroids": q_kmeans_centroids,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
