@@ -1088,8 +1088,15 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 6 dp per iteration before re-entering arithmetic — the same
     round-before-rank discipline the IVF cell probe uses (unrounded float
     sums differ in the last ulp between engines and could flip an argmin).
-    At 100 TB each iteration is one scan + one (cluster, dim) hash agg;
-    centroids broadcast (K·dim doubles)."""
+    This DOES round intermediates (CLAUDE.md flags exact-decimal-tie
+    divergence), accepted here deliberately: the inputs are raw float32
+    embeddings, so a sum/mean landing EXACTLY on a 6-dp decimal midpoint
+    representable in binary (the only case where Spark and DuckDB round()
+    can disagree) is measure-zero — unlike the pre-rounded-decimal inputs
+    the rule was written about. Without the rounding, a last-ulp sum
+    difference flips an argmin with probability ~n_points·ulp/gap, which
+    is astronomically MORE likely. At 100 TB each iteration is one scan +
+    one (cluster, dim) hash agg; centroids broadcast (K·dim doubles)."""
     emb = embeddings(spark, sf_dir).select("vec_id", "embedding")
     # exploded points: (vec_id, dim, x)
     pts = emb.select(

@@ -152,13 +152,22 @@ def normalize_pages(pages: DataFrame) -> DataFrame:
 
 def build_doc_stats(docs: DataFrame) -> DataFrame:
     """doc_stats(doc_id, url, dl, fp) — dl = token count (BM25 length
-    norm), fp = md5 content fingerprint of the normalized text. fp is
-    what lets incremental compaction distinguish an identical re-ingest
-    (collapse) from a CHANGED page under the same url (tombstone the old
-    postings — streaming/incremental.py). FIXTURES.md §2."""
+    norm), fp = md5 content fingerprint of the normalized text AND the
+    title field boundary. fp is what lets incremental compaction
+    distinguish an identical re-ingest (collapse) from a CHANGED page
+    under the same url (tombstone the old postings —
+    streaming/incremental.py). The boundary is part of the fingerprint
+    because a page whose <title> moved tokens across the field boundary
+    has identical norm but different per-posting tf1 — skipping the
+    tombstone would leave stale field channels. FIXTURES.md §2."""
+    boundary = (
+        F.col("title_dl") if "title_dl" in docs.columns else F.lit(0)
+    )
     return docs.select(
         "doc_id", "url", F.size(tokens_col("norm")).alias("dl"),
-        F.md5(F.col("norm")).alias("fp"),
+        F.md5(
+            F.concat_ws("|", F.col("norm"), boundary.cast("string"))
+        ).alias("fp"),
     )
 
 

@@ -341,10 +341,18 @@ def _sketch_theta(
 
 
 def _probe_term_bounds(
-    probe: DataFrame, idfs: dict[int, float], avgdl: float
+    probe: DataFrame,
+    idfs: dict[int, float],
+    avgdl: float,
+    field_weights: tuple[float, float] | None = None,
 ) -> dict[int, float]:
     """Fallback per-term upper bounds via a probe metadata aggregate (for
-    indexes whose lexicon lacks max_tf/min_dl)."""
+    indexes whose lexicon lacks max_tf/min_dl, or terms whose postings
+    were fully tombstoned). Under field weighting the bound scales by
+    max(w): wtf = w_t·tf1 + w_b·(tf−tf1) ≤ max(w)·tf — forgetting this
+    would under-estimate other_max and over-prune (lossy weighted
+    top-k)."""
+    w_max = max(field_weights) if field_weights is not None else 1.0
     out = {}
     for r in (
         probe.groupBy("term_id")
@@ -352,7 +360,7 @@ def _probe_term_bounds(
         .collect()
     ):
         tid = int(r["term_id"])
-        mt = np.array([float(r["mt"])])
+        mt = np.array([w_max * float(r["mt"])])
         md = np.array([float(r["md"])])
         out[tid] = float(bm25_score(mt, md, idfs[tid], avgdl, K1, B)[0])
     return out
@@ -410,9 +418,13 @@ def search(
             mt = bound[tid]["max_tf"]
             md = bound[tid]["min_dl"]
             if mt is None or md is None or mt <= 0:
-                # legacy index without term bounds, or uncompacted fresh
-                # term: fall back to a probe metadata aggregate
-                maxes = _probe_term_bounds(probe, idfs, index.avgdl)
+                # lexicon without term bounds, or a term whose postings
+                # were fully tombstoned (df=0 after a full-merge
+                # compaction): fall back to a probe metadata aggregate
+                # (weight-aware — see _probe_term_bounds)
+                maxes = _probe_term_bounds(
+                    probe, idfs, index.avgdl, field_weights
+                )
                 break
             if field_weights is not None:
                 # lexicon stores only max_tf: the safe term bound is
@@ -589,6 +601,10 @@ def search_phrase(
             .filter(F.size("match") > 0)
         )
     matches = cur.select("doc_id", F.size("match").cast("long").alias("tf"))
+    # localCheckpoint blocks are reclaimed by Spark's ContextCleaner once
+    # the returned plan (which references them) is garbage-collected —
+    # callers need no explicit unpersist; the match set is bounded by the
+    # docs containing the full phrase
     matches = matches.join(
         index.doc_stats.select("doc_id", "dl"), "doc_id"
     ).localCheckpoint(eager=True)

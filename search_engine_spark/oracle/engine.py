@@ -37,6 +37,20 @@ K1 = 1.2
 B = 0.75
 
 
+def _round_half_up6(x: float) -> float:
+    """6-dp HALF_UP on the decimal string — Spark's F.round semantics.
+    Python's built-in round() is banker's (half-to-even); using it for
+    the ranking key would diverge from the engine exactly at the 6-dp
+    midpoints the rounded ordering exists to stabilize."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 @dataclass
 class OracleIndex:
     n_docs: int = 0
@@ -162,7 +176,9 @@ def search(
         acc = {doc: s for doc, s in acc.items() if seen_count[doc] == n}
     # rank by the 6-dp ROUNDED score with doc_id tiebreak — the key every
     # engine (Spark top-k, DuckDB oracle) orders by; values stay raw
-    ranked = sorted(acc.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))
+    ranked = sorted(
+        acc.items(), key=lambda kv: (-_round_half_up6(kv[1]), kv[0])
+    )
     return ranked[:k]
 
 
@@ -198,7 +214,7 @@ def search_phrase(
             np.array([tf]), np.array([dl]), idf, idx.avgdl
         )[0]
         scored.append((doc_id, float(contrib)))
-    scored.sort(key=lambda kv: (-round(kv[1], 6), kv[0]))
+    scored.sort(key=lambda kv: (-_round_half_up6(kv[1]), kv[0]))
     return scored[:k]
 
 

@@ -29,9 +29,13 @@ delta log + partition-level compaction, the shape that works at
   WAND bounds recompute from the live (N, avgdl, df) at query time
   (functions/compression.py design note). Between ingest and compaction
   queries serve EXACTLY the base snapshot (base postings scored with
-  base stats): ingest touches only delta directories; compact() swaps
-  barrels, lexicon AND stats together and bumps the index epoch, so a
-  query never mixes new stats with old postings (or vice versa).
+  base stats): ingest touches only delta directories; compact() stages
+  every table first and then swaps barrels, lexicon, doc_stats,
+  hot_bounds AND stats in one rename-only window (milliseconds) before
+  bumping the index epoch. A concurrent reader can straddle the swap
+  only within that window — true multi-table atomicity is the Iceberg
+  snapshot commit this layout stands in for — and any LIVE SearchIndex
+  handle detects the epoch bump on its next query.
 
 Parquet directories stand in for Iceberg tables (per-barrel overwrite ==
 rewrite-data-files of one partition; delta append == snapshot append);
@@ -111,22 +115,25 @@ def _read_deltas_with_seq(
     spark: SparkSession, paths: ib.IndexPaths, root: str
 ) -> DataFrame | None:
     """Union the batch=* dirs under ``root`` with each batch's seq as a
-    batch_seq column (falling back to lexicographic order for batches
-    predating seq files)."""
+    batch_seq column. Batches predating seq files (pre-upgrade delta
+    logs) get NEGATIVE fallback seqs in lexicographic order — strictly
+    below every assigned seq (≥ 1), so a post-upgrade re-ingest of the
+    same doc always wins latest-wins resolution against a pre-upgrade
+    batch (which is by definition older)."""
     import json
 
-    dirs = _batch_subdirs(root)
+    dirs = sorted(_batch_subdirs(root))
     if not dirs:
         return None
     out = None
-    for i, d in enumerate(sorted(dirs)):
+    for i, d in enumerate(dirs):
         bid = os.path.basename(d).split("=", 1)[1]
         sp = _seq_path(paths, bid)
         if os.path.exists(sp):
             with open(sp) as f:
                 seq = int(json.load(f)["seq"])
         else:
-            seq = i + 1
+            seq = i - len(dirs)  # negative, preserves relative order
         df = spark.read.parquet(d).withColumn("batch_seq", F.lit(seq))
         out = df if out is None else out.unionByName(df)
     return out
@@ -358,21 +365,32 @@ def apply_incremental_batch(
 
 def decode_postings_rows(postings: DataFrame) -> DataFrame:
     """Inverse of encode: blob rows -> (term_id, doc_id, tf, tf1, dl)
-    rows. mapInPandas, numpy-vectorized decode (compression.py)."""
+    rows. mapInPandas, numpy-vectorized decode (compression.py).
+    Pre-fields-channel barrels (no tf1s column) decode with tf1 = 0 —
+    compacting a v1 index re-encodes it into the v2 layout."""
     import numpy as np
     import pandas as pd
 
     from search_engine_spark.functions.compression import decode_posting_blocks
 
+    has_tf1 = "tf1s" in postings.columns
+
     def decode(batches):
         for pdf in batches:
             tids, docs_, tfs, tf1s, dls = [], [], [], [], []
             for row in pdf.itertuples(index=False):
-                d, t, l, t1 = decode_posting_blocks(
-                    row.doc_deltas, row.tfs, row.dls,
-                    row.db_lens, row.tf_lens, row.dl_lens, None,
-                    row.tf1s, row.tf1_lens,
-                )
+                if has_tf1:
+                    d, t, l, t1 = decode_posting_blocks(
+                        row.doc_deltas, row.tfs, row.dls,
+                        row.db_lens, row.tf_lens, row.dl_lens, None,
+                        row.tf1s, row.tf1_lens,
+                    )
+                else:
+                    d, t, l = decode_posting_blocks(
+                        row.doc_deltas, row.tfs, row.dls,
+                        row.db_lens, row.tf_lens, row.dl_lens,
+                    )
+                    t1 = np.zeros(len(d), dtype=np.int64)
                 tids.append(np.full(len(d), int(row.term_id), dtype=np.int64))
                 docs_.append(d)
                 tfs.append(t)
@@ -535,42 +553,26 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
         )
     )
 
-    # Stage EVERYTHING before swapping anything — every read above is lazy
-    # against the live directories, so all writes must materialize first
-    # (the Iceberg equivalent is one multi-table snapshot commit).
+    # ---- STAGE phase: every heavy job writes to *_compact_staging dirs;
+    # the live tables stay untouched and fully consistent while these
+    # run. (Every read above is lazy against the live directories, so all
+    # writes must materialize before any swap.)
     staging = f"{paths.postings}_compact_staging"
     part_cols = ["group", "barrel"] if n_groups else ["barrel"]
     merged.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
     lex_staging = f"{paths.lexicon}_staging"
     new_lex.write.mode("overwrite").parquet(lex_staging)
 
-    for b in affected_barrels:
-        sub = f"group={b % n_groups}/barrel={b}" if n_groups else f"barrel={b}"
-        src = f"{staging}/{sub}"
-        dst = f"{paths.postings}/{sub}"
-        if os.path.exists(src):
-            shutil.rmtree(dst, ignore_errors=True)
-            os.replace(src, dst)
-        elif full_merge:
-            # a fully-merged barrel with no staged output lost ALL its
-            # rows (every doc tombstoned) — stale blobs must not survive
-            shutil.rmtree(dst, ignore_errors=True)
-    shutil.rmtree(staging, ignore_errors=True)
-    lex_old = f"{paths.lexicon}_old"
-    shutil.rmtree(lex_old, ignore_errors=True)
-    os.replace(paths.lexicon, lex_old)   # old stays until new is in place
-    os.replace(lex_staging, paths.lexicon)
-    shutil.rmtree(lex_old, ignore_errors=True)
-
-    # fold doc_stats batch deltas into the base table. Fast path (every
-    # delta doc is NEW and appears in exactly one batch): parquet part
-    # files are self-contained, so folding is a pure file MOVE. Rewrite
+    # doc_stats fold. Fast path (every delta doc is NEW and appears in
+    # exactly one batch): parquet part files are self-contained, so
+    # folding is pure file MOVES (deferred to the swap window). Rewrite
     # path (re-ingests/tombstones/cross-batch duplicates): latest delta
-    # row per doc REPLACES the base row — this is the doc_id dedup that
-    # keeps n_docs/avgdl exact under re-ingest (no duplicate doc_stats
-    # rows, ever).
+    # row per doc REPLACES the base row — the doc_id dedup that keeps
+    # n_docs/avgdl exact under re-ingest.
     dsd = doc_stats_delta_dir(paths)
     ds_deltas_seq = _read_deltas_with_seq(spark, paths, dsd)
+    ds_staging = None
+    bn, bt = None, None
     if ds_deltas_seq is not None:
         base_ds = spark.read.parquet(paths.doc_stats)
         n_delta = ds_deltas_seq.count()
@@ -597,42 +599,41 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
             )
             ds_staging = f"{paths.doc_stats}_staging"
             folded.write.mode("overwrite").parquet(ds_staging)
-            ds_old = f"{paths.doc_stats}_old"
-            shutil.rmtree(ds_old, ignore_errors=True)
-            os.replace(paths.doc_stats, ds_old)
-            os.replace(ds_staging, paths.doc_stats)
-            shutil.rmtree(ds_old, ignore_errors=True)
+            bn, bt = ib.corpus_totals(spark.read.parquet(ds_staging))
         else:
-            for bdir in _batch_subdirs(dsd):
-                tag = os.path.basename(bdir).replace("=", "_")
-                for fn in os.listdir(bdir):
-                    if fn.endswith(".parquet"):
-                        os.replace(
-                            f"{bdir}/{fn}", f"{paths.doc_stats}/incr_{tag}_{fn}"
-                        )
-    shutil.rmtree(dsd, ignore_errors=True)
+            # additive: moves don't change per-file contents
+            b0, t0 = ib.corpus_totals(base_ds)
+            d0, dt0 = ib.corpus_totals(ds_deltas_seq)
+            bn, bt = b0 + d0, t0 + dt0
+    else:
+        bn, bt = ib.corpus_totals(spark.read.parquet(paths.doc_stats))
 
-    # refresh the base corpus scalars from the folded table (amortized —
-    # per-ingest reads stay O(delta)), and swap the SERVED stats in the
-    # same step: this is the moment the new corpus becomes visible
-    bn, bt = ib.corpus_totals(spark.read.parquet(paths.doc_stats))
+    # stats scalars (driver-side, instant) into staging
+    stats_staging = f"{paths.stats}_staging"
+    stats_base_staging = f"{paths.stats_base}_staging"
     ib.write_scalar_parquet(
-        paths.stats_base, "n_docs long, total_dl long", (bn, bt)
+        stats_base_staging, "n_docs long, total_dl long", (bn, bt)
     )
     avgdl_new = float(bt) / bn if bn else 0.0
     ib.write_scalar_parquet(
-        paths.stats,
+        stats_staging,
         "n_docs long, avgdl double, n_salts int, salt_threshold long, n_barrels int",
         (bn, avgdl_new, n_salts, salt_threshold, n_barrels),
     )
 
-    # fold the positional deltas (if the index keeps positions): rewrite
-    # the affected barrels of the flat positions table (ALL barrels in a
-    # full merge, tombstoned docs dropped), latest-batch-wins per doc,
-    # deduped so a crash-refold or identical re-ingest cannot duplicate
-    # rows
+    # positional fold into staging (ALL barrels in a full merge,
+    # tombstoned docs dropped), latest-batch-wins per doc, deduped so a
+    # crash-refold or identical re-ingest cannot duplicate rows
     pdd = positions_delta_dir(paths)
+    pos_staging = None
+    pos_barrels: list[int] = []
     if os.path.exists(paths.positions) and _batch_subdirs(pdd):
+        if "pos_blob" not in spark.read.parquet(paths.positions).columns:
+            raise ValueError(
+                "positional index uses the pre-v2 array layout; rebuild "
+                "with build_index(..., with_positions=True) before "
+                "compacting positional deltas"
+            )
         pos_deltas_seq = _read_deltas_with_seq(spark, paths, pdd)
         pos_cols = [
             c for c in pos_deltas_seq.columns if c != "batch_seq"
@@ -658,6 +659,61 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
         merged_pos.write.mode("overwrite").partitionBy("barrel").parquet(
             pos_staging
         )
+
+    # hot-term theta sketches of the POST-compaction postings, computed
+    # from staging ∪ untouched live barrels (metadata-only columns) —
+    # before any swap, so the sketch job never reads a half-swapped table
+    new_postings = spark.read.parquet(staging)
+    if not full_merge:
+        untouched_barrels = ib.read_postings(spark, paths.postings).filter(
+            ~F.col("barrel").isin(affected_barrels)
+        )
+        new_postings = new_postings.unionByName(
+            untouched_barrels, allowMissingColumns=True
+        )
+    hb = ib.build_hot_bounds(new_postings, salt_threshold)
+    hb_staging = f"{paths.hot_bounds}_staging"
+    hb.write.mode("overwrite").parquet(hb_staging)
+
+    # ---- SWAP phase: pure directory renames, milliseconds end-to-end.
+    # True multi-table atomicity needs a catalog snapshot commit (the
+    # Iceberg equivalent); this grouped rename window is the parquet-dir
+    # approximation — a concurrent reader can straddle it only within
+    # the rename window itself, and any LIVE SearchIndex handle detects
+    # the epoch bump on its next query.
+    for b in affected_barrels:
+        sub = f"group={b % n_groups}/barrel={b}" if n_groups else f"barrel={b}"
+        src = f"{staging}/{sub}"
+        dst = f"{paths.postings}/{sub}"
+        if os.path.exists(src):
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(src, dst)
+        elif full_merge:
+            # a fully-merged barrel with no staged output lost ALL its
+            # rows (every doc tombstoned) — stale blobs must not survive
+            shutil.rmtree(dst, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    def _swap_dir(staged: str, live: str) -> None:
+        old = f"{live}_old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(live):
+            os.replace(live, old)  # old stays until new is in place
+        os.replace(staged, live)
+        shutil.rmtree(old, ignore_errors=True)
+
+    _swap_dir(lex_staging, paths.lexicon)
+    if ds_staging is not None:
+        _swap_dir(ds_staging, paths.doc_stats)
+    elif ds_deltas_seq is not None:
+        for bdir in _batch_subdirs(dsd):
+            tag = os.path.basename(bdir).replace("=", "_")
+            for fn in os.listdir(bdir):
+                if fn.endswith(".parquet"):
+                    os.replace(
+                        f"{bdir}/{fn}", f"{paths.doc_stats}/incr_{tag}_{fn}"
+                    )
+    if pos_staging is not None:
         for b in pos_barrels:
             src = f"{pos_staging}/barrel={b}"
             dst = f"{paths.positions}/barrel={b}"
@@ -667,19 +723,16 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
             elif full_merge:
                 shutil.rmtree(dst, ignore_errors=True)
         shutil.rmtree(pos_staging, ignore_errors=True)
-        shutil.rmtree(pdd, ignore_errors=True)
-
-    # refresh the hot-term theta sketches from the compacted postings
-    # (metadata-only scan: theta_* columns + df, pruned by parquet)
-    hb = ib.build_hot_bounds(
-        ib.read_postings(spark, paths.postings), salt_threshold
-    )
-    hb.write.mode("overwrite").parquet(paths.hot_bounds)
+    _swap_dir(hb_staging, paths.hot_bounds)
+    _swap_dir(stats_base_staging, paths.stats_base)
+    _swap_dir(stats_staging, paths.stats)
 
     # 7. truncate the delta logs (lexicon deltas were folded into the
     # rewritten base above) and bump the index epoch — live SearchIndex
     # handles opened before this compaction now refuse to serve (their
     # cached lexicon/theta metadata is stale) until refresh()ed
+    shutil.rmtree(dsd, ignore_errors=True)
+    shutil.rmtree(pdd, ignore_errors=True)
     shutil.rmtree(ddir)
     shutil.rmtree(lexicon_delta_dir(paths), ignore_errors=True)
     shutil.rmtree(tombstones_dir(paths), ignore_errors=True)
