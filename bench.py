@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "simhash",
     "simhash_near_dup",
     "embedding_cosine_topk",
+    "kmeans_centroids",
     "quality_score",
     "groupby_multi_mean",
     "join_map_chain",

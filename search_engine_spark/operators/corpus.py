@@ -1098,10 +1098,14 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     is astronomically MORE likely. At 100 TB each iteration is one scan +
     one (cluster, dim) hash agg; centroids broadcast (K·dim doubles)."""
     emb = embeddings(spark, sf_dir).select("vec_id", "embedding")
-    # exploded points: (vec_id, dim, x)
-    pts = emb.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "x")
-    ).withColumn("x", F.col("x").cast("double"))
+    # exploded points: (vec_id, dim, x) — materialized once
+    # (localCheckpoint) because the Lloyd plan references it 2×ITERS+3
+    # times; without it every branch re-explodes the embedding scan
+    pts = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+        .localCheckpoint(eager=True)
+    )
     # init: cluster c (0-based) = vector vec_id = c+1, components rounded
     cents = (
         pts.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _KMEANS_K))

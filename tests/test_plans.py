@@ -52,8 +52,22 @@ def test_join_chain_broadcasts(spark, sfd):
 
 def test_no_python_udf_in_declarative_suite(spark, sfd):
     """Every driver-suite operator stays JVM-side (UDFs appear only in the
-    engine's Arrow mapInPandas stages, not here)."""
-    for name, fn in {**relational.QUERIES}.items():
+    engine's Arrow mapInPandas stages, not here). Covers the relational
+    AND corpus declarative queries; engine_* twins are excluded (they
+    run the physical engine, whose decode is Arrow mapInPandas by
+    design) — as is q_lexicon, whose dense-ID assignment deliberately
+    uses the two-phase mapInPandas (the alternative is the
+    single-partition window flagged in round 1)."""
+    suites = {**relational.QUERIES}
+    suites.update(
+        {
+            n: f
+            for n, f in corpus.QUERIES.items()
+            if not n.startswith("engine_") and n != "lexicon"
+        }
+    )
+    for name, fn in suites.items():
         p = _plan(fn(spark, sfd))
         assert "BatchEvalPython" not in p, name
         assert "ArrowEvalPython" not in p, name
+        assert "MapInPandas" not in p, name
