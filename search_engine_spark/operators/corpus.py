@@ -1144,6 +1144,89 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF ANN with the LEARNED quantizer: every vector sits
+    in its k-means cell (the final Lloyd assignment), the query probes
+    the NPROBE=2 cells whose centroids are cosine-closest (rounded
+    before ranking, cell-id tiebreak), exact cosine within the probed
+    cells only. The storage story at 100 TB: vectors partition by cell
+    id, so the probe prunes everything else at the scan — this query is
+    the learned-quantizer upgrade of embedding_ivf_topk's label cells."""
+    emb = embeddings(spark, sf_dir).select("vec_id", "embedding")
+    pts = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+        .localCheckpoint(eager=True)
+    )
+    cents = (
+        pts.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _KMEANS_K))
+        .select(
+            (F.col("vec_id") - 1).cast("int").alias("c"),
+            "dim",
+            F.round("x", 6).alias("m"),
+        )
+    )
+    for _ in range(_KMEANS_ITERS):
+        d2 = (
+            pts.join(F.broadcast(cents), "dim")
+            .withColumn("sq", (F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
+            .groupBy("vec_id", "c")
+            .agg(F.round(F.sum("sq"), 6).alias("d2"))
+        )
+        assign = (
+            d2.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "c")).alias("best"))
+            .select("vec_id", F.col("best.c").alias("c"))
+        )
+        cents = (
+            pts.join(assign, "vec_id")
+            .groupBy("c", "dim")
+            .agg(F.round(F.sum("x") / F.count("*"), 6).alias("m"))
+        )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cent_arrays = (
+        cents.groupBy("c")
+        .agg(F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("parts"))
+        .select("c", F.transform("parts", lambda s: s["m"]).alias("centroid"))
+    )
+    cell_rank = (
+        cent_arrays.crossJoin(F.broadcast(q))
+        .select(
+            "c",
+            F.round(
+                _dot(F.col("centroid"), F.col("q_emb"))
+                / (
+                    F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+                    * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+                ),
+                6,
+            ).alias("c_cos"),
+        )
+        .orderBy(F.desc("c_cos"), F.asc("c"))
+        .limit(2)
+        .select("c")
+    )
+    probed = assign.join(F.broadcast(cell_rank), "c", "left_semi")
+    return (
+        emb.join(probed, "vec_id", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (
+                    F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+                ),
+                4,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOPK)
+    )
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs, BLOCKED BY CELL (label):
     the scalable shape — an equi-join on the blocking key instead of an
@@ -1601,10 +1684,11 @@ FROM documents
 """,
 }
 
-def _kmeans_sql() -> str:
-    """Iteration-unrolled Lloyd mirror of q_kmeans_centroids (same init,
-    same round-before-rank discipline, ROW_NUMBER tie-break = Spark's
-    min(struct(d2, c)))."""
+def _kmeans_ctes() -> tuple[str, str, str]:
+    """Iteration-unrolled Lloyd CTE chain (same init, same
+    round-before-rank discipline, ROW_NUMBER tie-break = Spark's
+    min(struct(d2, c))). Returns (cte_body, final_assign, final_cents)
+    so both the centroid-stats and the IVF-probe oracles share it."""
     parts = [
         """
 pts AS (
@@ -1638,20 +1722,54 @@ cent_{it} AS (
         )
         prev = f"cent_{it}"
     last_a = f"a_{_KMEANS_ITERS}"
-    return (
-        "WITH " + ",".join(parts) + f"""
-, sizes AS (SELECT c, COUNT(*) AS n_vectors FROM {last_a} GROUP BY c),
+    return ",".join(parts), last_a, prev
+
+
+_KM_CTES, _KM_ASSIGN, _KM_CENTS = _kmeans_ctes()
+
+ORACLE_SQL["kmeans_centroids"] = f"""
+WITH {_KM_CTES},
+sizes AS (SELECT c, COUNT(*) AS n_vectors FROM {_KM_ASSIGN} GROUP BY c),
 norms AS (
   SELECT c, ROUND(SQRT(SUM(m * m)), 4) AS centroid_norm
-  FROM {prev} GROUP BY c
+  FROM {_KM_CENTS} GROUP BY c
 )
 SELECT CAST(s.c AS INT) AS cluster, s.n_vectors, n.centroid_norm
 FROM sizes s JOIN norms n USING (c)
 """
-    )
 
-
-ORACLE_SQL["kmeans_centroids"] = _kmeans_sql()
+ORACLE_SQL["kmeans_ivf_topk"] = f"""
+WITH {_KM_CTES},
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+qd AS (
+  SELECT i - 1 AS dim, CAST(q_emb[i] AS DOUBLE) AS qv
+  FROM q, unnest(range(1, len(q_emb) + 1)) AS t(i)
+),
+cellrank AS (
+  SELECT c,
+         ROUND(SUM(m * qv) / (SQRT(SUM(m * m)) * SQRT(SUM(qv * qv))), 6)
+           AS c_cos
+  FROM {_KM_CENTS} JOIN qd USING (dim) GROUP BY c
+  ORDER BY c_cos DESC, c ASC LIMIT 2
+),
+probed AS (
+  SELECT vec_id FROM {_KM_ASSIGN} WHERE c IN (SELECT c FROM cellrank)
+),
+qpairs AS (
+  SELECT e.vec_id, CAST(e.embedding[i] AS DOUBLE) AS x,
+         CAST(q.q_emb[i] AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN q,
+       unnest(range(1, len(e.embedding) + 1)) AS t(i)
+  WHERE e.vec_id <> 0 AND e.vec_id IN (SELECT vec_id FROM probed)
+),
+qdots AS (
+  SELECT vec_id, SUM(x * y) AS dot, SQRT(SUM(x * x)) AS na,
+         SQRT(SUM(y * y)) AS nb
+  FROM qpairs GROUP BY vec_id
+)
+SELECT vec_id, ROUND(dot / (na * nb), 4) AS cosine
+FROM qdots ORDER BY cosine DESC, vec_id ASC LIMIT {TOPK}
+"""
 
 # 64-bit SimHash as 4 × 16-bit bands (mirror of q_simhash /
 # q_simhash_near_dup: same md5-hex-char hash arithmetic, same band layout)
@@ -1879,6 +1997,7 @@ QUERIES = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_centroid_by_label": q_embedding_centroid_by_label,
     "kmeans_centroids": q_kmeans_centroids,
+    "kmeans_ivf_topk": q_kmeans_ivf_topk,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,

@@ -216,6 +216,18 @@ def _decode_score_df(
     avgdl = index.avgdl
     ranks = ranks or {}
     fw = field_weights
+    # column pruning BELOW the Arrow boundary: mapInPandas ships every
+    # column of its input to Python, so an unpruned probe would transfer
+    # the theta sketch arrays and (in unweighted mode) the tf1 stream for
+    # nothing — and the select also prunes the parquet scan itself
+    cols = [
+        "term_id", "block_max_tf", "block_min_dl",
+        "db_lens", "tf_lens", "dl_lens",
+        "doc_deltas", "tfs", "dls",
+    ]
+    if fw is not None:
+        cols += ["block_max_tf1", "tf1_lens", "tf1s"]
+    probe = probe.select(*cols)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -374,6 +374,11 @@ def decode_postings_rows(postings: DataFrame) -> DataFrame:
     from search_engine_spark.functions.compression import decode_posting_blocks
 
     has_tf1 = "tf1s" in postings.columns
+    cols = [
+        "term_id", "db_lens", "tf_lens", "dl_lens",
+        "doc_deltas", "tfs", "dls",
+    ] + (["tf1_lens", "tf1s"] if has_tf1 else [])
+    postings = postings.select(*cols)  # prune theta/metadata columns
 
     def decode(batches):
         for pdf in batches:
