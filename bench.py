@@ -14,10 +14,10 @@ Headline content (BASELINE.json metric):
   3. a cross-section of the declarative operator suite on the driver's
                       testdata tables (same plans the correctness gate runs)
 
-`python bench.py --scaling` additionally runs the index build at local[4]
-vs local[16] on the SAME corpus (the N-vs-4N stand-in pair with hardware
-headroom on this VM; north rule) and reports raw + ceiling-normalized
-scaling efficiency. See BASELINE.md "Hardware ceiling".
+`python bench.py --scaling` additionally runs the N-vs-4N scaling
+campaign (tools/scaling_campaign.py: taskset-pinned 4- vs 16-core hosts,
+interleaved best-of-K, cpu_probe normalization — BASELINE.md
+"Methodology fix") and reports raw + ceiling-normalized efficiency.
 """
 
 from __future__ import annotations
@@ -128,11 +128,8 @@ def run_bench(sf_dir: str, cpus: str, scaling: bool) -> dict:
         spark.stop()
 
         if scaling:
-            n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000"))
-            spark2 = get_spark("bench-scale-gen", master=f"local[{cpus}]")
-            write_pages(spark2, n_scale, f"{work}/pages_scale")
-            spark2.stop()
-            extra["scaling"] = run_scaling(f"{work}/pages_scale", n_scale, work)
+            n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "400000"))
+            extra["scaling"] = run_scaling("", n_scale, work)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -148,56 +145,25 @@ def run_bench(sf_dir: str, cpus: str, scaling: bool) -> dict:
 
 
 def run_scaling(pages_path: str, n_pages: int, work: str) -> dict:
-    """Same build at local[4] vs local[16] (the N vs 4N stand-in pair; this
-    VM throttles aggregate CPU past ~16 threads — see tools/cpu_probe.py
-    and BASELINE.md "Hardware ceiling"). Fresh SparkSession per level so
-    executor-thread count really changes. Reports raw efficiency AND
-    efficiency normalized by the machine's own parallel-scaling ceiling
-    measured by the probe in the same session window."""
+    """Delegates to tools/scaling_campaign.py — the ONE scaling
+    methodology (taskset-pinned N-core hosts, -XX:ActiveProcessorCount,
+    interleaved best-of-K, same-window cpu_probe normalization; see
+    BASELINE.md "Methodology fix"). ``pages_path``/``work`` are ignored
+    (the campaign generates its own deterministic corpus of n_pages)."""
     import json as _json
     import subprocess
     import sys as _sys
 
-    from search_engine_spark.operators import index_build as ib
-    from search_engine_spark.session import get_spark
-
-    out = {}
-    for cpus in (4, 16):
-        spark = get_spark(f"bench-scale-{cpus}", master=f"local[{cpus}]",
-                          shuffle_partitions=max(8, cpus))
-        pages = spark.read.parquet(pages_path)
-        t0 = time.monotonic()
-        ib.build_index(
-            spark, pages, ib.IndexPaths(f"{work}/index_scale_{cpus}"),
-            n_salts=8, salt_threshold=2000, n_barrels=32,
-        )
-        dt = time.monotonic() - t0
-        out[f"local[{cpus}]"] = {
-            "wall_sec": round(dt, 3),
-            "docs_per_sec": round(n_pages / dt, 1),
-        }
-        spark.stop()
-    lo = out["local[4]"]["docs_per_sec"]
-    hi = out["local[16]"]["docs_per_sec"]
-    out["scaling_efficiency"] = round((hi / lo) / 4.0, 3)
-    probe_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "tools", "cpu_probe.py")
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "scaling_campaign.py")
+    r = subprocess.run(
+        [_sys.executable, script, "--docs", str(n_pages), "--reps", "2"],
+        capture_output=True, text=True, timeout=3600,
+    )
     try:
-        probe = _json.loads(
-            subprocess.run(
-                [_sys.executable, probe_path, "4", "16"],
-                capture_output=True, text=True, timeout=300,
-            ).stdout.strip().splitlines()[-1]
-        )
-        hw = probe.get("hw_efficiency_4_16")
-        out["hw_ceiling_efficiency"] = hw
-        if hw:
-            out["normalized_efficiency"] = round(
-                out["scaling_efficiency"] / hw, 3
-            )
-    except Exception:  # pragma: no cover - probe is best-effort
-        pass
-    return out
+        return _json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        return {"error": r.stderr[-500:]}
 
 
 def main() -> None:

@@ -42,6 +42,7 @@ B = 0.75
 QUERY_OR = "fast query scan"
 QUERY_AND = "spark hash join"
 QUERY_PHRASE = "table hash"
+QUERY_PHRASE3 = "spark table hash"  # 3-term exact phrase (7 docs at sf0.01)
 TOPK = 10
 
 _SQL_STOPLIST = ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORDS_LIST)
@@ -300,6 +301,69 @@ def q_phrase_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOPK)
+
+
+def _phrase_bm25(
+    spark: SparkSession, sf_dir: str, phrase: str
+) -> DataFrame:
+    """n-term exact-phrase BM25 top-k, declarative: adjacency via a chain
+    of positions self-joins (pos_i = pos_0 + i), the phrase scored as a
+    virtual term. Candidates shrink left to right like the physical
+    engine's probe chain."""
+    terms = phrase.split(" ")
+    tok = tokens(spark, sf_dir)
+    cur = tok.filter(F.col("term") == terms[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = tok.filter(F.col("term") == t).select(
+            "doc_id", F.col("pos").alias(f"p{i}")
+        )
+        cur = cur.join(nxt, "doc_id").filter(
+            F.col(f"p{i}") == F.col("p0") + i
+        )
+    matches = cur.groupBy("doc_id").agg(F.count("*").cast("long").alias("tf"))
+    dl = q_doc_stats(spark, sf_dir)
+    stats = _corpus_stats_raw(spark, sf_dir)
+    dfp = matches.agg(F.count("*").alias("df"))
+    scored = (
+        matches.join(dl, "doc_id")
+        .crossJoin(F.broadcast(dfp))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (K1 + 1.0))
+                / (F.col("tf") + K1 * ((1.0 - B) + (B * F.col("dl")) / F.col("avgdl"))),
+                6,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOPK)
+
+
+def q_phrase3_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-term exact-phrase BM25 top-k (the n-term generalization of
+    phrase_bm25_topk — the reference's phrase semantics are not bounded
+    at bigrams)."""
+    return _phrase_bm25(spark, sf_dir, QUERY_PHRASE3)
+
+
+def q_engine_phrase3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE POSITIONAL ENGINE's n-term adjacency chain under the SQL
+    oracle (same oracle as the declarative 3-term plan)."""
+    from search_engine_spark.operators.query import search_phrase
+
+    idx = _engine_index(spark, sf_dir)
+    res = search_phrase(idx, QUERY_PHRASE3, k=TOPK)
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score")
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
 
 
 def q_engine_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1928,6 +1992,30 @@ ORDER BY score DESC, m.doc_id ASC LIMIT {TOPK}
 """
 ORACLE_SQL["engine_phrase_topk"] = ORACLE_SQL["phrase_bm25_topk"]
 
+_P31, _P32, _P33 = QUERY_PHRASE3.split(" ")
+ORACLE_SQL["phrase3_bm25_topk"] = f"""
+WITH {_TOK_CTE},
+matches AS (
+  SELECT a.doc_id, COUNT(*) AS tf
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+  WHERE a.term = '{_P31}' AND b.term = '{_P32}' AND c.term = '{_P33}'
+  GROUP BY a.doc_id
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
+dfp AS (SELECT COUNT(*) AS df FROM matches)
+SELECT m.doc_id,
+       ROUND(LN((corpus.n_docs - dfp.df + 0.5) / (dfp.df + 0.5) + 1.0)
+             * (m.tf * ({K1} + 1.0))
+             / (m.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / corpus.avgdl)), 6)
+         AS score
+FROM matches m JOIN dl USING (doc_id) CROSS JOIN corpus CROSS JOIN dfp
+ORDER BY score DESC, m.doc_id ASC LIMIT {TOPK}
+"""
+ORACLE_SQL["engine_phrase3_topk"] = ORACLE_SQL["phrase3_bm25_topk"]
+
 
 def _sentiment_sql_cte() -> str:
     from search_engine_spark.functions.sentiment import sql_polarity_case
@@ -1969,7 +2057,9 @@ QUERIES = {
     "engine_field_topk": q_engine_field_topk,
     "engine_filtered_topk": q_engine_filtered_topk,
     "engine_phrase_topk": q_engine_phrase_topk,
+    "engine_phrase3_topk": q_engine_phrase3_topk,
     "phrase_bm25_topk": q_phrase_bm25_topk,
+    "phrase3_bm25_topk": q_phrase3_bm25_topk,
     "term_tf": q_term_tf,
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,

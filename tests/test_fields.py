@@ -59,6 +59,23 @@ def test_filtered_search_matches_oracle(spark, spark_index, oracle_index):
     assert {d for d, _ in got} <= set(keep)
 
 
+def test_filtered_wand_lossless(spark, spark_index, oracle_index):
+    """WAND with a metadata filter must stay lossless: the theta estimate
+    runs on the FILTERED candidate set (an unfiltered theta could exceed
+    the kth filtered score and over-prune)."""
+    keep = [d for d, _ in oracle.search(oracle_index, "best", k=60)][::3]
+    keep_df = spark.createDataFrame([(int(d),) for d in keep], "doc_id long")
+    a = search_topk(
+        spark_index, "best western good", k=10, doc_ids=keep_df
+    )
+    b = search_topk(
+        spark_index, "best western good", k=10, doc_ids=keep_df,
+        use_wand=False,
+    )
+    assert a == b
+    assert a  # non-vacuous
+
+
 def test_filtered_weighted_compose(spark, spark_index, oracle_index):
     """Filter + field weights compose (the reference applies both in one
     query path)."""
