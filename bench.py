@@ -156,14 +156,14 @@ def run_scaling(pages_path: str, n_pages: int, work: str) -> dict:
 
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "tools", "scaling_campaign.py")
-    r = subprocess.run(
-        [_sys.executable, script, "--docs", str(n_pages), "--reps", "2"],
-        capture_output=True, text=True, timeout=3600,
-    )
     try:
+        r = subprocess.run(
+            [_sys.executable, script, "--docs", str(n_pages), "--reps", "3"],
+            capture_output=True, text=True, timeout=3 * 3600,
+        )
         return _json.loads(r.stdout.strip().splitlines()[-1])
-    except Exception:
-        return {"error": r.stderr[-500:]}
+    except Exception as e:  # never break the one-JSON-line contract
+        return {"error": str(e)[:500]}
 
 
 def main() -> None:

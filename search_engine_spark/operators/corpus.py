@@ -265,42 +265,11 @@ def q_ref_heuristic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_phrase_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-phrase BM25 top-k, declarative form: adjacency via a
-    positions self-join (pos_b = pos_a + 1), the phrase scored as a
-    virtual term (tf = occurrence count, df = matching docs). The
-    physical positional-engine twin is q_engine_phrase_topk — same
-    oracle."""
-    t1, t2 = QUERY_PHRASE.split(" ")
-    tok = tokens(spark, sf_dir)
-    a = tok.filter(F.col("term") == t1).select("doc_id", F.col("pos").alias("pa"))
-    b = tok.filter(F.col("term") == t2).select("doc_id", F.col("pos").alias("pb"))
-    matches = (
-        a.join(b, "doc_id")
-        .filter(F.col("pb") == F.col("pa") + 1)
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("tf"))
-    )
-    dl = q_doc_stats(spark, sf_dir)
-    stats = _corpus_stats_raw(spark, sf_dir)
-    dfp = matches.agg(F.count("*").alias("df"))
-    scored = (
-        matches.join(dl, "doc_id")
-        .crossJoin(F.broadcast(dfp))
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
-        )
-        .select(
-            "doc_id",
-            F.round(
-                F.col("idf")
-                * (F.col("tf") * (K1 + 1.0))
-                / (F.col("tf") + K1 * ((1.0 - B) + (B * F.col("dl")) / F.col("avgdl"))),
-                6,
-            ).alias("score"),
-        )
-    )
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOPK)
+    positions self-join chain, the phrase scored as a virtual term
+    (tf = occurrence count, df = matching docs) — the 2-term case of
+    _phrase_bm25. The physical positional-engine twin is
+    q_engine_phrase_topk — same oracle."""
+    return _phrase_bm25(spark, sf_dir, QUERY_PHRASE)
 
 
 def _phrase_bm25(
@@ -1140,6 +1109,59 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 2
 
 
+def _kmeans_fit(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared Lloyd loop for the k-means queries: returns (pts, cents,
+    assign) — exploded points, final centroids (c, dim, m) and final
+    assignment (vec_id, c). pts and assign are localCheckpointed: the
+    downstream plans reference each several times (without it every
+    branch re-runs the full iteration chain). Mirrored operation-for-
+    operation by the SQL _kmeans_ctes()."""
+    emb = embeddings(spark, sf_dir).select("vec_id", "embedding")
+    pts = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+        .localCheckpoint(eager=True)
+    )
+    # init: cluster c (0-based) = vector vec_id = c+1, components rounded
+    cents = (
+        pts.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _KMEANS_K))
+        .select(
+            (F.col("vec_id") - 1).cast("int").alias("c"),
+            "dim",
+            F.round("x", 6).alias("m"),
+        )
+    )
+    assign = None
+    for it in range(_KMEANS_ITERS):
+        # assign: argmin_c round(sum_d (x - m)^2, 6), tie -> lowest c
+        d2 = (
+            pts.join(F.broadcast(cents), "dim")
+            .withColumn("sq", (F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
+            .groupBy("vec_id", "c")
+            .agg(F.round(F.sum("sq"), 6).alias("d2"))
+        )
+        assign = (
+            d2.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "c")).alias("best"))
+            .select("vec_id", F.col("best.c").alias("c"))
+        )
+        if it == _KMEANS_ITERS - 1:
+            # checkpoint the FINAL assignment before deriving the final
+            # centroids from it — cents would otherwise embed the whole
+            # un-truncated iteration subtree and re-run it once per
+            # downstream branch
+            assign = assign.localCheckpoint(eager=True)
+        # recompute: per-(cluster, dim) mean, rounded
+        cents = (
+            pts.join(assign, "vec_id")
+            .groupBy("c", "dim")
+            .agg(F.round(F.sum("x") / F.count("*"), 6).alias("m"))
+        )
+    return pts, cents, assign
+
+
 def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned IVF coarse quantizer: K-means (Lloyd) centroids over the
     embedding table — deterministic init (the vectors with vec_id 1..K),
@@ -1161,43 +1183,7 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference flips an argmin with probability ~n_points·ulp/gap, which
     is astronomically MORE likely. At 100 TB each iteration is one scan +
     one (cluster, dim) hash agg; centroids broadcast (K·dim doubles)."""
-    emb = embeddings(spark, sf_dir).select("vec_id", "embedding")
-    # exploded points: (vec_id, dim, x) — materialized once
-    # (localCheckpoint) because the Lloyd plan references it 2×ITERS+3
-    # times; without it every branch re-explodes the embedding scan
-    pts = (
-        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
-        .withColumn("x", F.col("x").cast("double"))
-        .localCheckpoint(eager=True)
-    )
-    # init: cluster c (0-based) = vector vec_id = c+1, components rounded
-    cents = (
-        pts.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _KMEANS_K))
-        .select(
-            (F.col("vec_id") - 1).cast("int").alias("c"),
-            "dim",
-            F.round("x", 6).alias("m"),
-        )
-    )
-    for _ in range(_KMEANS_ITERS):
-        # assign: argmin_c round(sum_d (x - m)^2, 6), tie -> lowest c
-        d2 = (
-            pts.join(F.broadcast(cents), "dim")
-            .withColumn("sq", (F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
-            .groupBy("vec_id", "c")
-            .agg(F.round(F.sum("sq"), 6).alias("d2"))
-        )
-        assign = (
-            d2.groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "c")).alias("best"))
-            .select("vec_id", F.col("best.c").alias("c"))
-        )
-        # recompute: per-(cluster, dim) mean, rounded
-        cents = (
-            pts.join(assign, "vec_id")
-            .groupBy("c", "dim")
-            .agg(F.round(F.sum("x") / F.count("*"), 6).alias("m"))
-        )
+    _, cents, assign = _kmeans_fit(spark, sf_dir)
     sizes = assign.groupBy("c").agg(F.count("*").cast("long").alias("n_vectors"))
     norms = cents.groupBy("c").agg(
         F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_norm")
@@ -1217,36 +1203,7 @@ def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     id, so the probe prunes everything else at the scan — this query is
     the learned-quantizer upgrade of embedding_ivf_topk's label cells."""
     emb = embeddings(spark, sf_dir).select("vec_id", "embedding")
-    pts = (
-        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
-        .withColumn("x", F.col("x").cast("double"))
-        .localCheckpoint(eager=True)
-    )
-    cents = (
-        pts.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _KMEANS_K))
-        .select(
-            (F.col("vec_id") - 1).cast("int").alias("c"),
-            "dim",
-            F.round("x", 6).alias("m"),
-        )
-    )
-    for _ in range(_KMEANS_ITERS):
-        d2 = (
-            pts.join(F.broadcast(cents), "dim")
-            .withColumn("sq", (F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
-            .groupBy("vec_id", "c")
-            .agg(F.round(F.sum("sq"), 6).alias("d2"))
-        )
-        assign = (
-            d2.groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "c")).alias("best"))
-            .select("vec_id", F.col("best.c").alias("c"))
-        )
-        cents = (
-            pts.join(assign, "vec_id")
-            .groupBy("c", "dim")
-            .agg(F.round(F.sum("x") / F.count("*"), 6).alias("m"))
-        )
+    _, cents, assign = _kmeans_fit(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     cent_arrays = (
         cents.groupBy("c")

@@ -361,6 +361,16 @@ def idf_value(df: int, n_docs: int) -> float:
 
 THETA_K = 16  # real (doc, tf, dl) samples kept per (term, salt) blob
 
+# the columns a blob DECODE actually consumes (query-side adds the
+# block-max metadata; weighted mode adds the tf1 stream) — shared by the
+# Arrow-boundary prune lists in operators/query.py and
+# streaming/incremental.py so a future stream addition cannot miss one
+DECODE_BASE_COLS = [
+    "term_id", "db_lens", "tf_lens", "dl_lens", "doc_deltas", "tfs", "dls",
+]
+DECODE_BOUND_COLS = ["block_max_tf", "block_min_dl"]
+DECODE_TF1_COLS = ["tf1_lens", "tf1s"]
+
 POSTINGS_SCHEMA = (
     "term_id long, salt int, df long, n_docs int, max_tf long, min_dl long, "
     "block_max_tf array<long>, block_min_dl array<long>, block_max_tf1 array<long>, "

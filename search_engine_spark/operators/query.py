@@ -220,13 +220,15 @@ def _decode_score_df(
     # column of its input to Python, so an unpruned probe would transfer
     # the theta sketch arrays and (in unweighted mode) the tf1 stream for
     # nothing — and the select also prunes the parquet scan itself
-    cols = [
-        "term_id", "block_max_tf", "block_min_dl",
-        "db_lens", "tf_lens", "dl_lens",
-        "doc_deltas", "tfs", "dls",
-    ]
+    from search_engine_spark.operators.index_build import (
+        DECODE_BASE_COLS,
+        DECODE_BOUND_COLS,
+        DECODE_TF1_COLS,
+    )
+
+    cols = DECODE_BASE_COLS + DECODE_BOUND_COLS
     if fw is not None:
-        cols += ["block_max_tf1", "tf1_lens", "tf1s"]
+        cols = cols + ["block_max_tf1"] + DECODE_TF1_COLS
     probe = probe.select(*cols)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -374,10 +374,7 @@ def decode_postings_rows(postings: DataFrame) -> DataFrame:
     from search_engine_spark.functions.compression import decode_posting_blocks
 
     has_tf1 = "tf1s" in postings.columns
-    cols = [
-        "term_id", "db_lens", "tf_lens", "dl_lens",
-        "doc_deltas", "tfs", "dls",
-    ] + (["tf1_lens", "tf1s"] if has_tf1 else [])
+    cols = ib.DECODE_BASE_COLS + (ib.DECODE_TF1_COLS if has_tf1 else [])
     postings = postings.select(*cols)  # prune theta/metadata columns
 
     def decode(batches):
