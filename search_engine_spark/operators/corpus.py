@@ -1377,6 +1377,38 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline's END PRODUCT: the selected corpus.
+    Composes the selection filters a pre-training pipeline applies —
+    language ID (en_ratio heuristic), quality threshold, exact-dup
+    collapse (keep the min-doc_id representative per content hash), and
+    near-dup removal (drop the larger id of every ≥0.9-Jaccard LSH
+    pair). One declarative plan: each stage is a semi/anti join on
+    doc_id — at 100 TB the joins broadcast the (small) drop/keep sets or
+    shuffle by doc_id, never the text."""
+    lang_ok = (
+        q_lang_id(spark, sf_dir)
+        .filter(F.col("lang_pred") == "en")
+        .select("doc_id")
+    )
+    qual = q_quality_score(spark, sf_dir).filter(F.col("quality") >= 0.5)
+    keep_exact = q_dedup_exact(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    drops = (
+        q_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.9)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        qual.join(lang_ok, "doc_id", "left_semi")
+        .join(keep_exact, "doc_id", "left_semi")
+        .join(F.broadcast(drops), "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over an opaque binary payload (multimodal column
     pattern — the decode itself is operators/multimodal.py): byte length +
@@ -1926,6 +1958,64 @@ ORACLE_SQL["engine_bm25_topk"] = ORACLE_SQL["bm25_topk_or"]
 ORACLE_SQL["engine_field_topk"] = ORACLE_SQL["bm25f_topk"]
 ORACLE_SQL["engine_filtered_topk"] = ORACLE_SQL["bm25_filtered_topk"]
 
+# training-set selection: lang + quality + exact-dedup + near-dedup composed
+ORACLE_SQL["corpus_select"] = f"""
+WITH {_MINHASH_SIG_CTE},
+{_LSH_CANDS_CTE},
+sh3 AS (
+  SELECT DISTINCT doc_id,
+         arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+               t -> t NOT IN ({_SQL_STOPLIST})) AS arr
+        FROM documents WHERE lang = 'en') d,
+       unnest(range(1, GREATEST(len(arr) - 1, 1))) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh3 GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN sh3 a ON a.doc_id = c.doc_a
+  JOIN sh3 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(COALESCE(i.n_inter, 0) * 1.0
+               / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)), 6) AS jaccard
+  FROM cands c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+),
+drops AS (SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= 0.9),
+keepx AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+ratio AS (
+  SELECT doc_id,
+         ROUND(SUM(CASE WHEN term IN ({", ".join("'" + w + "'" for w in _EN_MARKERS)})
+                        THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS en_ratio
+  FROM toks GROUP BY doc_id
+),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         COUNT(DISTINCT term) * 1.0 / COUNT(*) AS ttr_raw
+  FROM toks GROUP BY doc_id
+),
+scoredq AS (
+  SELECT doc_id, n_tokens,
+         ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5 + ttr_raw * 0.5, 6) AS quality
+  FROM perdoc
+)
+SELECT s.doc_id, s.n_tokens, s.quality
+FROM scoredq s
+JOIN ratio r ON r.doc_id = s.doc_id AND r.en_ratio >= 0.03
+JOIN keepx k ON k.doc_id = s.doc_id
+LEFT JOIN drops d ON d.doc_id = s.doc_id
+WHERE d.doc_id IS NULL AND s.quality >= 0.5
+"""
+
 _P1, _P2 = QUERY_PHRASE.split(" ")
 ORACLE_SQL["phrase_bm25_topk"] = f"""
 WITH {_TOK_CTE},
@@ -2049,5 +2139,6 @@ QUERIES = {
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
+    "corpus_select": q_corpus_select,
     "multimodal_meta": q_multimodal_meta,
 }
