@@ -763,13 +763,36 @@ def _shingles(n: int = 3) -> Column:
     )
 
 
-def shingle_df(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+def exact_dup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate representative set: min doc_id per distinct text.
+    The shuffle ships only (md5, doc_id) — never the text. This is the
+    pre-collapse the near-dup candidate generators route through: a
+    c-member exact-dup cluster (web-crawl boilerplate reaches c ~ 10^5)
+    shares every band key, so banding raw docs would emit c·(c−1)/2
+    candidate pairs from ONE bucket; collapsing to the representative
+    first makes the cluster contribute exactly one banding row (exact
+    dups are q_dedup_exact's job — VERDICT r2 top item)."""
     return (
         documents(spark, sf_dir)
-        .filter(F.col("lang") == "en")
-        .select("doc_id", F.explode(_shingles(n)).alias("shingle"))
-        .distinct()
+        .select(F.md5(F.col("text")).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
+
+
+def shingle_df(
+    spark: SparkSession, sf_dir: str, n: int = 3, reps_only: bool = False
+) -> DataFrame:
+    docs = documents(spark, sf_dir).filter(F.col("lang") == "en")
+    if reps_only:
+        # one doc_id semi-join pass BEFORE shingling: dup texts are never
+        # shingled/minhashed at all (the signature of an exact dup is
+        # byte-identical to its representative's — pure wasted work)
+        docs = docs.join(exact_dup_reps(spark, sf_dir), "doc_id", "left_semi")
+    return docs.select(
+        "doc_id", F.explode(_shingles(n)).alias("shingle")
+    ).distinct()
 
 
 # universal-hash family for the minhash signature: ONE md5 per shingle
@@ -782,12 +805,17 @@ _MH_A0, _MH_A1 = 1_664_525, 1_013_904_223  # a_i = (A0 + i·A1) mod p
 _MH_B0, _MH_B1 = 12_345, 69_069  # b_i = (B0 + i·B1) mod p
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, reps_only: bool = False
+) -> DataFrame:
     """MinHash over 3-word shingles: shingle key h = md5-derived 60-bit
     int mod p (same md5→BIGINT idiom as doc ids — bit-identical across
     Spark/DuckDB/Python); signature element i = min over shingles of
-    (a_i·h + b_i) mod p. (doc_id, seed, minhash)."""
-    sh = shingle_df(spark, sf_dir, 3)
+    (a_i·h + b_i) mod p. (doc_id, seed, minhash).
+
+    reps_only=True restricts to exact-dup representatives — the form the
+    LSH banding consumes (see exact_dup_reps)."""
+    sh = shingle_df(spark, sf_dir, 3, reps_only=reps_only)
     hashed = sh.select(
         "doc_id",
         (
@@ -823,8 +851,16 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, band_key) — shuffle co-located by bucket, never all-pairs;
     with r=4 a random dissimilar pair collides with probability ~s^4
     per band, so the candidate set stays ≪ n²/2 at any scale
-    (tests/test_dedup_scale.py asserts < 20% of all pairs)."""
-    sig = minhash_signatures(spark, sf_dir)
+    (tests/test_dedup_scale.py asserts < 20% of all pairs).
+
+    Banding runs over EXACT-DUP REPRESENTATIVES only (exact_dup_reps):
+    without the collapse, a c-member duplicate cluster shares every band
+    key and the bucket self-join emits c·(c−1)/2 pairs — O(10^10) from a
+    single 10^5-doc boilerplate cluster at web scale. Pairs for the dup
+    cluster's members are implied via their representative; exact dups
+    themselves are q_dedup_exact's output. tests/test_dedup_scale.py
+    asserts O(c) behavior on a synthetic 1k-member cluster."""
+    sig = minhash_signatures(spark, sf_dir, reps_only=True)
     bands = (
         sig.withColumn("band", F.floor(F.col("seed") / _LSH_ROWS).cast("int"))
         .groupBy("doc_id", "band")
@@ -856,8 +892,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity for the LSH candidate pairs (the
     verify step of candidate-then-verify dedup): |A∩B| / |A∪B| over 3-word
     shingle sets. Intersection via shingle equi-join, union by
-    inclusion-exclusion — never materializes the cross product."""
-    sh = shingle_df(spark, sf_dir, 3)
+    inclusion-exclusion — never materializes the cross product. Shingles
+    are restricted to exact-dup representatives: the candidates are rep
+    pairs (q_lsh_candidate_pairs), so non-rep shingle rows would only
+    feed the join to be dropped."""
+    sh = shingle_df(spark, sf_dir, 3, reps_only=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cands = q_lsh_candidate_pairs(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -902,11 +941,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign(sum over tokens of tf·(2·bit_b(h_j)−1)). All JVM column
     arithmetic; the (band, bit) dimension is a broadcast explode (×64
     rows of the per-doc tf agg, not of the corpus)."""
-    tf = (
-        tokens(spark, sf_dir)
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
+    return _simhash_of(tokens(spark, sf_dir))
+
+
+def _simhash_of(tok: DataFrame) -> DataFrame:
+    """SimHash body over an exploded (doc_id, term) token view — shared
+    by the all-docs q_simhash and the reps-only near-dup path."""
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     hexv = lambda j: F.instr(  # noqa: E731
         F.lit("0123456789abcdef"), F.substring(F.md5(F.col("term")), j, 1)
     ) - 1
@@ -962,8 +1003,21 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within Hamming distance 3 share a clean band; the ≤6 threshold keeps
     recall high while the band equi-join keeps the pair generation an
     equi-join, never all-pairs), then the exact 64-bit Hamming distance
-    (bit_count of per-band XOR, summed) filters candidates."""
-    sim = q_simhash(spark, sf_dir)
+    (bit_count of per-band XOR, summed) filters candidates.
+
+    Like the LSH path, banding runs over exact-dup REPRESENTATIVES only
+    (exact dups are Hamming-0 by construction and belong to
+    q_dedup_exact) — the same c·(c−1)/2 bucket-self-join hazard applies
+    verbatim; the semi-join happens BEFORE token explode so dup texts
+    never enter the 64-way bit fan-out either."""
+    reps = exact_dup_reps(spark, sf_dir)
+    rep_tok = (
+        documents(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .join(reps, "doc_id", "left_semi")
+        .select("doc_id", F.posexplode(_tokens_array()).alias("pos", "term"))
+    )
+    sim = _simhash_of(rep_tok)
     bands = sim.select(
         "doc_id",
         F.posexplode(
@@ -1489,6 +1543,25 @@ cands AS (
 )
 """
 
+# exact-dup representative set (min doc_id per distinct text) — the
+# pre-collapse the near-dup candidate oracles mirror (exact_dup_reps)
+_REPS_CTE_SQL = (
+    "reps AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))"
+)
+
+# the signature CTE restricted to representatives (mirror of
+# minhash_signatures(reps_only=True)): same body, shingling filtered to
+# the rep set
+_MINHASH_SIG_REPS_CTE = (
+    _REPS_CTE_SQL
+    + ",\n"
+    + _MINHASH_SIG_CTE.replace(
+        "FROM documents WHERE lang = 'en') d",
+        "FROM documents WHERE lang = 'en'\n"
+        "          AND doc_id IN (SELECT doc_id FROM reps)) d",
+    )
+)
+
 ORACLE_SQL: dict[str, str] = {
     "term_tf": f"""
 WITH {_TOK_CTE}
@@ -1588,18 +1661,19 @@ WITH {_MINHASH_SIG_CTE}
 SELECT doc_id, seed, minhash FROM sig
 """,
     "lsh_candidate_pairs": f"""
-WITH {_MINHASH_SIG_CTE},
+WITH {_MINHASH_SIG_REPS_CTE},
 {_LSH_CANDS_CTE}
 SELECT doc_a, doc_b FROM cands
 """,
     "ngram_jaccard": f"""
-WITH {_MINHASH_SIG_CTE},
+WITH {_MINHASH_SIG_REPS_CTE},
 {_LSH_CANDS_CTE},
 sh3 AS (
   SELECT DISTINCT doc_id,
          arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
   FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t NOT IN ('i', 'me', 'my', 'myself', 'we', 'our', 'ours', 'ourselves', 'you', 'you''re', 'you''ve', 'you''ll', 'you''d', 'your', 'yours', 'yourself', 'yourselves', 'he', 'him', 'his', 'himself', 'she', 'she''s', 'her', 'hers', 'herself', 'it', 'it''s', 'its', 'itself', 'they', 'them', 'their', 'theirs', 'themselves', 'what', 'which', 'who', 'whom', 'this', 'that', 'that''ll', 'these', 'those', 'am', 'is', 'are', 'was', 'were', 'be', 'been', 'being', 'have', 'has', 'had', 'having', 'do', 'does', 'did', 'doing', 'a', 'an', 'the', 'and', 'but', 'if', 'or', 'because', 'as', 'until', 'while', 'of', 'at', 'by', 'for', 'with', 'about', 'against', 'between', 'into', 'through', 'during', 'before', 'after', 'above', 'below', 'to', 'from', 'up', 'down', 'in', 'out', 'on', 'off', 'over', 'under', 'again', 'further', 'then', 'once', 'here', 'there', 'when', 'where', 'why', 'how', 'all', 'any', 'both', 'each', 'few', 'more', 'most', 'other', 'some', 'such', 'no', 'nor', 'not', 'only', 'own', 'same', 'so', 'than', 'too', 'very', 's', 't', 'can', 'will', 'just', 'don', 'don''t', 'should', 'should''ve', 'now', 'd', 'll', 'm', 'o', 're', 've', 'y', 'ain', 'aren', 'aren''t', 'couldn', 'couldn''t', 'didn', 'didn''t', 'doesn', 'doesn''t', 'hadn', 'hadn''t', 'hasn', 'hasn''t', 'haven', 'haven''t', 'isn', 'isn''t', 'ma', 'mightn', 'mightn''t', 'mustn', 'mustn''t', 'needn', 'needn''t', 'shan', 'shan''t', 'shouldn', 'shouldn''t', 'wasn', 'wasn''t', 'weren', 'weren''t', 'won', 'won''t', 'wouldn', 'wouldn''t')) AS arr
-        FROM documents WHERE lang = 'en') d,
+        FROM documents WHERE lang = 'en'
+          AND doc_id IN (SELECT doc_id FROM reps)) d,
        unnest(range(1, GREATEST(len(arr) - 1, 1))) AS t(i)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh3 GROUP BY doc_id),
@@ -1866,12 +1940,15 @@ SELECT doc_id, sim0, sim1, sim2, sim3 FROM sim
 """
 
 ORACLE_SQL["simhash_near_dup"] = f"""
-WITH {_SIMHASH_CTE},
+WITH {_REPS_CTE_SQL},
+{_SIMHASH_CTE},
 scands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM per_band a JOIN per_band b
     ON a.band = b.band AND a.band_val = b.band_val
   WHERE a.doc_id < b.doc_id
+    AND a.doc_id IN (SELECT doc_id FROM reps)
+    AND b.doc_id IN (SELECT doc_id FROM reps)
 )
 SELECT doc_a, doc_b, hamming FROM (
   SELECT c.doc_a, c.doc_b,
@@ -1960,14 +2037,15 @@ ORACLE_SQL["engine_filtered_topk"] = ORACLE_SQL["bm25_filtered_topk"]
 
 # training-set selection: lang + quality + exact-dedup + near-dedup composed
 ORACLE_SQL["corpus_select"] = f"""
-WITH {_MINHASH_SIG_CTE},
+WITH {_MINHASH_SIG_REPS_CTE},
 {_LSH_CANDS_CTE},
 sh3 AS (
   SELECT DISTINCT doc_id,
          arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
   FROM (SELECT doc_id, list_filter(string_split(text, ' '),
                t -> t NOT IN ({_SQL_STOPLIST})) AS arr
-        FROM documents WHERE lang = 'en') d,
+        FROM documents WHERE lang = 'en'
+          AND doc_id IN (SELECT doc_id FROM reps)) d,
        unnest(range(1, GREATEST(len(arr) - 1, 1))) AS t(i)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh3 GROUP BY doc_id),

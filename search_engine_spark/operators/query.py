@@ -251,7 +251,14 @@ def _decode_score_df(
                         mt = w_b * mt
                 bm = bm25_score(mt, md, idf, avgdl, K1, B)
                 if theta > 0.0:
-                    keep = bm + other_max.get(tid, 0.0) >= theta
+                    # prune against theta RELAXED by the 6-dp rounding
+                    # quantum: the final top-k orders by round(score, 6),
+                    # so a doc whose raw total sits within 5e-7 below
+                    # theta can round-TIE the kth score and win the
+                    # doc_id tiebreak — pruning it would diverge from the
+                    # oracle exactly at the tie boundaries the rounded
+                    # ordering was introduced to stabilize
+                    keep = bm + other_max.get(tid, 0.0) >= theta - 5e-7
                     if not keep.any():
                         continue
                 else:
@@ -593,7 +600,10 @@ def search_phrase(
                     }
                 )
 
-        pos = pos.mapInPandas(
+        # prune below the Arrow boundary: mapInPandas ships EVERY input
+        # column to Python — n_pos and barrel are not consumed by the
+        # decode (CLAUDE.md column-prune rule)
+        pos = pos.select("term_id", "doc_id", "pos_blob").mapInPandas(
             _decode_pos, schema="term_id long, doc_id long, positions array<long>"
         )
     cur = (

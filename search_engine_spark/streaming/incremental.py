@@ -249,10 +249,15 @@ def apply_incremental_batch(
         "doc_id", F.col("fp").alias("_new_fp")
     )
     if "fp" in base_ds.columns:
+        # null-safe inequality: a base row whose fp is NULL (possible
+        # after a fast-path fold moved fp-bearing delta files into a
+        # legacy pre-fp doc_stats dir) must be treated as CHANGED — a
+        # plain != is null there and the filter would silently drop the
+        # row, leaving the old version's postings stale forever
         changed = (
             base_ds.select("doc_id", "fp")
             .join(F.broadcast(batch_keys), "doc_id")
-            .filter(F.col("fp") != F.col("_new_fp"))
+            .filter(~F.col("fp").eqNullSafe(F.col("_new_fp")))
             .select("doc_id")
         )
     else:  # legacy index without fp: treat every re-ingest as changed
@@ -433,7 +438,14 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     resolves latest-batch-wins; identical re-ingests collapse via the
     (term_id, doc_id) dedup (rows are bit-identical)."""
     ddir = delta_dir(paths)
-    if not os.path.exists(ddir):
+    tdir = tombstones_dir(paths)
+    # tombstones WITHOUT postings deltas are possible (crash window after
+    # ingest step 1b wrote tombstones but before step 3 wrote the batch's
+    # postings delta): the purge must still run, or the tombstoned docs'
+    # stale postings survive until some later batch happens to trigger a
+    # compaction — so the early return checks BOTH dirs
+    has_tomb = os.path.exists(tdir) and bool(_batch_subdirs(tdir))
+    if not os.path.exists(ddir) and not has_tomb:
         return {"compacted_barrels": 0}
     stats = ib.read_stats(spark, paths)
     n_barrels = int(stats["n_barrels"])
@@ -442,12 +454,14 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
 
     deltas_seq = _read_deltas_with_seq(spark, paths, ddir)
     if deltas_seq is None:
-        return {"compacted_barrels": 0}
-    deltas = _latest_per_doc(deltas_seq)
+        if not has_tomb:
+            return {"compacted_barrels": 0}
+        deltas = spark.createDataFrame([], DELTA_SCHEMA)
+    else:
+        deltas = _latest_per_doc(deltas_seq)
 
-    tdir = tombstones_dir(paths)
     tomb = None
-    if os.path.exists(tdir) and _batch_subdirs(tdir):
+    if has_tomb:
         tomb = spark.read.parquet(tdir).select("doc_id").distinct()
         tomb.cache()
         full_merge = tomb.count() > 0
@@ -735,7 +749,7 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     # cached lexicon/theta metadata is stale) until refresh()ed
     shutil.rmtree(dsd, ignore_errors=True)
     shutil.rmtree(pdd, ignore_errors=True)
-    shutil.rmtree(ddir)
+    shutil.rmtree(ddir, ignore_errors=True)
     shutil.rmtree(lexicon_delta_dir(paths), ignore_errors=True)
     shutil.rmtree(tombstones_dir(paths), ignore_errors=True)
     epoch = ib.bump_epoch(paths)

@@ -37,10 +37,13 @@ def test_lsh_candidates_sparse(spark, cand_pairs):
 
 
 def test_lsh_recall_vs_exhaustive_jaccard(spark, cand_pairs):
-    """Every pair whose TRUE 3-gram Jaccard ≥ 0.8 must be a candidate
-    (at s=0.8, band-collision probability is 1-(1-0.8^4)^4 ≈ 0.87 per
-    the S-curve; the fixture's near-dups are s ≈ 1 where it is ~1)."""
-    sh = corpus.shingle_df(spark, SF, 3)
+    """Every REPRESENTATIVE pair whose TRUE 3-gram Jaccard ≥ 0.8 must be
+    a candidate (at s=0.8, band-collision probability is 1-(1-0.8^4)^4 ≈
+    0.87 per the S-curve; the fixture's near-dups are s ≈ 1 where it is
+    ~1). Ground truth is over exact-dup representatives — banding
+    pre-collapses exact dups by design (q_dedup_exact owns them), so
+    intra-cluster pairs are out of scope for the near-dup generator."""
+    sh = corpus.shingle_df(spark, SF, 3, reps_only=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -73,3 +76,84 @@ def test_simhash_near_dup_sparse(spark):
     rows = corpus.q_simhash_near_dup(spark, SF).collect()
     assert 0 < len(rows) < 0.05 * n * (n - 1) / 2
     assert all(r["hamming"] <= corpus._SIMHASH_HAMMING_MAX for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# exact-dup cluster pre-collapse (VERDICT r2 top item): a c-member
+# exact-duplicate cluster shares every band key, so banding RAW docs would
+# emit c·(c−1)/2 candidate pairs from one bucket (O(10^10) from a 10^5-doc
+# boilerplate cluster at web scale). With the representative collapse the
+# cluster contributes exactly one banding row — candidate counts must be
+# O(#distinct-texts), INDEPENDENT of c.
+
+_CLUSTER_C = 1000
+
+
+@pytest.fixture(scope="module")
+def dup_cluster_dir(spark, tmp_path_factory):
+    """Synthetic corpus: one 1000-member exact-dup cluster + 20 distinct
+    docs + one true near-dup pair, in the driver documents.parquet shape."""
+    import pandas as pd
+
+    boiler = (
+        "welcome best western hotel offers premium rooms conference "
+        "facilities airport shuttle service downtown location guest "
+        "reviews excellent breakfast included wifi parking available"
+    )
+    rows = [
+        {"doc_id": i, "text": boiler, "lang": "en"}
+        for i in range(_CLUSTER_C)
+    ]
+    for i in range(20):
+        rows.append(
+            {
+                "doc_id": 10_000 + i,
+                "text": (
+                    f"distinct document number {i} covers spark query "
+                    f"engine topics partition shuffle broadcast join "
+                    f"aggregation window streaming checkpoint batch {i}"
+                ),
+                "lang": "en",
+            }
+        )
+    near_a = (
+        "apache spark distributed computing framework processes large "
+        "datasets across clusters using resilient distributed datasets "
+        "dataframes catalyst optimizer tungsten execution engine fast"
+    )
+    rows.append({"doc_id": 20_000, "text": near_a, "lang": "en"})
+    rows.append(
+        {"doc_id": 20_001, "text": near_a.replace("fast", "quick"), "lang": "en"}
+    )
+    pdf = pd.DataFrame(rows)
+    pdf["source"] = "src1"
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path_factory.mktemp("dupcluster")
+    pdf.to_parquet(f"{d}/documents.parquet", index=False)
+    return str(d)
+
+
+def test_lsh_candidates_o_of_c_on_dup_cluster(spark, dup_cluster_dir):
+    pairs = corpus.q_lsh_candidate_pairs(spark, dup_cluster_dir).collect()
+    cluster = {r["doc_id"] for r in corpus.documents(spark, dup_cluster_dir)
+               .filter(F.col("doc_id") < _CLUSTER_C).select("doc_id").collect()}
+    # zero intra-cluster pairs (the cluster collapsed to one rep) …
+    assert not any(
+        r["doc_a"] in cluster and r["doc_b"] in cluster for r in pairs
+    )
+    # … and the total candidate set is bounded by rep-pairs, nowhere near
+    # the c·(c−1)/2 ≈ 5·10^5 the un-collapsed bucket self-join would emit
+    n_reps = 22  # 1 cluster rep + 20 distinct + 2 near-dups - 1
+    assert len(pairs) <= n_reps * (n_reps - 1) / 2
+    # the true near-dup pair still surfaces
+    assert (20_000, 20_001) in {(r["doc_a"], r["doc_b"]) for r in pairs}
+
+
+def test_simhash_near_dup_o_of_c_on_dup_cluster(spark, dup_cluster_dir):
+    rows = corpus.q_simhash_near_dup(spark, dup_cluster_dir).collect()
+    assert len(rows) <= 22 * 21 / 2
+    assert not any(
+        r["doc_a"] < _CLUSTER_C and r["doc_b"] < _CLUSTER_C for r in rows
+    )
+    pair_set = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert (20_000, 20_001) in pair_set
