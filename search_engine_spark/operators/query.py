@@ -73,7 +73,12 @@ class SearchIndex:
         self.paths = paths
         self._local_lexicon_max_rows = local_lexicon_max_rows
         from search_engine_spark.operators.index_build import read_epoch
+        from search_engine_spark.streaming.incremental import recover_pending
 
+        # roll forward a compaction whose journaled swap was interrupted
+        # (crash-safe commit: the journal IS the snapshot pointer) — a
+        # reader must never open a half-swapped index
+        recover_pending(paths)
         self._open_epoch = read_epoch(paths)
         stats = read_stats(spark, paths)
         self.n_docs = int(stats["n_docs"])

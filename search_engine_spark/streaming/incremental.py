@@ -80,6 +80,88 @@ def tombstones_dir(paths: ib.IndexPaths) -> str:
     return f"{paths.root}/tombstones"
 
 
+def journal_path(paths: ib.IndexPaths) -> str:
+    return f"{paths.root}/_compact_journal.json"
+
+
+# test-only fault injection: raise after executing N journal ops
+# (simulates a crash at ANY point inside the swap window), or just
+# before the journal commit (crash while staging — old epoch must
+# remain fully readable)
+_FAULT_AFTER_OPS: int | None = None
+_FAULT_BEFORE_JOURNAL: bool = False
+
+
+def _execute_ops(ops: list[dict]) -> None:
+    """Execute the journaled swap operations IN ORDER. Every op is
+    idempotent, so a partially-executed list can be re-run from the top
+    after a crash (roll-forward recovery):
+
+    - swap_dir: staged -> live via the keep-old-until-new-is-in-place
+      dance; a missing staged dir means the swap already completed.
+    - swap_barrel: staged barrel dir replaces the live one; missing
+      staged dir == already swapped (never emitted for barrels without
+      staged output — those get explicit rmtree ops, so a replay can
+      never confuse "already swapped" with "must delete").
+    - move_file: os.replace; missing src == already moved.
+    - rmtree / set_epoch: naturally idempotent (set_epoch writes the
+      TARGET value, never increments).
+    """
+    for i, op in enumerate(ops):
+        if _FAULT_AFTER_OPS is not None and i >= _FAULT_AFTER_OPS:
+            raise RuntimeError(f"injected crash before journal op {i}: {op}")
+        kind = op["op"]
+        if kind == "swap_barrel":
+            src, dst = op["src"], op["dst"]
+            if os.path.exists(src):
+                shutil.rmtree(dst, ignore_errors=True)
+                os.replace(src, dst)
+        elif kind == "swap_dir":
+            staged, live = op["staged"], op["live"]
+            old = f"{live}_old"
+            if os.path.exists(staged):
+                shutil.rmtree(old, ignore_errors=True)
+                if os.path.exists(live):
+                    os.replace(live, old)  # old stays until new is in place
+                os.replace(staged, live)
+            shutil.rmtree(old, ignore_errors=True)
+        elif kind == "move_file":
+            if os.path.exists(op["src"]):
+                os.replace(op["src"], op["dst"])
+        elif kind == "rmtree":
+            shutil.rmtree(op["path"], ignore_errors=True)
+        elif kind == "set_epoch":
+            tmp = f"{op['path']}.tmp"
+            with open(tmp, "w") as f:
+                f.write(str(op["value"]))
+            os.replace(tmp, op["path"])
+        else:  # pragma: no cover
+            raise ValueError(f"unknown journal op {kind}")
+
+
+def recover_pending(paths: ib.IndexPaths) -> bool:
+    """Roll forward a compaction whose swap window was interrupted.
+
+    compact() journals the ENTIRE swap as an ordered op list and commits
+    it with ONE atomic file rename (the parquet-dir stand-in for an
+    Iceberg snapshot commit). Before that rename the live tables are
+    untouched (all heavy work went to *_staging dirs) — a crash leaves
+    the old epoch fully readable. After it, the new snapshot is
+    guaranteed: any entry point (query open, ingest, compact) calls this
+    first and replays the remaining idempotent ops. Returns True if a
+    pending journal was applied."""
+    jp = journal_path(paths)
+    if not os.path.exists(jp):
+        return False
+    import json
+
+    with open(jp) as f:
+        ops = json.load(f)["ops"]
+    _execute_ops(ops)
+    os.remove(jp)
+    return True
+
+
 def _seq_path(paths: ib.IndexPaths, bid: str) -> str:
     return f"{doc_stats_delta_dir(paths)}/batch={bid}/_seq.json"
 
@@ -211,6 +293,7 @@ def apply_incremental_batch(
     IS maintained (positions_delta + fold at compaction) when the index
     was built with_positions; search_phrase still refuses to run while
     un-compacted deltas exist."""
+    recover_pending(paths)  # roll forward an interrupted previous compact
     bid = str(batch_id)
     stats = ib.read_stats(spark, paths)
     n_barrels = int(stats["n_barrels"])
@@ -437,6 +520,7 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     Conflict resolution: the same doc across multiple uncompacted batches
     resolves latest-batch-wins; identical re-ingests collapse via the
     (term_id, doc_id) dedup (rows are bit-identical)."""
+    recover_pending(paths)  # roll forward an interrupted previous compact
     ddir = delta_dir(paths)
     tdir = tombstones_dir(paths)
     # tombstones WITHOUT postings deltas are possible (crash window after
@@ -691,72 +775,94 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     hb_staging = f"{paths.hot_bounds}_staging"
     hb.write.mode("overwrite").parquet(hb_staging)
 
-    # ---- SWAP phase: pure directory renames, milliseconds end-to-end.
-    # True multi-table atomicity needs a catalog snapshot commit (the
-    # Iceberg equivalent); this grouped rename window is the parquet-dir
-    # approximation — a concurrent reader can straddle it only within
-    # the rename window itself, and any LIVE SearchIndex handle detects
-    # the epoch bump on its next query.
+    # ---- COMMIT phase. All heavy work above landed in *_staging dirs;
+    # the live tables are still the untouched old snapshot. The entire
+    # swap — barrel renames, table swaps, delta-log truncation, epoch
+    # bump — is journaled as an ordered list of IDEMPOTENT ops and
+    # committed with ONE atomic file rename (the parquet-dir stand-in
+    # for an Iceberg snapshot commit): a crash BEFORE the journal lands
+    # leaves the old epoch fully readable (staging dirs are garbage,
+    # overwritten by the next compact); a crash at ANY point after it is
+    # rolled forward by recover_pending() on the next open/ingest/
+    # compact (tests/test_crash_compact.py injects crashes at every op
+    # index). Live SearchIndex handles detect the epoch bump per query.
+    all_rows.unpersist()
+    term_stats.unpersist()
+    if tomb is not None:
+        tomb.unpersist()
+
+    ops: list[dict] = []
     for b in affected_barrels:
         sub = f"group={b % n_groups}/barrel={b}" if n_groups else f"barrel={b}"
         src = f"{staging}/{sub}"
-        dst = f"{paths.postings}/{sub}"
         if os.path.exists(src):
-            shutil.rmtree(dst, ignore_errors=True)
-            os.replace(src, dst)
+            ops.append(
+                {"op": "swap_barrel", "src": src,
+                 "dst": f"{paths.postings}/{sub}"}
+            )
         elif full_merge:
             # a fully-merged barrel with no staged output lost ALL its
-            # rows (every doc tombstoned) — stale blobs must not survive
-            shutil.rmtree(dst, ignore_errors=True)
-    shutil.rmtree(staging, ignore_errors=True)
-
-    def _swap_dir(staged: str, live: str) -> None:
-        old = f"{live}_old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(live):
-            os.replace(live, old)  # old stays until new is in place
-        os.replace(staged, live)
-        shutil.rmtree(old, ignore_errors=True)
-
-    _swap_dir(lex_staging, paths.lexicon)
+            # rows (every doc tombstoned) — stale blobs must not survive.
+            # Emitted as an explicit rmtree (not a swap with missing src)
+            # so a REPLAY can never mistake "already swapped" for "must
+            # delete" and destroy fresh data.
+            ops.append({"op": "rmtree", "path": f"{paths.postings}/{sub}"})
+    ops.append({"op": "rmtree", "path": staging})
+    ops.append(
+        {"op": "swap_dir", "staged": lex_staging, "live": paths.lexicon}
+    )
     if ds_staging is not None:
-        _swap_dir(ds_staging, paths.doc_stats)
+        ops.append(
+            {"op": "swap_dir", "staged": ds_staging, "live": paths.doc_stats}
+        )
     elif ds_deltas_seq is not None:
+        # fast path: parquet part files are self-contained — pure moves
         for bdir in _batch_subdirs(dsd):
             tag = os.path.basename(bdir).replace("=", "_")
-            for fn in os.listdir(bdir):
+            for fn in sorted(os.listdir(bdir)):
                 if fn.endswith(".parquet"):
-                    os.replace(
-                        f"{bdir}/{fn}", f"{paths.doc_stats}/incr_{tag}_{fn}"
+                    ops.append(
+                        {"op": "move_file", "src": f"{bdir}/{fn}",
+                         "dst": f"{paths.doc_stats}/incr_{tag}_{fn}"}
                     )
     if pos_staging is not None:
         for b in pos_barrels:
             src = f"{pos_staging}/barrel={b}"
             dst = f"{paths.positions}/barrel={b}"
             if os.path.exists(src):
-                shutil.rmtree(dst, ignore_errors=True)
-                os.replace(src, dst)
+                ops.append({"op": "swap_barrel", "src": src, "dst": dst})
             elif full_merge:
-                shutil.rmtree(dst, ignore_errors=True)
-        shutil.rmtree(pos_staging, ignore_errors=True)
-    _swap_dir(hb_staging, paths.hot_bounds)
-    _swap_dir(stats_base_staging, paths.stats_base)
-    _swap_dir(stats_staging, paths.stats)
+                ops.append({"op": "rmtree", "path": dst})
+        ops.append({"op": "rmtree", "path": pos_staging})
+    ops.append(
+        {"op": "swap_dir", "staged": hb_staging, "live": paths.hot_bounds}
+    )
+    ops.append(
+        {"op": "swap_dir", "staged": stats_base_staging,
+         "live": paths.stats_base}
+    )
+    ops.append(
+        {"op": "swap_dir", "staged": stats_staging, "live": paths.stats}
+    )
+    # truncate the delta logs (lexicon deltas were folded into the
+    # rewritten base above) and set the new epoch (the literal TARGET
+    # value — a replay must not double-bump)
+    for p in (dsd, pdd, ddir, lexicon_delta_dir(paths), tombstones_dir(paths)):
+        ops.append({"op": "rmtree", "path": p})
+    epoch = ib.read_epoch(paths) + 1
+    ops.append({"op": "set_epoch", "path": paths.epoch, "value": epoch})
 
-    # 7. truncate the delta logs (lexicon deltas were folded into the
-    # rewritten base above) and bump the index epoch — live SearchIndex
-    # handles opened before this compaction now refuse to serve (their
-    # cached lexicon/theta metadata is stale) until refresh()ed
-    shutil.rmtree(dsd, ignore_errors=True)
-    shutil.rmtree(pdd, ignore_errors=True)
-    shutil.rmtree(ddir, ignore_errors=True)
-    shutil.rmtree(lexicon_delta_dir(paths), ignore_errors=True)
-    shutil.rmtree(tombstones_dir(paths), ignore_errors=True)
-    epoch = ib.bump_epoch(paths)
-    all_rows.unpersist()
-    term_stats.unpersist()
-    if tomb is not None:
-        tomb.unpersist()
+    import json
+
+    if _FAULT_BEFORE_JOURNAL:
+        raise RuntimeError("injected crash before journal commit")
+    jp = journal_path(paths)
+    tmp = f"{jp}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"epoch": epoch, "ops": ops}, f, indent=1)
+    os.replace(tmp, jp)  # <- the commit point
+    _execute_ops(ops)
+    os.remove(jp)
     return {
         "compacted_barrels": len(affected_barrels),
         "epoch": epoch,
