@@ -550,31 +550,36 @@ def search_phrase(
     spark = index.spark
     if not os.path.exists(index.paths.positions):
         raise ValueError("index was built without positions")
-    # the positional index is not incrementally maintained: refuse to
-    # serve stale phrase results while un-compacted deltas exist
-    for d in ("postings_delta", "doc_stats_delta"):
-        p = f"{index.paths.root}/{d}"
-        if os.path.exists(p) and os.listdir(p):
-            raise ValueError(
-                "positional index is stale (un-compacted ingest deltas "
-                "present): run streaming.incremental.compact() first"
-            )
+    # un-compacted ingest deltas: serve the UNION snapshot (base ∪
+    # deltas) — a phrase query derives all its stats (tf, df, dl, N,
+    # avgdl) live from matched docs, so unlike term search (base-only
+    # until compact: its compressed barrels/WAND metadata exist only
+    # post-compaction) it can answer the union corpus EXACTLY, bit-equal
+    # to a fresh build (tests/test_streaming.py). The divergence in
+    # served snapshot between the two paths while deltas exist is
+    # deliberate and documented here.
+    from search_engine_spark.streaming.incremental import uncompacted_snapshot
+
+    snap = uncompacted_snapshot(spark, index.paths)
     tokens = [t for t in normalize_text(phrase).split(" ") if t]
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not tokens:
         return empty
-    # ordered binding, duplicates preserved (phrase semantics)
+    # ordered binding, duplicates preserved (phrase semantics); with
+    # deltas present the cached driver lexicon is stale for NEW terms —
+    # bind via the base ∪ delta lexicon scan instead
     uniq = sorted(set(tokens))
-    if index._local_lexicon is not None:
+    if snap is None and index._local_lexicon is not None:
         tid_map = {
             t: index._local_lexicon[t]["term_id"]
             for t in uniq
             if t in index._local_lexicon
         }
     else:
+        lex = index.lexicon if snap is None else snap["lexicon"]
         tid_map = {
             r["term"]: int(r["term_id"])
-            for r in index.lexicon.filter(F.col("term").isin(uniq))
+            for r in lex.filter(F.col("term").isin(uniq))
             .select("term", "term_id")
             .collect()
         }
@@ -583,9 +588,23 @@ def search_phrase(
     tids = [tid_map[t] for t in tokens]
     pos = spark.read.parquet(index.paths.positions)
     barrels = sorted({tid % index.n_barrels for tid in tids})
-    pos = pos.filter(
+    pruned = lambda df: df.filter(  # noqa: E731
         F.col("barrel").isin(barrels) & F.col("term_id").isin(sorted(set(tids)))
     )
+    pos = pruned(pos)
+    if snap is not None:
+        if "pos_blob" not in pos.columns:
+            raise ValueError(
+                "positional index uses the pre-v2 array layout; rebuild "
+                "with build_index(..., with_positions=True) before "
+                "serving phrase queries over ingest deltas"
+            )
+        # latest version wins: base rows of re-ingested/tombstoned docs
+        # are ignored (broadcast anti-join on the small batch doc set),
+        # the pruned positional delta rows take their place
+        pos = pos.join(
+            F.broadcast(snap["delta_doc_ids"]), "doc_id", "left_anti"
+        ).unionByName(pruned(snap["pos_delta"]).select(*pos.columns))
     if "pos_blob" in pos.columns:
         # compressed positional layout: one Arrow decode pass over ONLY
         # the pruned (barrel, term) rows, then the JVM adjacency joins
@@ -634,19 +653,23 @@ def search_phrase(
     # the returned plan (which references them) is garbage-collected —
     # callers need no explicit unpersist; the match set is bounded by the
     # docs containing the full phrase
+    if snap is None:
+        ds, n_docs, avgdl = index.doc_stats, index.n_docs, index.avgdl
+    else:
+        ds, n_docs, avgdl = snap["doc_stats"], snap["n_docs"], snap["avgdl"]
     matches = matches.join(
-        index.doc_stats.select("doc_id", "dl"), "doc_id"
+        ds.select("doc_id", "dl"), "doc_id"
     ).localCheckpoint(eager=True)
     df_phrase = matches.count()
     if df_phrase == 0:
         return empty
-    idf = idf_value(df_phrase, index.n_docs)
+    idf = idf_value(df_phrase, n_docs)
     score = (
         F.lit(idf)
         * (F.col("tf").cast("double") * (K1 + 1.0))
         / (
             F.col("tf").cast("double")
-            + K1 * ((1.0 - B) + (B * F.col("dl").cast("double")) / index.avgdl)
+            + K1 * ((1.0 - B) + (B * F.col("dl").cast("double")) / avgdl)
         )
     )
     return (

@@ -28,14 +28,16 @@ delta log + partition-level compaction, the shape that works at
   queries stay exact between compactions for all untouched terms, and
   WAND bounds recompute from the live (N, avgdl, df) at query time
   (functions/compression.py design note). Between ingest and compaction
-  queries serve EXACTLY the base snapshot (base postings scored with
-  base stats): ingest touches only delta directories; compact() stages
-  every table first and then swaps barrels, lexicon, doc_stats,
-  hot_bounds AND stats in one rename-only window (milliseconds) before
-  bumping the index epoch. A concurrent reader can straddle the swap
-  only within that window — true multi-table atomicity is the Iceberg
-  snapshot commit this layout stands in for — and any LIVE SearchIndex
-  handle detects the epoch bump on its next query.
+  TERM queries serve EXACTLY the base snapshot (base postings scored
+  with base stats — the compressed barrels and WAND metadata for delta
+  docs exist only post-compaction), while PHRASE queries serve the
+  union snapshot via uncompacted_snapshot() (they derive every stat
+  live from matched docs, so the union answer is exact). Ingest touches
+  only delta directories; compact() stages every table first, then
+  journals the whole swap as idempotent ops and commits it with ONE
+  atomic file rename (recover_pending rolls an interrupted swap forward
+  — the Iceberg-snapshot-commit stand-in). Any LIVE SearchIndex handle
+  detects the epoch bump on its next query.
 
 Parquet directories stand in for Iceberg tables (per-barrel overwrite ==
 rewrite-data-files of one partition; delta append == snapshot append);
@@ -263,6 +265,95 @@ def read_doc_stats(spark: SparkSession, paths: ib.IndexPaths) -> DataFrame:
     return ds
 
 
+def union_corpus_stats(
+    spark: SparkSession,
+    paths: ib.IndexPaths,
+    base_ds: DataFrame,
+    latest_ds: DataFrame,
+) -> tuple[int, int]:
+    """(n_docs, total_dl) of base ∪ un-compacted deltas as EXACT ints —
+    stats_base scalars plus one small aggregate over the (tiny) latest
+    delta rows, not a full doc_stats rescan. Re-ingests count once: the
+    latest delta version REPLACES the base row's dl. Exact integer
+    arithmetic keeps the derived avgdl bit-equal to a fresh build's."""
+    row = spark.read.parquet(paths.stats_base).collect()[0]
+    n_docs, total_dl = int(row["n_docs"]), int(row["total_dl"])
+    agg = latest_ds.join(
+        base_ds.select("doc_id", F.col("dl").alias("_base_dl")),
+        "doc_id",
+        "left",
+    ).agg(
+        F.sum(F.when(F.col("_base_dl").isNull(), 1).otherwise(0)).alias("n_new"),
+        F.sum("dl").alias("dl_new"),
+        F.sum(F.coalesce("_base_dl", F.lit(0))).alias("dl_replaced"),
+    ).collect()[0]
+    n_docs += int(agg["n_new"] or 0)
+    total_dl += int(agg["dl_new"] or 0) - int(agg["dl_replaced"] or 0)
+    return n_docs, total_dl
+
+
+def uncompacted_snapshot(spark: SparkSession, paths: ib.IndexPaths) -> dict | None:
+    """Serving view of the UNION corpus (base ∪ un-compacted deltas) for
+    phrase queries (query.search_phrase): unlike term search — whose
+    compressed barrels and WAND metadata only exist post-compaction, so
+    it serves exactly the base snapshot until compact() — a phrase query
+    derives everything it scores with (positions, tf, df, dl, N, avgdl)
+    live from its matched docs, so it can serve the union snapshot
+    EXACTLY (bit-equal to a fresh build; tests/test_streaming.py).
+
+    Returns None when no deltas exist (serve the base tables), else a
+    dict with:
+      lexicon     base ∪ delta extensions (new terms bind)
+      doc_stats   latest-wins fold (base rows replaced by re-ingests)
+      n_docs, avgdl  union-corpus scalars, exact-int derived
+      delta_doc_ids  docs whose BASE positions rows must be ignored
+                     (re-ingested or tombstoned — latest version wins)
+      pos_delta   latest-wins positional delta rows (all barrels;
+                  caller prunes by barrel/term before the fold)
+
+    Raises when the delta log is torn (a crash between ingest steps left
+    doc_stats batches without matching positional batches) — compact()
+    repairs; serving would silently miss those docs."""
+    ds_dirs = _batch_subdirs(doc_stats_delta_dir(paths))
+    if not ds_dirs:
+        return None
+    pos_dirs = _batch_subdirs(positions_delta_dir(paths))
+    ds_b = {os.path.basename(d) for d in ds_dirs}
+    pos_b = {os.path.basename(d) for d in pos_dirs}
+    if ds_b != pos_b:
+        raise ValueError(
+            "positional delta log is torn (doc_stats batches "
+            f"{sorted(ds_b - pos_b)} have no positional delta): re-ingest "
+            "the batch or run streaming.incremental.compact() first"
+        )
+    base_ds = spark.read.parquet(paths.doc_stats)
+    latest_ds = _latest_per_doc(
+        _read_deltas_with_seq(spark, paths, doc_stats_delta_dir(paths))
+    )
+    latest_ds = latest_ds.localCheckpoint(eager=False)
+    folded_ds = (
+        base_ds.join(
+            F.broadcast(latest_ds.select("doc_id")), "doc_id", "left_anti"
+        )
+        .unionByName(latest_ds.select(*base_ds.columns))
+        .dropDuplicates(["doc_id"])
+    )
+    if os.path.exists(paths.stats_base):
+        n_docs, total_dl = union_corpus_stats(spark, paths, base_ds, latest_ds)
+    else:  # legacy index without stats_base scalars
+        n_docs, total_dl = ib.corpus_totals(folded_ds)
+    pos_seq = _read_deltas_with_seq(spark, paths, positions_delta_dir(paths))
+    pos_cols = [c for c in pos_seq.columns if c != "batch_seq"]
+    return {
+        "lexicon": read_lexicon(spark, paths),
+        "doc_stats": folded_ds,
+        "n_docs": n_docs,
+        "avgdl": float(total_dl) / n_docs if n_docs else 0.0,
+        "delta_doc_ids": latest_ds.select("doc_id"),
+        "pos_delta": _latest_per_doc(pos_seq).select(*pos_cols),
+    }
+
+
 def apply_incremental_batch(
     spark: SparkSession,
     new_pages: DataFrame,
@@ -290,9 +381,9 @@ def apply_incremental_batch(
     compaction; rare by construction) before folding in the new rows.
     The same doc re-ingested across multiple uncompacted batches
     resolves latest-batch-wins (_latest_per_doc). The positional index
-    IS maintained (positions_delta + fold at compaction) when the index
-    was built with_positions; search_phrase still refuses to run while
-    un-compacted deltas exist."""
+    IS maintained when the index was built with_positions: ingest writes
+    positions_delta, compaction folds it, and BETWEEN the two
+    search_phrase serves the union snapshot via uncompacted_snapshot()."""
     recover_pending(paths)  # roll forward an interrupted previous compact
     bid = str(batch_id)
     stats = ib.read_stats(spark, paths)
@@ -416,25 +507,15 @@ def apply_incremental_batch(
     # neither the old nor the new snapshot. compact() performs the swap.)
     # Re-ingests count once: latest delta version replaces the base row.
     if os.path.exists(paths.stats_base):
-        row = spark.read.parquet(paths.stats_base).collect()[0]
-        n_docs, total_dl = int(row["n_docs"]), int(row["total_dl"])
         all_ds = _read_deltas_with_seq(spark, paths, doc_stats_delta_dir(paths))
         if all_ds is not None:
             latest = _latest_per_doc(all_ds)
-            agg = latest.join(
-                base_ds.select("doc_id", F.col("dl").alias("_base_dl")),
-                "doc_id",
-                "left",
-            ).agg(
-                F.count("*").alias("n"),
-                F.sum(F.when(F.col("_base_dl").isNull(), 1).otherwise(0)).alias(
-                    "n_new"
-                ),
-                F.sum("dl").alias("dl_new"),
-                F.sum(F.coalesce("_base_dl", F.lit(0))).alias("dl_replaced"),
-            ).collect()[0]
-            n_docs += int(agg["n_new"] or 0)
-            total_dl += int(agg["dl_new"] or 0) - int(agg["dl_replaced"] or 0)
+            n_docs, total_dl = union_corpus_stats(
+                spark, paths, base_ds, latest
+            )
+        else:
+            row = spark.read.parquet(paths.stats_base).collect()[0]
+            n_docs, total_dl = int(row["n_docs"]), int(row["total_dl"])
         avgdl = float(total_dl) / n_docs if n_docs else 0.0
     else:  # legacy index without stats_base
         n_docs, avgdl = ib.corpus_stats(read_doc_stats(spark, paths))

@@ -524,8 +524,10 @@ def test_ingest_leaves_served_snapshot_unchanged(spark, tmp_path):
 
 def test_incremental_positions_phrase_equals_fresh(spark, tmp_path):
     """A positions-enabled index stays phrase-correct through ingest +
-    compaction: search_phrase on the compacted index must equal a fresh
-    with_positions build over the union corpus."""
+    compaction — and BETWEEN them: search_phrase over un-compacted
+    deltas serves the union snapshot (base ∪ batches) bit-equal to a
+    fresh with_positions build, no compact() required (VERDICT r2 item
+    5). After compaction the same equality holds from the folded base."""
     from search_engine_spark.operators.query import search_phrase_topk
     from search_engine_spark.streaming.incremental import (
         apply_incremental_batch,
@@ -544,27 +546,75 @@ def test_incremental_positions_phrase_equals_fresh(spark, tmp_path):
         "url string, warc_ts timestamp, html binary, text string, lang string",
     )
     apply_incremental_batch(spark, batch, paths, batch_id="p1")
-    inc = SearchIndex(spark, paths)
-    # guard: stale positional index must refuse until compaction
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="stale"):
-        from search_engine_spark.operators.query import search_phrase
-
-        search_phrase(inc, "best western")
-    compact(spark, paths)
 
     fresh_paths = ib.IndexPaths(str(tmp_path / "pfresh"))
     ib.build_index(
         spark, full, fresh_paths, n_salts=2, salt_threshold=60, n_barrels=4,
         id_partitions=4, with_positions=True,
     )
+    fresh = SearchIndex(spark, fresh_paths)
+
+    def check(inc, tag):
+        for phrase in ["best western", "good hotel"]:
+            a = search_phrase_topk(inc, phrase, k=10)
+            b = search_phrase_topk(fresh, phrase, k=10)
+            assert [d for d, _ in a] == [d for d, _ in b], (tag, phrase)
+            np.testing.assert_array_equal(
+                np.array([s for _, s in a]), np.array([s for _, s in b])
+            )
+
+    # between ingest and compaction: union snapshot, exact
+    check(SearchIndex(spark, paths), "pre-compact")
+    compact(spark, paths)
+    check(SearchIndex(spark, paths), "post-compact")
+
+
+def test_phrase_over_deltas_changed_reingest(spark, tmp_path):
+    """Phrase serving over un-compacted deltas must apply latest-wins to
+    a CHANGED re-ingest: the old version's positions are invisible, the
+    new version's phrase matches appear, scores bit-equal a fresh build
+    over the updated corpus — all before compact()."""
+    from search_engine_spark.operators.query import search_phrase_topk
+    from search_engine_spark.sources.pages import generate_pages_pandas
+    from search_engine_spark.streaming.incremental import (
+        apply_incremental_batch,
+    )
+
+    pdf = generate_pages_pandas(np.arange(250))
+    paths = ib.IndexPaths(str(tmp_path / "pcidx"))
+    ib.build_index(
+        spark, _pages_df(spark, pdf), paths, n_salts=2, salt_threshold=60,
+        n_barrels=4, id_partitions=4, with_positions=True,
+    )
+    changed = pdf.iloc[5:8].copy()
+    changed["html"] = [
+        (
+            b"<html><head><title>t%d</title></head><body><p>"
+            b"zzznew phrase target content</p></body></html>" % i
+        )
+        for i in (5, 6, 7)
+    ]
+    r = apply_incremental_batch(spark, _pages_df(spark, changed), paths, "pc1")
+    assert r["tombstoned"] == 3
+
+    updated = pdf.copy()
+    updated.iloc[5:8] = changed
+    fresh_paths = ib.IndexPaths(str(tmp_path / "pcfresh"))
+    ib.build_index(
+        spark, _pages_df(spark, updated), fresh_paths, n_salts=2,
+        salt_threshold=60, n_barrels=4, id_partitions=4, with_positions=True,
+    )
     inc = SearchIndex(spark, paths)
     fresh = SearchIndex(spark, fresh_paths)
+    # new-version phrase (terms exist only in the delta lexicon)
+    a = search_phrase_topk(inc, "zzznew phrase target", k=10)
+    b = search_phrase_topk(fresh, "zzznew phrase target", k=10)
+    assert len(a) == 3 and a == b
+    # a phrase the OLD versions matched must now answer like fresh
     for phrase in ["best western", "good hotel"]:
-        a = search_phrase_topk(inc, phrase, k=10)
-        b = search_phrase_topk(fresh, phrase, k=10)
-        assert [d for d, _ in a] == [d for d, _ in b], phrase
+        x = search_phrase_topk(inc, phrase, k=10)
+        y = search_phrase_topk(fresh, phrase, k=10)
+        assert [d for d, _ in x] == [d for d, _ in y], phrase
         np.testing.assert_array_equal(
-            np.array([s for _, s in a]), np.array([s for _, s in b])
+            np.array([s for _, s in x]), np.array([s for _, s in y])
         )
