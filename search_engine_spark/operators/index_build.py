@@ -377,6 +377,7 @@ POSTINGS_SCHEMA = (
     "db_lens array<long>, tf_lens array<long>, dl_lens array<long>, "
     "tf1_lens array<long>, "
     "theta_docs array<long>, theta_tfs array<long>, theta_dls array<long>, "
+    "theta_tf1s array<long>, "
     "doc_deltas binary, tfs binary, dls binary, tf1s binary"
 )
 
@@ -511,6 +512,10 @@ def encode_postings(joined: DataFrame, n_barrels: int = 64) -> DataFrame:
             out["theta_docs"].append(ds_[top].tolist())
             out["theta_tfs"].append(ts_[top].tolist())
             out["theta_dls"].append(ls_[top].tolist())
+            # tf1 rides along so WEIGHTED queries get a driver-side theta
+            # too (the sketch's achieved score must be computed with the
+            # same wtf = w_t·tf1 + w_b·(tf−tf1) the decode scores with)
+            out["theta_tf1s"].append(t1s_[top].tolist())
             out["doc_deltas"].append(enc["doc_deltas"])
             out["tfs"].append(enc["tfs"])
             out["dls"].append(enc["dls"])
@@ -520,7 +525,7 @@ def encode_postings(joined: DataFrame, n_barrels: int = 64) -> DataFrame:
         "term_id", "salt", "df", "n_docs", "max_tf", "min_dl",
         "block_max_tf", "block_min_dl", "block_max_tf1",
         "db_lens", "tf_lens", "dl_lens", "tf1_lens",
-        "theta_docs", "theta_tfs", "theta_dls",
+        "theta_docs", "theta_tfs", "theta_dls", "theta_tf1s",
         "doc_deltas", "tfs", "dls", "tf1s",
     ]
 
@@ -738,7 +743,19 @@ def build_hot_bounds(
     Hot terms are exactly where the distributed theta pass is expensive
     (their posting lists are the Zipf head); the sketch moves that pass
     to the driver. Cold terms keep the cheap distributed pass — their
-    lists are bounded by salt_threshold."""
+    lists are bounded by salt_threshold.
+
+    tf1 rides along so weighted queries get a driver theta too. Legacy
+    blob rows without theta_tf1s (pre-upgrade barrels surviving a
+    partial compaction) contribute tf1 = 0 — safe for w_title ≥ w_body,
+    the only weighted mode the sketch path serves (query._sketch_theta
+    docstring)."""
+    zero_tf1 = F.transform("theta_tfs", lambda x: F.lit(0).cast("long"))
+    tf1_col = (
+        F.coalesce(F.col("theta_tf1s"), zero_tf1)
+        if "theta_tf1s" in postings.columns
+        else zero_tf1
+    )
     pairs = (
         postings.filter(F.col("df") > salt_threshold)
         .select(
@@ -748,25 +765,31 @@ def build_hot_bounds(
                     F.col("theta_docs").alias("doc"),
                     F.col("theta_tfs").alias("tf"),
                     F.col("theta_dls").alias("dl"),
+                    tf1_col.alias("tf1"),
                 )
             ).alias("p"),
         )
-        .select("term_id", "p.doc", "p.tf", "p.dl")
+        .select("term_id", "p.doc", "p.tf", "p.dl", "p.tf1")
     )
     w = Window.partitionBy("term_id").orderBy(F.desc("tf"), F.asc("dl"), F.asc("doc"))
     top = pairs.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= theta_k
     )
-    # struct-collect + sort keeps the three arrays ALIGNED (separate
+    # struct-collect + sort keeps the arrays ALIGNED (separate
     # collect_lists have no cross-column order guarantee)
     return (
         top.groupBy("term_id")
-        .agg(F.sort_array(F.collect_list(F.struct("rn", "doc", "tf", "dl"))).alias("ps"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("rn", "doc", "tf", "dl", "tf1"))
+            ).alias("ps")
+        )
         .select(
             "term_id",
             F.transform("ps", lambda p: p["doc"]).alias("docs"),
             F.transform("ps", lambda p: p["tf"]).alias("tfs"),
             F.transform("ps", lambda p: p["dl"]).alias("dls"),
+            F.transform("ps", lambda p: p["tf1"]).alias("tf1s"),
         )
     )
 

@@ -103,11 +103,16 @@ class SearchIndex:
         import os
 
         if os.path.exists(paths.hot_bounds):
-            for r in spark.read.parquet(paths.hot_bounds).take(max_hot_terms):
+            hb_df = spark.read.parquet(paths.hot_bounds)
+            has_tf1 = "tf1s" in hb_df.columns
+            for r in hb_df.take(max_hot_terms):
                 self.hot_bounds[int(r["term_id"])] = (
                     np.asarray(r["docs"], dtype=np.int64),
                     np.asarray(r["tfs"], dtype=np.float64),
                     np.asarray(r["dls"], dtype=np.float64),
+                    np.asarray(r["tf1s"], dtype=np.float64)
+                    if has_tf1
+                    else None,
                 )
         self._local_lexicon: dict[str, dict] | None = None
         if local_lexicon_max_rows:
@@ -341,7 +346,11 @@ def _estimate_theta(
 
 
 def _sketch_theta(
-    index: SearchIndex, term_ids: list[int], idfs: dict[int, float], k: int
+    index: SearchIndex,
+    term_ids: list[int],
+    idfs: dict[int, float],
+    k: int,
+    field_weights: tuple[float, float] | None = None,
 ) -> float:
     """Driver-side theta from the hot-term sketches: accumulate ACHIEVED
     BM25 partial sums per doc over every query term's stored real
@@ -349,13 +358,27 @@ def _sketch_theta(
 
     Safe: each stored (doc, tf, dl) is a real posting, so each per-doc
     sum is ≤ that doc's true total score; k distinct docs achieving
-    ≥ theta ⇒ the true kth top-k score ≥ theta."""
+    ≥ theta ⇒ the true kth top-k score ≥ theta.
+
+    With field_weights the achieved score uses the SAME wtf = w_t·tf1 +
+    w_b·(tf−tf1) the decode scores with (the sketch stores tf1). A
+    sketch missing its tf1 channel (pre-upgrade index) is skipped —
+    theta only drops, staying a valid lower bound. Callers must only
+    route w_title ≥ w_body here: legacy rows whose tf1 was zero-filled
+    (build_hot_bounds) then under-state wtf (safe); for w_title < w_body
+    a zero-filled tf1 would OVER-state it (search() falls back to the
+    distributed pass for that orientation)."""
     acc: dict[int, float] = {}
     for tid in term_ids:
         hb = index.hot_bounds.get(tid)
         if hb is None:
             continue
-        d, tf, dl = hb
+        d, tf, dl, tf1 = hb
+        if field_weights is not None:
+            if tf1 is None:
+                continue
+            w_t, w_b = field_weights
+            tf = w_t * tf1 + w_b * (tf - tf1)
         score = bm25_score(tf, dl, idfs[tid], index.avgdl, K1, B)
         for doc, sc in zip(d.tolist(), score.tolist()):
             acc[doc] = acc.get(doc, 0.0) + sc
@@ -468,20 +491,30 @@ def search(
             for tid in term_ids
         }
         rarest = min(bound, key=lambda t: (bound[t]["df"], t))
-        if field_weights is None and doc_ids is None:
-            theta = _sketch_theta(index, term_ids, idfs, k)
+        # the driver sketch serves unweighted queries AND title-upweighted
+        # ones (its tf1 channel reproduces the decode's wtf exactly; the
+        # w_t < w_b orientation is excluded so legacy zero-filled tf1
+        # rows can never over-state achieved scores — _sketch_theta).
+        # FILTERED queries can't use it: the sketch ignores the doc_ids
+        # set, so its kth achieved score may exceed the kth FILTERED
+        # score and over-prune — they keep the distributed rarest-term
+        # pass, which scores real filtered postings.
+        sketch_ok = doc_ids is None and (
+            field_weights is None or field_weights[0] >= field_weights[1]
+        )
+        if sketch_ok:
+            theta = _sketch_theta(index, term_ids, idfs, k, field_weights)
             if rarest not in index.hot_bounds:
                 # cold rarest term: its list is bounded by salt_threshold,
                 # so the distributed pass is cheap — and usually tighter
                 theta = max(
-                    theta, _estimate_theta(index, probe, rarest, idfs, k)
+                    theta,
+                    _estimate_theta(
+                        index, probe, rarest, idfs, k,
+                        field_weights=field_weights,
+                    ),
                 )
         else:
-            # weighted/filtered mode: the driver sketches store raw tf
-            # only and ignore the filter, so their "achieved" scores are
-            # not guaranteed lower bounds here — use the distributed
-            # rarest-term pass, which scores real (filtered, weighted)
-            # postings and is therefore always safe
             theta = _estimate_theta(
                 index, probe, rarest, idfs, k,
                 field_weights=field_weights, doc_ids=doc_ids,

@@ -706,7 +706,10 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
             "group", F.col("group").cast("int")
         )
 
-    merged = base_untouched.unionByName(re_encoded)
+    # allowMissingColumns: untouched blobs from a pre-upgrade index may
+    # lack newer metadata columns (e.g. theta_tf1s) — they ride along as
+    # nulls; readers coalesce (build_hot_bounds) or prune (decode) them
+    merged = base_untouched.unionByName(re_encoded, allowMissingColumns=True)
 
     # 6. refreshed lexicon: base ∪ uncompacted batch extensions, with
     # absolute df/cf recount from the merged rows (no additive drift).

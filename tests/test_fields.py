@@ -32,6 +32,48 @@ def test_field_weighted_wand_lossless(spark_index, query):
     assert a == b, query
 
 
+def test_weighted_sketch_theta_engages_and_is_safe(spark_index, oracle_index):
+    """The driver-side theta sketch must serve TITLE-UPWEIGHTED queries
+    (its tf1 channel reproduces the decode's wtf): for a query of hot
+    (salted) terms the weighted sketch returns a positive theta, that
+    theta lower-bounds the true kth weighted score (safety invariant),
+    and the end-to-end weighted top-k stays bit-equal to the oracle."""
+    from search_engine_spark.operators.index_build import idf_value
+    from search_engine_spark.operators.query import _sketch_theta
+
+    idx = spark_index
+    query = "best western good"  # Zipf-head terms, salted at threshold 60
+    bound = idx.bind_terms(query)
+    hot = [t for t in bound if t in idx.hot_bounds]
+    assert hot, "fixture should salt these head terms"
+    assert all(
+        idx.hot_bounds[t][3] is not None for t in hot
+    ), "sketches must carry the tf1 channel"
+    idfs = {t: idf_value(b["df"], idx.n_docs) for t, b in bound.items()}
+    theta = _sketch_theta(idx, sorted(bound), idfs, 10, field_weights=FW)
+    assert theta > 0.0
+    got = search_topk(idx, query, k=10, field_weights=FW)
+    want = oracle.search(oracle_index, query, k=10, field_weights=FW)
+    assert theta <= want[-1][1] + 1e-12  # lower-bounds the true kth score
+    assert [d for d, _ in got] == [d for d, _ in want]
+    np.testing.assert_array_equal(
+        np.array([s for _, s in got]), np.array([s for _, s in want])
+    )
+
+
+def test_body_upweighted_falls_back_lossless(spark_index):
+    """w_title < w_body is excluded from the sketch path (legacy
+    zero-filled tf1 could over-state achieved scores) — it must take the
+    distributed theta and stay lossless."""
+    fw = (1.0, 2.0)
+    a = search_topk(spark_index, "best western good", k=10, field_weights=fw)
+    b = search_topk(
+        spark_index, "best western good", k=10, field_weights=fw,
+        use_wand=False,
+    )
+    assert a == b and a
+
+
 def test_title_term_boosted(spark_index, oracle_index):
     """A title-only term (the html <title> token t<i>) must score strictly
     higher under title-weighting — proves the tf1 channel carries real
