@@ -11,9 +11,11 @@ Reproduces the reference tokenizer's stage ORDER and quirks
        case-sensitive: "The" survives this stage, "the" does not)
     5. lowercase              (tokenizer.py:31)
     6. lemmatize non-NOUN tokens (tokenizer.py:33-34, spaCy). spaCy is not
-       available in this environment; the deterministic fallback is identity
-       (gated behind an import-try) so the oracle and the Spark engine share
-       one exactly-reproducible definition.
+       available in this environment; the gated fallback is a VENDORED
+       deterministic table+suffix-rule lemmatizer (see _IRREGULAR_LEMMAS
+       block comment) shared verbatim by the oracle and the Spark engine —
+       one exactly-reproducible definition, golden-tested in
+       tests/test_tokenizer.py.
 
 Two implementations are provided and property-tested against each other
 (tests/test_tokenizer.py):
@@ -161,6 +163,124 @@ try:  # spaCy lemmatization (reference tokenizer.py:24,33-34) — not in this en
 except Exception:  # pragma: no cover
     _HAS_SPACY = False
 
+# ---------------------------------------------------------------------------
+# Vendored rule lemmatizer (reference tokenizer.py:33-34: spaCy lemma_ for
+# every token whose POS is not NOUN, surface form for NOUN). spaCy is not
+# installable in this environment, so this deterministic table+suffix-rule
+# lemmatizer is the gated fallback, shared VERBATIM by the Spark pipeline
+# (normalize_series) and the single-node oracle (normalize_text) — engine ==
+# oracle holds by construction. Approximation vs spaCy, pinned as golden
+# cases in tests/test_tokenizer.py:
+# - bare "-s" forms are KEPT: the lemma-vs-NOUN rule means bare plurals
+#   (overwhelmingly nouns) keep their surface form in the reference; the
+#   price is that 3sg verbs ("runs") also stay inflected;
+# - "-ing"/"-ed" forms lemmatize via irregular table → "-ied"→y →
+#   consonant undoubling → Porter-m=1 e-restoration; dictionary-less edge
+#   cases are stemmer-grade ("caused"→"caus") but IDENTICAL on both
+#   engines; "-eed" and vowel-less stems are left untouched;
+# - digit-bearing tokens (the synthetic t<i> title tokens) never match.
+
+_IRREGULAR_LEMMAS = {
+    # auxiliaries/copulas that survive the CASE-SENSITIVE stopword stage
+    # (e.g. "Was" -> lowercased "was") — spaCy lemmatizes these to be/have/do
+    "was": "be", "were": "be", "is": "be", "are": "be", "am": "be",
+    "been": "be", "being": "be", "has": "have", "had": "have",
+    "having": "have", "does": "do", "did": "do", "done": "do", "doing": "do",
+    # common irregular verbs (past/participle -> lemma)
+    "went": "go", "gone": "go", "going": "go", "ran": "run", "came": "come",
+    "became": "become", "made": "make", "took": "take", "taken": "take",
+    "saw": "see", "seen": "see", "got": "get", "gotten": "get",
+    "gave": "give", "given": "give", "found": "find", "told": "tell",
+    "thought": "think", "brought": "bring", "bought": "buy",
+    "caught": "catch", "taught": "teach", "built": "build", "sent": "send",
+    "spent": "spend", "kept": "keep", "held": "hold", "met": "meet",
+    "said": "say", "paid": "pay", "lost": "lose", "felt": "feel",
+    "meant": "mean", "led": "lead", "wrote": "write", "written": "write",
+    "spoke": "speak", "spoken": "speak", "broke": "break", "broken": "break",
+    "chose": "choose", "chosen": "choose", "drove": "drive",
+    "driven": "drive", "ate": "eat", "eaten": "eat", "fell": "fall",
+    "fallen": "fall", "flew": "fly", "flown": "fly", "grew": "grow",
+    "grown": "grow", "knew": "know", "known": "know", "threw": "throw",
+    "thrown": "throw", "wore": "wear", "worn": "wear", "began": "begin",
+    "begun": "begin", "left": "leave", "stood": "stand",
+    "understood": "understand", "heard": "hear", "sold": "sell",
+    "sat": "sit", "swam": "swim", "sang": "sing", "drank": "drink",
+    "forgot": "forget", "forgotten": "forget", "hid": "hide",
+    "hidden": "hide", "rose": "rise", "risen": "rise", "woke": "wake",
+    "woken": "wake", "used": "use", "using": "use", "agreed": "agree",
+    "lying": "lie", "dying": "die", "tying": "tie",
+    "created": "create", "creating": "create",  # VVC tail defeats the
+    # e-restore rule (Porter also yields "creat") — table-pinned
+}
+_IRREGULAR_RE = re.compile(
+    r"(?<!\S)("
+    + "|".join(sorted(_IRREGULAR_LEMMAS, key=len, reverse=True))
+    + r")(?!\S)"
+)
+# candidate tokens only: pure lowercase-alpha ending in ing/ed with a
+# >=2-char prefix (the rule function enforces the >=3-char-stem floor) —
+# the callable never fires on the vast majority of tokens, keeping the
+# vectorized path cheap
+_LEMMA_SUFFIX_RE = re.compile(r"(?<!\S)([a-z]{2,}(?:ing|ed))(?!\S)")
+_VOWELS = "aeiou"
+
+
+def _porter_m(stem: str) -> int:
+    """Porter measure: number of vowel→consonant transitions ('y' treated
+    as consonant — a simplification both engines share)."""
+    m, prev_v = 0, False
+    for ch in stem:
+        v = ch in _VOWELS
+        if prev_v and not v:
+            m += 1
+        prev_v = v
+    return m
+
+
+def _lemma_suffix(tok: str) -> str:
+    """Deterministic -ing/-ed lemma rule (see module comment)."""
+    if tok.endswith("ied"):
+        return tok[:-3] + "y"  # studied -> study
+    if tok.endswith("eed"):
+        return tok  # agreed is in the table; succeed/indeed stay
+    stem = tok[:-3] if tok.endswith("ing") else tok[:-2]
+    if len(stem) < 3 or not any(c in _VOWELS for c in stem):
+        return tok  # thing/string/spring keep their surface form
+    if (
+        len(stem) >= 4
+        and stem[-1] == stem[-2]
+        and stem[-1] not in _VOWELS
+        and stem[-1] not in "lszf"  # calling->call, passing->pass
+    ):
+        return stem[:-1]  # running -> run, stopped -> stop
+    if (
+        _porter_m(stem) == 1
+        and stem[-1] not in _VOWELS + "wxy"
+        and stem[-2] in _VOWELS
+        and len(stem) >= 3
+        and stem[-3] not in _VOWELS
+    ):
+        return stem + "e"  # making -> make, hoped -> hope
+    return stem  # worked -> work, wanted -> want
+
+
+def lemmatize_text(text: str) -> str:
+    """Apply the vendored lemma rules to a lowercased space-joined token
+    string (1:1 per token — token counts, positions and field boundaries
+    are unchanged)."""
+    text = _IRREGULAR_RE.sub(lambda m: _IRREGULAR_LEMMAS[m.group(1)], text)
+    return _LEMMA_SUFFIX_RE.sub(lambda m: _lemma_suffix(m.group(1)), text)
+
+
+def lemmatize_series(s: pd.Series) -> pd.Series:
+    """Vectorized lemmatize_text (same regexes, same rule function)."""
+    s = s.str.replace(
+        _IRREGULAR_RE, lambda m: _IRREGULAR_LEMMAS[m.group(1)], regex=True
+    )
+    return s.str.replace(
+        _LEMMA_SUFFIX_RE, lambda m: _lemma_suffix(m.group(1)), regex=True
+    )
+
 
 def expand_contractions(text: str) -> str:
     return _CONTRACTION_RE.sub(lambda m: CONTRACTIONS[m.group(1)], text)
@@ -213,7 +333,9 @@ def normalize_text(text: str) -> str:
     text = remove_punctuation(text, to_space=True)
     text = remove_stopwords(text)
     text = text.lower()
-    # lemma stage: identity fallback (see module docstring)
+    # lemma stage: vendored rule lemmatizer (spaCy absent — see the
+    # _IRREGULAR_LEMMAS block comment); 1:1 per token, no resplit needed
+    text = lemmatize_text(text)
     return " ".join(text.split())
 
 
@@ -238,6 +360,7 @@ def normalize_series(s: pd.Series) -> pd.Series:
     s = s.str.replace(_STOP_RE, "", regex=True)
     s = s.str.lower()
     s = s.str.replace(_WS_RE, " ", regex=True).str.strip()
+    s = lemmatize_series(s)
     return s.astype(object).fillna("")
 
 

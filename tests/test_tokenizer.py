@@ -73,6 +73,61 @@ def test_vectorized_matches_pure_unicode(text):
     assert normalize_series(s).tolist() == [normalize_text(text)]
 
 
+# --- vendored rule lemmatizer (reference tokenizer.py:33-34: spaCy lemma_
+# for non-NOUN tokens, surface form for NOUN) -------------------------------
+
+
+def test_lemma_verbs_lemmatized():
+    """Inflected verb forms lemmatize (the non-NOUN side of the rule):
+    -ing/-ed suffix rules with undoubling and e-restoration, plus the
+    irregular table."""
+    cases = {
+        "running": "run", "stopped": "stop", "making": "make",
+        "hoped": "hope", "worked": "work", "wanted": "want",
+        "studied": "study", "carrying": "carry", "calling": "call",
+        "passing": "pass", "created": "create", "went": "go",
+        "took": "take", "written": "write", "began": "begin",
+        "used": "use", "agreed": "agree", "dying": "die",
+    }
+    for raw, want in cases.items():
+        assert tokenize(raw) == [want], raw
+
+
+def test_lemma_vs_noun_surface_kept():
+    """The NOUN side of the reference rule (lemma_ if pos_ != NOUN else
+    text): bare -s plurals and -ing/-eed/short nouns keep their surface
+    form."""
+    kept = [
+        "rooms", "guests", "hotels", "stays",  # bare plurals = nouns
+        "thing", "string", "spring",  # vowel-less/short stems
+        "speed", "succeed", "indeed",  # -eed guarded
+        "t210", "king",  # digit-bearing / below length floor
+    ]
+    for tok in kept:
+        assert tokenize(tok) == [tok], tok
+
+
+def test_lemma_capitalized_auxiliary():
+    """'Was' survives the case-sensitive stopword stage, lowercases, and
+    then lemmatizes to 'be' — the same chain the reference's spaCy stage
+    applies."""
+    assert tokenize("Was Has Did") == ["be", "have", "do"]
+
+
+def test_lemma_stemmer_grade_edges_pinned():
+    """Dictionary-less edge cases are stemmer-grade by design — pinned so
+    the approximation is explicit and identical on both engines."""
+    assert tokenize("caused") == ["caus"]  # spaCy would give 'cause'
+    assert tokenize("morning") == ["morn"]  # spaCy (NOUN) keeps 'morning'
+
+
+def test_lemma_positions_and_counts_preserved():
+    """The lemma map is 1:1 per token: counts and positions (field
+    boundaries) never shift."""
+    out = tokenize("Guests enjoyed running tours yesterday")
+    assert out == ["guests", "enjoy", "run", "tours", "yesterday"]
+
+
 def test_extract_text_inverts_synthetic_wrapper():
     body = "Some text with  spaces"
     html = b"<html><head><title>t1</title></head><body><p>" + body.encode() + b"</p></body></html>"
