@@ -14,6 +14,19 @@ Headline content (BASELINE.json metric):
   3. a cross-section of the declarative operator suite on the driver's
                       testdata tables (same plans the correctness gate runs)
 
+Measurement discipline (CLAUDE.md): every reported number is the BEST of
+N_ROUNDS=3 interleaved rounds — round 1 runs every query once, then round
+2, then round 3, min per query — so a VM throttle window inflates at most
+one round instead of silently becoming the committed number (the r02
+bench was a single-window run that disagreed with BASELINE.md by ~1.5×).
+
+Also included: the 1M-doc training-data pipeline smoke
+(`pipeline_corpus_select`) — `q_corpus_select` (lang-ID + quality +
+exact-dedup + LSH near-dedup as ONE plan) over a deterministic synthetic
+documents table with a 5%% exact-dup boilerplate cluster (the collapse
+path is what makes this finish). Sized by $SPARK_GRAFT_PIPELINE_DOCS
+(default 1,000,000); single run, labeled a smoke.
+
 `python bench.py --scaling` additionally runs the N-vs-4N scaling
 campaign (tools/scaling_campaign.py: taskset-pinned 4- vs 16-core hosts,
 interleaved best-of-K, cpu_probe normalization — BASELINE.md
@@ -34,6 +47,73 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 PAGES_PER_SF = 200_000  # sf0.1 -> 20k synthetic pages for the build bench
+N_ROUNDS = 3  # best-of-3 interleaved (CLAUDE.md measurement rule)
+
+_PIPE_VOCAB = [
+    "batch", "part", "spark", "line", "column", "order", "small", "sort",
+    "fast", "value", "scan", "hash", "group", "query", "table", "slow",
+    "stream", "key", "filter", "customer", "join", "window", "agg",
+    "vector", "merge", "dup", "big", "data", "row",
+]
+
+
+def synth_documents(spark, n_docs: int, path: str, dup_every: int = 20) -> None:
+    """Deterministic synthetic documents table in the driver-testdata
+    shape (doc_id, text, lang, source, n_chars) for the 1M-doc pipeline
+    smoke: ~80% en (with 'the'/'a' lang-ID markers every 8th token),
+    a 5% exact-duplicate boilerplate cluster (the web-crawl shape the
+    rep-collapse exists for), 18-57 tokens/doc. JVM-only expressions —
+    generation is seconds, and is NOT part of the measured time."""
+    import pyspark.sql.functions as F
+
+    vocab = F.array(*[F.lit(w) for w in _PIPE_VOCAB])
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    n_tok = (F.col("doc_id") * 2654435761 % 40 + 18).cast("int")
+
+    def word(i):
+        return F.element_at(
+            vocab,
+            (
+                (
+                    F.col("doc_id") * 1103515245
+                    + i * 12345
+                    + (F.col("doc_id") + i) * 2654435761
+                )
+                % len(_PIPE_VOCAB)
+                + 1
+            ).cast("int"),
+        )
+
+    is_en = (F.col("doc_id") % 10) < 8
+    tok = F.transform(
+        F.sequence(F.lit(1), n_tok),
+        lambda i: F.when(
+            is_en & (i % 8 == 0),
+            F.when(i % 16 == 0, F.lit("the")).otherwise(F.lit("a")),
+        ).otherwise(word(i)),
+    )
+    boiler = " ".join(_PIPE_VOCAB[:12] + _PIPE_VOCAB[:12])
+    text = F.when(
+        (F.col("doc_id") % dup_every == 0) & is_en, F.lit(boiler)
+    ).otherwise(F.concat_ws(" ", tok))
+    docs = base.select(
+        "doc_id",
+        text.alias("text"),
+        F.when(is_en, "en")
+        .otherwise(
+            F.element_at(
+                F.array(F.lit("de"), F.lit("fr")),
+                (F.col("doc_id") % 2 + 1).cast("int"),
+            )
+        )
+        .alias("lang"),
+        F.concat(F.lit("src"), (F.col("doc_id") % 5).cast("string")).alias(
+            "source"
+        ),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    docs.repartition(32).write.mode("overwrite").parquet(
+        f"{path}/documents.parquet"
+    )
 
 BENCH_QUERIES = [
     "bm25_topk_or",
@@ -94,37 +174,68 @@ def run_bench(sf_dir: str, cpus: str, scaling: bool) -> dict:
         write_pages(spark, n_pages, pages_path)
         pages = spark.read.parquet(pages_path)
 
-        # 1. index build throughput
-        t0 = time.monotonic()
-        ib.build_index(
-            spark, pages, ib.IndexPaths(f"{work}/index"),
-            n_salts=8, salt_threshold=2000, n_barrels=32,
-        )
-        build_s = time.monotonic() - t0
-        timings["engine_build"] = round(build_s, 3)
-        extra["build_docs_per_sec"] = round(n_pages / build_s, 1)
-        extra["build_n_docs"] = n_pages
-
-        # 2. BM25 query latency over compressed barrels (WAND on)
-        idx = SearchIndex(spark, ib.IndexPaths(f"{work}/index"))
-        lat = []
-        for qname, (qtext, qmode, fw) in ENGINE_QUERIES.items():
-            t0 = time.monotonic()
-            search_topk(idx, qtext, k=10, mode=qmode, field_weights=fw)
-            dt = time.monotonic() - t0
-            timings[qname] = round(dt, 3)
-            lat.append(dt)
-        lat.sort()
-        extra["query_p50_ms"] = round(lat[len(lat) // 2] * 1000, 1)
-
-        # 3. operator suite on the driver's testdata
         import __spark_entry__ as entrymod
 
         qs = entrymod.queries()
-        for name in BENCH_QUERIES:
+        best: dict[str, float] = {}
+
+        def record(name: str, dt: float) -> None:
+            best[name] = min(best.get(name, float("inf")), dt)
+
+        # best-of-N interleaved rounds: build, engine queries, operator
+        # suite — each round runs EVERYTHING once, so a throttle window
+        # inflates one round, not the committed minimum
+        idx = None
+        for rnd in range(N_ROUNDS):
+            index_path = f"{work}/index_r{rnd}"
             t0 = time.monotonic()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.monotonic() - t0, 3)
+            ib.build_index(
+                spark, pages, ib.IndexPaths(index_path),
+                n_salts=8, salt_threshold=2000, n_barrels=32,
+            )
+            record("engine_build", time.monotonic() - t0)
+            idx = SearchIndex(spark, ib.IndexPaths(index_path))
+            for qname, (qtext, qmode, fw) in ENGINE_QUERIES.items():
+                t0 = time.monotonic()
+                search_topk(idx, qtext, k=10, mode=qmode, field_weights=fw)
+                record(qname, time.monotonic() - t0)
+            for name in BENCH_QUERIES:
+                t0 = time.monotonic()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                record(name, time.monotonic() - t0)
+            if rnd:  # keep only the latest index on disk
+                shutil.rmtree(f"{work}/index_r{rnd - 1}", ignore_errors=True)
+
+        timings.update({k: round(v, 3) for k, v in best.items()})
+        extra["build_docs_per_sec"] = round(
+            n_pages / best["engine_build"], 1
+        )
+        extra["build_n_docs"] = n_pages
+        extra["bench_rounds"] = N_ROUNDS
+        lat = sorted(best[q] for q in ENGINE_QUERIES)
+        extra["query_p50_ms"] = round(lat[len(lat) // 2] * 1000, 1)
+
+        # 4. training-data pipeline smoke at 1M docs: corpus_select over a
+        # synthetic corpus with a 5% exact-dup cluster (single run —
+        # labeled a smoke, not a best-of number)
+        pipe_docs = int(
+            os.environ.get("SPARK_GRAFT_PIPELINE_DOCS", "1000000")
+        )
+        if pipe_docs > 0:
+            from search_engine_spark.operators import corpus as corpus_ops
+
+            pipe_dir = f"{work}/pipe"
+            synth_documents(spark, pipe_docs, pipe_dir)
+            t0 = time.monotonic()
+            corpus_ops.q_corpus_select(spark, pipe_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            timings["pipeline_corpus_select"] = round(
+                time.monotonic() - t0, 3
+            )
+            extra["pipeline_docs"] = pipe_docs
         spark.stop()
 
         if scaling:

@@ -110,6 +110,35 @@ def bm25_score(
     return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
+def bm25f_score(
+    tf1: np.ndarray, tfb: np.ndarray, dl1: np.ndarray, dlb: np.ndarray,
+    idf: float, w_t: float, w_b: float, avgdl1: float, avgdlb: float,
+    k1: float = 1.2, b: float = 0.75,
+) -> np.ndarray:
+    """TRUE BM25F per-posting partial score (Robertson/Zaragoza simple
+    BM25F): each field's tf is length-normalized by ITS OWN field length
+    against the field's corpus average BEFORE weighting, then the
+    weighted sum saturates once —
+
+        tfn = w_t·tf1/B1 + w_b·tfb/B0,  B_f = (1−b) + b·dl_f/avgdl_f
+        score = idf · tfn·(k1+1)/(tfn + k1)
+
+    This is the canonical float64 expression shape shared VERBATIM by
+    the Spark decode scorer (operators/query.py), the single-node oracle
+    (oracle/engine.py) and mirrored by the DuckDB SQL — do not reorder
+    operations. A zero avgdl (field absent corpus-wide ⇒ that field's tf
+    is identically 0) must be guarded to 1.0 by the CALLER so the dead
+    term is 0, not NaN."""
+    tf1 = tf1.astype(np.float64)
+    tfb = tfb.astype(np.float64)
+    dl1 = dl1.astype(np.float64)
+    dlb = dlb.astype(np.float64)
+    b1 = (1.0 - b) + (b * dl1) / avgdl1
+    b0 = (1.0 - b) + (b * dlb) / avgdlb
+    tfn = w_t * tf1 / b1 + w_b * tfb / b0
+    return idf * (tfn * (k1 + 1.0)) / (tfn + k1)
+
+
 def block_maxes(
     tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float,
     k1: float = 1.2, b: float = 0.75, block: int = BLOCK,
@@ -167,6 +196,7 @@ def encode_posting_blocks(
     dls: np.ndarray,
     tf1s: np.ndarray | None = None,
     block: int = BLOCK,
+    dl1s: np.ndarray | None = None,
 ) -> dict:
     """Sort by doc key and encode one term's postings with INDEPENDENTLY
     DECODABLE blocks: each block's first doc delta is its absolute
@@ -177,13 +207,17 @@ def encode_posting_blocks(
 
     ``tf1s`` is the per-posting TITLE-FIELD tf (the fields channel —
     reference postings carry per-field matches,
-    create_inverted_index.py:86-91); None encodes as all-zero (1 byte per
-    posting, the varint floor). block_max_tf1 rides along so field-
-    weighted WAND bounds stay tight.
+    create_inverted_index.py:86-91); ``dl1s`` the per-posting TITLE-field
+    doc length (constant per doc, denormalized like dls — the true-BM25F
+    per-field length norm needs it at score time). None encodes as
+    all-zero (1 byte per posting, the varint floor). block_max_tf1 plus
+    the per-field minima block_min_dl1 / block_min_dlb (body = dl−dl1)
+    ride along so field-weighted WAND bounds stay tight.
 
-    Returns dict: doc_deltas, tfs, dls, tf1s (bytes); db_lens, tf_lens,
-    dl_lens, tf1_lens (per-block byte lengths); block_max_tf,
-    block_min_dl, block_max_tf1; max_tf, min_dl; n_docs."""
+    Returns dict: doc_deltas, tfs, dls, tf1s, dls1 (bytes); db_lens,
+    tf_lens, dl_lens, tf1_lens, dl1_lens (per-block byte lengths);
+    block_max_tf, block_min_dl, block_max_tf1, block_min_dl1,
+    block_min_dlb; max_tf, min_dl; n_docs."""
     order = np.argsort(doc_ids, kind="stable")
     d = np.asarray(doc_ids, dtype=np.int64)[order]
     t = np.asarray(tfs, dtype=np.int64)[order]
@@ -192,16 +226,23 @@ def encode_posting_blocks(
         t1 = np.zeros(len(d), dtype=np.int64)
     else:
         t1 = np.asarray(tf1s, dtype=np.int64)[order]
+    if dl1s is None:
+        d1 = np.zeros(len(d), dtype=np.int64)
+    else:
+        d1 = np.asarray(dl1s, dtype=np.int64)[order]
     n = len(d)
     mt, md = block_summaries(t, l, block)
-    mt1, _ = block_summaries(t1, l, block)
+    mt1, md1 = block_summaries(t1, d1, block)
+    _, mdb = block_summaries(t1, l - d1, block)
     if n == 0:
         empty = np.empty(0, dtype=np.int64)
         return {
             "doc_deltas": b"", "tfs": b"", "dls": b"", "tf1s": b"",
+            "dls1": b"",
             "db_lens": empty, "tf_lens": empty, "dl_lens": empty,
-            "tf1_lens": empty.copy(),
+            "tf1_lens": empty.copy(), "dl1_lens": empty.copy(),
             "block_max_tf": mt, "block_min_dl": md, "block_max_tf1": mt1,
+            "block_min_dl1": md1, "block_min_dlb": mdb,
             "max_tf": 0, "min_dl": 1, "n_docs": 0,
         }
     u = d.view(np.uint64) + _BIAS
@@ -214,13 +255,16 @@ def encode_posting_blocks(
     tb, tf_sz = varint_encode_with_sizes(t.astype(np.uint64))
     lb, dl_sz = varint_encode_with_sizes(l.astype(np.uint64))
     t1b, tf1_sz = varint_encode_with_sizes(t1.astype(np.uint64))
+    d1b, dl1_sz = varint_encode_with_sizes(d1.astype(np.uint64))
     return {
-        "doc_deltas": db, "tfs": tb, "dls": lb, "tf1s": t1b,
+        "doc_deltas": db, "tfs": tb, "dls": lb, "tf1s": t1b, "dls1": d1b,
         "db_lens": np.add.reduceat(db_sz, starts),
         "tf_lens": np.add.reduceat(tf_sz, starts),
         "dl_lens": np.add.reduceat(dl_sz, starts),
         "tf1_lens": np.add.reduceat(tf1_sz, starts),
+        "dl1_lens": np.add.reduceat(dl1_sz, starts),
         "block_max_tf": mt, "block_min_dl": md, "block_max_tf1": mt1,
+        "block_min_dl1": md1, "block_min_dlb": mdb,
         "max_tf": int(t.max()), "min_dl": int(l.min()), "n_docs": n,
     }
 
@@ -235,22 +279,34 @@ def decode_posting_blocks(
     keep: np.ndarray | None = None,
     tf1s: bytes | None = None,
     tf1_lens: np.ndarray | None = None,
+    dls1: bytes | None = None,
+    dl1_lens: np.ndarray | None = None,
 ) -> tuple[np.ndarray, ...]:
     """Decode only the blocks where ``keep`` is True (None = all).
     Returns (doc_ids int64 sorted, tf int64, dl int64) over the kept
     blocks — plus a 4th array (tf1 int64, the title-field channel) when
-    ``tf1s``/``tf1_lens`` are given. Skipped blocks cost ZERO decode work
-    — their bytes are never touched (slicing is offset arithmetic on the
-    lens tables)."""
+    ``tf1s``/``tf1_lens`` are given, plus a 5th (dl1 int64, the title
+    field length — true-BM25F norm input) when ``dls1``/``dl1_lens`` are
+    given. Skipped blocks cost ZERO decode work — their bytes are never
+    touched (slicing is offset arithmetic on the lens tables)."""
     with_tf1 = tf1s is not None and tf1_lens is not None
+    with_dl1 = dls1 is not None and dl1_lens is not None
     db_lens = np.asarray(db_lens, dtype=np.int64)
     tf_lens = np.asarray(tf_lens, dtype=np.int64)
     dl_lens = np.asarray(dl_lens, dtype=np.int64)
-    nb = len(db_lens)
-    if nb == 0:
+
+    def _empty():
         z = np.empty(0, dtype=np.int64)
         out = (z, z.copy(), z.copy())
-        return out + (z.copy(),) if with_tf1 else out
+        if with_tf1:
+            out = out + (z.copy(),)
+        if with_dl1:
+            out = out + (z.copy(),)
+        return out
+
+    nb = len(db_lens)
+    if nb == 0:
+        return _empty()
     if keep is None:
         keep = np.ones(nb, dtype=bool)
     keep = np.asarray(keep, dtype=bool)
@@ -259,9 +315,7 @@ def decode_posting_blocks(
     dl_off = np.concatenate(([0], np.cumsum(dl_lens)))
     kept = np.flatnonzero(keep)
     if len(kept) == 0:
-        z = np.empty(0, dtype=np.int64)
-        out = (z, z.copy(), z.copy())
-        return out + (z.copy(),) if with_tf1 else out
+        return _empty()
     # concatenate kept byte ranges (contiguous runs collapse naturally)
     db_sel = b"".join(doc_deltas[db_off[i] : db_off[i + 1]] for i in kept)
     tf_sel = b"".join(tfs[tf_off[i] : tf_off[i + 1]] for i in kept)
@@ -274,6 +328,11 @@ def decode_posting_blocks(
         t1_off = np.concatenate(([0], np.cumsum(t1_lens)))
         t1_sel = b"".join(tf1s[t1_off[i] : t1_off[i + 1]] for i in kept)
         t1 = varint_decode(t1_sel).view(np.int64)
+    if with_dl1:
+        d1_lens = np.asarray(dl1_lens, dtype=np.int64)
+        d1_off = np.concatenate(([0], np.cumsum(d1_lens)))
+        d1_sel = b"".join(dls1[d1_off[i] : d1_off[i + 1]] for i in kept)
+        d1 = varint_decode(d1_sel).view(np.int64)
     # per-kept-block value counts: all full blocks except possibly the
     # last overall block; recover counts from the tf stream segmentation
     # by decoding per-block sizes via lens -> we already know counts:
@@ -292,7 +351,12 @@ def decode_posting_blocks(
     u = base[expand] + (cs - cs_start[expand])
     d = (u - _BIAS).view(np.int64)
     del n_total_last
-    return (d, t, l, t1) if with_tf1 else (d, t, l)
+    out = (d, t, l)
+    if with_tf1:
+        out = out + (t1,)
+    if with_dl1:
+        out = out + (d1,)
+    return out
 
 
 def encode_position_lists(lists: list[np.ndarray]) -> list[bytes]:

@@ -412,32 +412,46 @@ def _field_tf(
 
 
 def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25F-lite top-k: tf replaced by the field-weighted
-    wtf = W_TITLE·tf_title + W_BODY·tf_body inside the BM25 saturation
-    (idf and length norm unchanged) — the scale-path field scorer the
-    physical engine mirrors (engine_field_topk, same oracle)."""
+    """TRUE BM25F top-k (Robertson/Zaragoza simple BM25F): each field's
+    tf is normalized by ITS OWN field length against the field's corpus
+    average, then the weighted sum saturates once —
+
+        tfn = W_TITLE·tf_title/B1 + W_BODY·tf_body/B0,
+        B_f = (1−b) + b·dl_f/avgdl_f,   score = idf·tfn·(k1+1)/(tfn+k1)
+
+    with dl_title = min(dl, TITLE_LEN) (the positional field boundary)
+    and dl_body = dl − dl_title. Same float64 expression shape as the
+    physical engine (compression.bm25f_score) and the DuckDB oracle —
+    the engine twin is engine_field_topk (same oracle)."""
     qterms = QUERY_OR.split(" ")
     tf = _field_tf(spark, sf_dir, qterms)
-    dl = q_doc_stats(spark, sf_dir)
-    stats = _corpus_stats_raw(spark, sf_dir)
+    dl = q_doc_stats(spark, sf_dir).withColumn(
+        "dl1", F.least(F.col("dl"), F.lit(TITLE_LEN).cast("long"))
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl1") / F.count("*")).alias("avgdl1"),
+        (F.sum(F.col("dl") - F.col("dl1")) / F.count("*")).alias("avgdlb"),
+    )
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
-    wtf = W_TITLE * F.col("tf_title") + W_BODY * (
-        F.col("tf") - F.col("tf_title")
+    b1 = (1.0 - B) + (B * F.col("dl1")) / F.col("avgdl1")
+    b0 = (1.0 - B) + (B * (F.col("dl") - F.col("dl1"))) / F.col("avgdlb")
+    tfn = (
+        W_TITLE * F.col("tf_title") / b1
+        + W_BODY * (F.col("tf") - F.col("tf_title")) / b0
     )
     scored = (
         tf.join(F.broadcast(df_t), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .withColumn("wtf", wtf.cast("double"))
         .withColumn(
             "idf",
             F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
         )
+        .withColumn("tfn", tfn)
         .withColumn(
             "contrib",
-            F.col("idf")
-            * (F.col("wtf") * (K1 + 1.0))
-            / (F.col("wtf") + K1 * ((1.0 - B) + (B * F.col("dl")) / F.col("avgdl"))),
+            F.col("idf") * (F.col("tfn") * (K1 + 1.0)) / (F.col("tfn") + K1),
         )
     )
     return (
@@ -638,7 +652,9 @@ def _engine_index(spark: SparkSession, sf_dir: str):
     ds = ib.build_doc_stats(docs)
     ds.write.mode("overwrite").parquet(out.doc_stats)
     doc_stats = spark.read.parquet(out.doc_stats)
-    n_docs, avgdl = ib.corpus_stats(doc_stats)
+    n_docs, total_dl, total_dl1 = ib.corpus_totals(doc_stats)
+    avgdl = float(total_dl) / n_docs if n_docs else 0.0
+    avgdl1, avgdlb = ib.field_avgdls(n_docs, total_dl, total_dl1)
     forward = ib.build_forward(docs, with_positions=True)
     forward.cache()
     lex = ib.build_lexicon(forward, 8)
@@ -655,8 +671,8 @@ def _engine_index(spark: SparkSession, sf_dir: str):
     ).parquet(out.positions)
     ib.write_scalar_parquet(
         out.stats,
-        "n_docs long, avgdl double, n_salts int, salt_threshold long, n_barrels int",
-        (n_docs, avgdl, 4, 100, 8),
+        ib.STATS_SCHEMA,
+        (n_docs, avgdl, avgdl1, avgdlb, 4, 100, 8),
     )
     docs.unpersist()
     forward.unpersist()
@@ -682,9 +698,10 @@ def q_engine_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_engine_field_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE PHYSICAL ENGINE's field-weighted path under the SQL oracle:
-    BM25F-lite over the compressed barrels' tf1 (title) channel with
-    block-max WAND — must equal the declarative bm25f_topk oracle
-    exactly (same field boundary, same weights)."""
+    TRUE BM25F (per-field length norm) over the compressed barrels'
+    (tf1, dl1) field channel with per-field block-max WAND — must equal
+    the declarative bm25f_topk oracle exactly (same field boundary, same
+    weights, same avgdl1/avgdlb derivation)."""
     from search_engine_spark.operators.query import search
 
     idx = _engine_index(spark, sf_dir)
@@ -1971,18 +1988,32 @@ ftf AS (
 )
 """
 
+# true BM25F: per-field length norm (dl1 = LEAST(dl, TITLE_LEN)); the
+# repeated tfn expression mirrors the engine's
+# w_t·tf1/B1 + w_b·tfb/B0 left-associated float64 shape exactly
+_BM25F_TFN = (
+    f"({W_TITLE} * ftf.tf_title"
+    f" / ((1.0 - {B}) + ({B} * dl.dl1) / corpus.avgdl1)"
+    f" + {W_BODY} * (ftf.tf - ftf.tf_title)"
+    f" / ((1.0 - {B}) + ({B} * (dl.dl - dl.dl1)) / corpus.avgdlb))"
+)
+
 ORACLE_SQL["bm25f_topk"] = f"""
 WITH {_TOK_CTE},
 {_FIELD_TF_CTE},
-dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
-corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
+dl AS (SELECT doc_id, COUNT(*) AS dl,
+              LEAST(COUNT(*), {TITLE_LEN}) AS dl1
+       FROM tok GROUP BY doc_id),
+corpus AS (SELECT COUNT(*) AS n_docs,
+                  SUM(dl1) * 1.0 / COUNT(*) AS avgdl1,
+                  SUM(dl - dl1) * 1.0 / COUNT(*) AS avgdlb
+           FROM dl),
 dft AS (SELECT term, COUNT(*) AS df FROM ftf GROUP BY term),
 scored AS (
   SELECT ftf.doc_id,
          LN((corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
-           * (({W_TITLE} * ftf.tf_title + {W_BODY} * (ftf.tf - ftf.tf_title)) * ({K1} + 1.0))
-           / (({W_TITLE} * ftf.tf_title + {W_BODY} * (ftf.tf - ftf.tf_title))
-              + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / corpus.avgdl)) AS contrib
+           * ({_BM25F_TFN} * ({K1} + 1.0))
+           / ({_BM25F_TFN} + {K1}) AS contrib
   FROM ftf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
 )
 SELECT doc_id, ROUND(SUM(contrib), 6) AS score

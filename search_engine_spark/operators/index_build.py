@@ -163,8 +163,13 @@ def build_doc_stats(docs: DataFrame) -> DataFrame:
     boundary = (
         F.col("title_dl") if "title_dl" in docs.columns else F.lit(0)
     )
+    dl = F.size(tokens_col("norm"))
     return docs.select(
-        "doc_id", "url", F.size(tokens_col("norm")).alias("dl"),
+        "doc_id", "url", dl.alias("dl"),
+        # dl1 = TITLE-field length (capped by dl: a constant positional
+        # boundary can exceed a short doc) — the true-BM25F per-field
+        # length-norm input; total_dl1 feeds avgdl1 in the stats
+        F.least(dl, boundary.cast("int")).alias("dl1"),
         F.md5(
             F.concat_ws("|", F.col("norm"), boundary.cast("string"))
         ).alias("fp"),
@@ -250,12 +255,16 @@ def build_forward(docs: DataFrame, with_positions: bool = True) -> DataFrame:
                 "tf1": grouped["tf1"].to_numpy().astype(np.int32),
                 "first_pos": grouped["first_pos"].to_numpy().astype(np.int32),
                 "dl": lens[d_idx],
+                # title-field length per doc (capped by dl) — constant per
+                # doc, denormalized like dl so the BM25F per-field norm
+                # needs no doc_stats join downstream
+                "dl1": np.minimum(lens, tdl.astype(np.int64))[d_idx],
             }
             if with_positions:
                 out["positions"] = grouped["positions"].to_numpy()
                 yield pd.DataFrame(out)[
                     ["doc_id", "term", "tf", "tf1", "positions",
-                     "first_pos", "dl"]
+                     "first_pos", "dl", "dl1"]
                 ]
             else:
                 yield pd.DataFrame(out)
@@ -263,7 +272,7 @@ def build_forward(docs: DataFrame, with_positions: bool = True) -> DataFrame:
     schema = "doc_id long, term string, tf int, tf1 int, "
     if with_positions:
         schema += "positions array<int>, "
-    schema += "first_pos int, dl long"
+    schema += "first_pos int, dl long, dl1 long"
     return docs.select(*cols).mapInPandas(fwd_fn, schema=schema)
 
 
@@ -336,20 +345,42 @@ def build_lexicon(forward: DataFrame, num_partitions: int = 32) -> DataFrame:
     return ids.join(stats, "term")
 
 
-def corpus_totals(doc_stats: DataFrame) -> tuple[int, int]:
-    """(N, total_dl) as exact ints — the additive form incremental ingest
-    needs (base scalars + per-batch delta sums, no full rescan)."""
+def corpus_totals(doc_stats: DataFrame) -> tuple[int, int, int]:
+    """(N, total_dl, total_dl1) as exact ints — the additive form
+    incremental ingest needs (base scalars + per-batch delta sums, no
+    full rescan). total_dl1 (title-field length sum, the true-BM25F
+    avgdl1 numerator) is 0 for doc_stats tables predating the dl1
+    column."""
+    dl1 = (
+        F.sum("dl1") if "dl1" in doc_stats.columns else F.lit(0).cast("long")
+    )
     row = doc_stats.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("total")
+        F.count("*").alias("n"), F.sum("dl").alias("total"),
+        dl1.alias("total1"),
     ).collect()[0]
-    return int(row["n"]), int(row["total"] or 0)
+    return int(row["n"]), int(row["total"] or 0), int(row["total1"] or 0)
 
 
 def corpus_stats(doc_stats: DataFrame) -> tuple[int, float]:
     """(N, avgdl) — computed as exact ints then divided in Python so the
     float64 matches the oracle bit-for-bit."""
-    n, total = corpus_totals(doc_stats)
+    n, total, _ = corpus_totals(doc_stats)
     return n, (float(total) / n if n else 0.0)
+
+
+STATS_BASE_SCHEMA = "n_docs long, total_dl long, total_dl1 long"
+STATS_SCHEMA = (
+    "n_docs long, avgdl double, avgdl1 double, avgdlb double, "
+    "n_salts int, salt_threshold long, n_barrels int"
+)
+
+
+def field_avgdls(n_docs: int, total_dl: int, total_dl1: int) -> tuple[float, float]:
+    """(avgdl1, avgdlb) from exact int totals — the per-field corpus
+    averages the true-BM25F norm divides by (oracle-bit-equal float64)."""
+    if not n_docs:
+        return 0.0, 0.0
+    return float(total_dl1) / n_docs, float(total_dl - total_dl1) / n_docs
 
 
 def idf_value(df: int, n_docs: int) -> float:
@@ -369,16 +400,21 @@ DECODE_BASE_COLS = [
     "term_id", "db_lens", "tf_lens", "dl_lens", "doc_deltas", "tfs", "dls",
 ]
 DECODE_BOUND_COLS = ["block_max_tf", "block_min_dl"]
-DECODE_TF1_COLS = ["tf1_lens", "tf1s"]
+# the field channel a WEIGHTED (true-BM25F) decode consumes: title tf
+# stream + title doc-length stream
+DECODE_TF1_COLS = ["tf1_lens", "tf1s", "dl1_lens", "dls1"]
+# weighted block bounds: per-field maxima/minima for the BM25F upper bound
+DECODE_FIELD_BOUND_COLS = ["block_max_tf1", "block_min_dl1", "block_min_dlb"]
 
 POSTINGS_SCHEMA = (
     "term_id long, salt int, df long, n_docs int, max_tf long, min_dl long, "
     "block_max_tf array<long>, block_min_dl array<long>, block_max_tf1 array<long>, "
+    "block_min_dl1 array<long>, block_min_dlb array<long>, "
     "db_lens array<long>, tf_lens array<long>, dl_lens array<long>, "
-    "tf1_lens array<long>, "
+    "tf1_lens array<long>, dl1_lens array<long>, "
     "theta_docs array<long>, theta_tfs array<long>, theta_dls array<long>, "
-    "theta_tf1s array<long>, "
-    "doc_deltas binary, tfs binary, dls binary, tf1s binary"
+    "theta_tf1s array<long>, theta_dl1s array<long>, "
+    "doc_deltas binary, tfs binary, dls binary, tf1s binary, dls1 binary"
 )
 
 
@@ -427,19 +463,22 @@ def postings_input(
     tf1 = (
         F.col("tf1") if "tf1" in forward.columns else F.lit(0).cast("int")
     ).alias("tf1")
+    dl1 = (
+        F.col("dl1") if "dl1" in forward.columns else F.lit(0).cast("long")
+    ).alias("dl1")
     if "dl" in forward.columns:
-        fwd = forward.select("doc_id", "term", "tf", tf1, "dl")
+        fwd = forward.select("doc_id", "term", "tf", tf1, "dl", dl1)
     else:
         if doc_stats is None:
             raise ValueError("forward lacks dl and no doc_stats given")
-        fwd = forward.select("doc_id", "term", "tf", tf1).join(
+        fwd = forward.select("doc_id", "term", "tf", tf1, dl1).join(
             doc_stats.select("doc_id", "dl"), "doc_id"
         )
     return (
         fwd
         .join(lex, "term")
         .select(
-            "term_id", "df", "doc_id", "tf", "tf1", "dl",
+            "term_id", "df", "doc_id", "tf", "tf1", "dl", "dl1",
             salt_col(n_salts, salt_threshold),
         )
     )
@@ -483,6 +522,7 @@ def encode_postings(joined: DataFrame, n_barrels: int = 64) -> DataFrame:
         t = pdf["tf"].to_numpy(dtype=np.int64)
         t1 = pdf["tf1"].to_numpy(dtype=np.int64)
         l = pdf["dl"].to_numpy(dtype=np.int64)
+        l1 = pdf["dl1"].to_numpy(dtype=np.int64)
         dfv = pdf["df"].to_numpy(dtype=np.int64)
         n = len(pdf)
         starts = np.concatenate(
@@ -490,8 +530,10 @@ def encode_postings(joined: DataFrame, n_barrels: int = 64) -> DataFrame:
         )
         ends = np.concatenate((starts[1:], [n]))
         for s, e in zip(starts.tolist(), ends.tolist()):
-            ds_, ts_, t1s_, ls_ = d[s:e], t[s:e], t1[s:e], l[s:e]
-            enc = encode_posting_blocks(ds_, ts_, ls_, t1s_)
+            ds_, ts_, t1s_, ls_, l1s_ = (
+                d[s:e], t[s:e], t1[s:e], l[s:e], l1[s:e]
+            )
+            enc = encode_posting_blocks(ds_, ts_, ls_, t1s_, dl1s=l1s_)
             # theta sketch: THETA_K REAL postings ranked (tf desc, dl asc)
             # — a high-score sample whose achieved BM25 (computed at query
             # time with live stats) lower-bounds the true top-k threshold
@@ -505,28 +547,35 @@ def encode_postings(joined: DataFrame, n_barrels: int = 64) -> DataFrame:
             out["block_max_tf"].append(enc["block_max_tf"].tolist())
             out["block_min_dl"].append(enc["block_min_dl"].tolist())
             out["block_max_tf1"].append(enc["block_max_tf1"].tolist())
+            out["block_min_dl1"].append(enc["block_min_dl1"].tolist())
+            out["block_min_dlb"].append(enc["block_min_dlb"].tolist())
             out["db_lens"].append(enc["db_lens"].tolist())
             out["tf_lens"].append(enc["tf_lens"].tolist())
             out["dl_lens"].append(enc["dl_lens"].tolist())
             out["tf1_lens"].append(enc["tf1_lens"].tolist())
+            out["dl1_lens"].append(enc["dl1_lens"].tolist())
             out["theta_docs"].append(ds_[top].tolist())
             out["theta_tfs"].append(ts_[top].tolist())
             out["theta_dls"].append(ls_[top].tolist())
-            # tf1 rides along so WEIGHTED queries get a driver-side theta
-            # too (the sketch's achieved score must be computed with the
-            # same wtf = w_t·tf1 + w_b·(tf−tf1) the decode scores with)
+            # the field channel (tf1, dl1) rides along so WEIGHTED queries
+            # get a driver-side theta too: the sketch's achieved score is
+            # computed with the SAME true-BM25F per-field norm the decode
+            # scores with (query._sketch_theta)
             out["theta_tf1s"].append(t1s_[top].tolist())
+            out["theta_dl1s"].append(l1s_[top].tolist())
             out["doc_deltas"].append(enc["doc_deltas"])
             out["tfs"].append(enc["tfs"])
             out["dls"].append(enc["dls"])
             out["tf1s"].append(enc["tf1s"])
+            out["dls1"].append(enc["dls1"])
 
     _COLS = [
         "term_id", "salt", "df", "n_docs", "max_tf", "min_dl",
         "block_max_tf", "block_min_dl", "block_max_tf1",
-        "db_lens", "tf_lens", "dl_lens", "tf1_lens",
-        "theta_docs", "theta_tfs", "theta_dls", "theta_tf1s",
-        "doc_deltas", "tfs", "dls", "tf1s",
+        "block_min_dl1", "block_min_dlb",
+        "db_lens", "tf_lens", "dl_lens", "tf1_lens", "dl1_lens",
+        "theta_docs", "theta_tfs", "theta_dls", "theta_tf1s", "theta_dl1s",
+        "doc_deltas", "tfs", "dls", "tf1s", "dls1",
     ]
 
     def encode_partition(
@@ -647,10 +696,11 @@ def build_index(
     doc_stats = build_doc_stats(docs)
     doc_stats.write.mode("overwrite").parquet(out.doc_stats)
     doc_stats = spark.read.parquet(out.doc_stats)
-    n_docs, total_dl = corpus_totals(doc_stats)
+    n_docs, total_dl, total_dl1 = corpus_totals(doc_stats)
     avgdl = float(total_dl) / n_docs if n_docs else 0.0
+    avgdl1, avgdlb = field_avgdls(n_docs, total_dl, total_dl1)
     write_scalar_parquet(
-        out.stats_base, "n_docs long, total_dl long", (n_docs, total_dl)
+        out.stats_base, STATS_BASE_SCHEMA, (n_docs, total_dl, total_dl1)
     )
 
     forward = build_forward(docs, with_positions=with_positions)
@@ -675,8 +725,8 @@ def build_index(
 
     write_scalar_parquet(
         out.stats,
-        "n_docs long, avgdl double, n_salts int, salt_threshold long, n_barrels int",
-        (n_docs, avgdl, n_salts, salt_threshold, n_barrels),
+        STATS_SCHEMA,
+        (n_docs, avgdl, avgdl1, avgdlb, n_salts, salt_threshold, n_barrels),
     )
     docs.unpersist()
     forward.unpersist()
@@ -745,17 +795,20 @@ def build_hot_bounds(
     to the driver. Cold terms keep the cheap distributed pass — their
     lists are bounded by salt_threshold.
 
-    tf1 rides along so weighted queries get a driver theta too. Legacy
-    blob rows without theta_tf1s (pre-upgrade barrels surviving a
-    partial compaction) contribute tf1 = 0 — safe for w_title ≥ w_body,
-    the only weighted mode the sketch path serves (query._sketch_theta
-    docstring)."""
-    zero_tf1 = F.transform("theta_tfs", lambda x: F.lit(0).cast("long"))
-    tf1_col = (
-        F.coalesce(F.col("theta_tf1s"), zero_tf1)
-        if "theta_tf1s" in postings.columns
-        else zero_tf1
-    )
+    The field channel (tf1, dl1) rides along so weighted queries get a
+    driver theta too. Legacy blob rows without it (pre-upgrade barrels
+    surviving a partial compaction) contribute NULL elements — NOT
+    zero-fill: a zero-filled channel would let the weighted sketch
+    over-state achieved true-BM25F scores. The query side detects any
+    NULL and skips that term's sketch in weighted mode (theta only
+    drops — always safe)."""
+    null_arr = F.transform("theta_docs", lambda x: F.lit(None).cast("long"))
+
+    def chan(col_name: str):
+        if col_name in postings.columns:
+            return F.coalesce(F.col(col_name), null_arr)
+        return null_arr
+
     pairs = (
         postings.filter(F.col("df") > salt_threshold)
         .select(
@@ -765,11 +818,12 @@ def build_hot_bounds(
                     F.col("theta_docs").alias("doc"),
                     F.col("theta_tfs").alias("tf"),
                     F.col("theta_dls").alias("dl"),
-                    tf1_col.alias("tf1"),
+                    chan("theta_tf1s").alias("tf1"),
+                    chan("theta_dl1s").alias("dl1"),
                 )
             ).alias("p"),
         )
-        .select("term_id", "p.doc", "p.tf", "p.dl", "p.tf1")
+        .select("term_id", "p.doc", "p.tf", "p.dl", "p.tf1", "p.dl1")
     )
     w = Window.partitionBy("term_id").orderBy(F.desc("tf"), F.asc("dl"), F.asc("doc"))
     top = pairs.withColumn("rn", F.row_number().over(w)).filter(
@@ -781,7 +835,7 @@ def build_hot_bounds(
         top.groupBy("term_id")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct("rn", "doc", "tf", "dl", "tf1"))
+                F.collect_list(F.struct("rn", "doc", "tf", "dl", "tf1", "dl1"))
             ).alias("ps")
         )
         .select(
@@ -790,6 +844,7 @@ def build_hot_bounds(
             F.transform("ps", lambda p: p["tf"]).alias("tfs"),
             F.transform("ps", lambda p: p["dl"]).alias("dls"),
             F.transform("ps", lambda p: p["tf1"]).alias("tf1s"),
+            F.transform("ps", lambda p: p["dl1"]).alias("dl1s"),
         )
     )
 

@@ -43,7 +43,11 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from search_engine_spark.functions.compression import bm25_score, decode_posting_blocks
+from search_engine_spark.functions.compression import (
+    bm25_score,
+    bm25f_score,
+    decode_posting_blocks,
+)
 from search_engine_spark.operators.index_build import (
     B,
     K1,
@@ -83,6 +87,11 @@ class SearchIndex:
         stats = read_stats(spark, paths)
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
+        # per-field corpus averages for the true-BM25F length norm;
+        # legacy stats (pre-upgrade index) lack them — weighted queries
+        # on such an index fail fast in _decode_score_df instead
+        self.avgdl1 = float(stats.get("avgdl1") or 0.0)
+        self.avgdlb = float(stats.get("avgdlb") or 0.0)
         self.n_barrels = int(stats["n_barrels"])
         self.lexicon = spark.read.parquet(paths.lexicon)
         from search_engine_spark.operators.index_build import read_postings
@@ -104,15 +113,25 @@ class SearchIndex:
 
         if os.path.exists(paths.hot_bounds):
             hb_df = spark.read.parquet(paths.hot_bounds)
-            has_tf1 = "tf1s" in hb_df.columns
+
+            def _chan(r, name):
+                # a NULL element marks a pre-upgrade sketch row: the
+                # channel is unusable for that term (weighted theta skips
+                # it — never zero-filled, which could over-state scores)
+                if name not in hb_df.columns:
+                    return None
+                vals = r[name]
+                if vals is None or any(v is None for v in vals):
+                    return None
+                return np.asarray(vals, dtype=np.float64)
+
             for r in hb_df.take(max_hot_terms):
                 self.hot_bounds[int(r["term_id"])] = (
                     np.asarray(r["docs"], dtype=np.int64),
                     np.asarray(r["tfs"], dtype=np.float64),
                     np.asarray(r["dls"], dtype=np.float64),
-                    np.asarray(r["tf1s"], dtype=np.float64)
-                    if has_tf1
-                    else None,
+                    _chan(r, "tf1s"),
+                    _chan(r, "dl1s"),
                 )
         self._local_lexicon: dict[str, dict] | None = None
         if local_lexicon_max_rows:
@@ -217,28 +236,43 @@ def _decode_score_df(
     new terms append at max_id+1, so summing in term_id order would
     diverge from a fresh build in the last ulp for 3+-term queries).
 
-    ``field_weights`` = (w_title, w_body) switches to BM25F-lite: the
-    per-posting tf is replaced by wtf = w_title·tf1 + w_body·(tf−tf1)
-    (the tf1 stream decodes only in this mode). The per-block bound uses
-    block_max_tf1: for w_t ≥ w_b, wtf = w_b·tf + (w_t−w_b)·tf1 ≤
-    w_b·max_tf + (w_t−w_b)·max_tf1 — tight when title hits are rare;
-    otherwise the safe w_b·max_tf bound applies."""
+    ``field_weights`` = (w_title, w_body) switches to TRUE BM25F
+    (compression.bm25f_score): each field's tf is normalized by its own
+    field length against the field's corpus average, then the weighted
+    sum saturates once — the tf1 + dl1 streams decode only in this mode.
+    The per-block upper bound uses the per-field extrema
+    (block_max_tf1, block_min_dl1, block_min_dlb): tfn is increasing in
+    each field tf and decreasing in each field length, so
+    bm25f(max_tf1, max_tf, min_dl1, min_dlb) bounds every posting in the
+    block (body tf ≤ tf, so block_max_tf bounds it)."""
     avgdl = index.avgdl
+    # guard zero per-field averages to 1.0 (field absent corpus-wide ⇒
+    # its tf is identically 0; the guard prevents NaN, the same guard the
+    # oracle and the SQL apply)
+    avgdl1 = index.avgdl1 or 1.0
+    avgdlb = index.avgdlb or 1.0
     ranks = ranks or {}
     fw = field_weights
     # column pruning BELOW the Arrow boundary: mapInPandas ships every
     # column of its input to Python, so an unpruned probe would transfer
-    # the theta sketch arrays and (in unweighted mode) the tf1 stream for
-    # nothing — and the select also prunes the parquet scan itself
+    # the theta sketch arrays and (in unweighted mode) the field streams
+    # for nothing — and the select also prunes the parquet scan itself
     from search_engine_spark.operators.index_build import (
         DECODE_BASE_COLS,
         DECODE_BOUND_COLS,
+        DECODE_FIELD_BOUND_COLS,
         DECODE_TF1_COLS,
     )
 
     cols = DECODE_BASE_COLS + DECODE_BOUND_COLS
     if fw is not None:
-        cols = cols + ["block_max_tf1"] + DECODE_TF1_COLS
+        if "dls1" not in probe.columns:
+            raise ValueError(
+                "field-weighted search needs the per-field length stream "
+                "(dls1) — rebuild or compact this index with the current "
+                "version"
+            )
+        cols = cols + DECODE_FIELD_BOUND_COLS + DECODE_TF1_COLS
     probe = probe.select(*cols)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -247,19 +281,28 @@ def _decode_score_df(
             for row in pdf.itertuples(index=False):
                 tid = int(row.term_id)
                 idf = idfs[tid]
-                # per-block BM25 upper bound from the monotone (max_tf,
-                # min_dl) summaries, with LIVE idf/avgdl — exact even after
-                # incremental updates (compression.block_summaries)
+                # per-block upper bound from the monotone summaries, with
+                # LIVE idf/avgdl — exact even after incremental updates
+                # (compression.block_summaries)
                 mt = np.asarray(row.block_max_tf, dtype=np.float64)
                 md = np.asarray(row.block_min_dl, dtype=np.float64)
                 if fw is not None:
+                    if row.dls1 is None:
+                        raise ValueError(
+                            "mixed-format barrel: a posting row lacks the "
+                            "per-field length stream — run compact() to "
+                            "upgrade it before field-weighted search"
+                        )
                     w_t, w_b = fw
-                    if w_t >= w_b:
-                        mt1 = np.asarray(row.block_max_tf1, dtype=np.float64)
-                        mt = w_b * mt + (w_t - w_b) * mt1
-                    else:
-                        mt = w_b * mt
-                bm = bm25_score(mt, md, idf, avgdl, K1, B)
+                    mt1 = np.asarray(row.block_max_tf1, dtype=np.float64)
+                    md1 = np.asarray(row.block_min_dl1, dtype=np.float64)
+                    mdb = np.asarray(row.block_min_dlb, dtype=np.float64)
+                    bm = bm25f_score(
+                        mt1, mt, md1, mdb, idf, w_t, w_b, avgdl1, avgdlb,
+                        K1, B,
+                    )
+                else:
+                    bm = bm25_score(mt, md, idf, avgdl, K1, B)
                 if theta > 0.0:
                     # prune against theta RELAXED by the 6-dp rounding
                     # quantum: the final top-k orders by round(score, 6),
@@ -276,16 +319,15 @@ def _decode_score_df(
                 # pruned blocks are never DECOMPRESSED — the per-block
                 # byte-length tables make skipping pure offset arithmetic
                 if fw is not None:
-                    d, t, l, t1 = decode_posting_blocks(
+                    d, t, l, t1, d1 = decode_posting_blocks(
                         row.doc_deltas, row.tfs, row.dls,
                         row.db_lens, row.tf_lens, row.dl_lens, keep,
-                        row.tf1s, row.tf1_lens,
+                        row.tf1s, row.tf1_lens, row.dls1, row.dl1_lens,
                     )
-                    w_t, w_b = fw
-                    wtf = w_t * t1.astype(np.float64) + w_b * (
-                        (t - t1).astype(np.float64)
+                    score = bm25f_score(
+                        t1, t - t1, d1, l - d1, idf, w_t, w_b,
+                        avgdl1, avgdlb, K1, B,
                     )
-                    score = bm25_score(wtf, l, idf, avgdl, K1, B)
                 else:
                     d, t, l = decode_posting_blocks(
                         row.doc_deltas, row.tfs, row.dls,
@@ -360,26 +402,28 @@ def _sketch_theta(
     sum is ≤ that doc's true total score; k distinct docs achieving
     ≥ theta ⇒ the true kth top-k score ≥ theta.
 
-    With field_weights the achieved score uses the SAME wtf = w_t·tf1 +
-    w_b·(tf−tf1) the decode scores with (the sketch stores tf1). A
-    sketch missing its tf1 channel (pre-upgrade index) is skipped —
-    theta only drops, staying a valid lower bound. Callers must only
-    route w_title ≥ w_body here: legacy rows whose tf1 was zero-filled
-    (build_hot_bounds) then under-state wtf (safe); for w_title < w_body
-    a zero-filled tf1 would OVER-state it (search() falls back to the
-    distributed pass for that orientation)."""
+    With field_weights the achieved score uses the SAME true-BM25F
+    per-field norm the decode scores with (the sketch stores the real
+    (tf1, dl1) channel per posting). A sketch whose field channel is
+    NULL (pre-upgrade rows — build_hot_bounds preserves the null rather
+    than zero-filling, which could over-state achieved scores) is
+    skipped: theta only drops, staying a valid lower bound."""
     acc: dict[int, float] = {}
     for tid in term_ids:
         hb = index.hot_bounds.get(tid)
         if hb is None:
             continue
-        d, tf, dl, tf1 = hb
+        d, tf, dl, tf1, dl1 = hb
         if field_weights is not None:
-            if tf1 is None:
+            if tf1 is None or dl1 is None:
                 continue
             w_t, w_b = field_weights
-            tf = w_t * tf1 + w_b * (tf - tf1)
-        score = bm25_score(tf, dl, idfs[tid], index.avgdl, K1, B)
+            score = bm25f_score(
+                tf1, tf - tf1, dl1, dl - dl1, idfs[tid], w_t, w_b,
+                index.avgdl1 or 1.0, index.avgdlb or 1.0, K1, B,
+            )
+        else:
+            score = bm25_score(tf, dl, idfs[tid], index.avgdl, K1, B)
         for doc, sc in zip(d.tolist(), score.tolist()):
             acc[doc] = acc.get(doc, 0.0) + sc
     if len(acc) < k:
@@ -397,11 +441,11 @@ def _probe_term_bounds(
 ) -> dict[int, float]:
     """Fallback per-term upper bounds via a probe metadata aggregate (for
     indexes whose lexicon lacks max_tf/min_dl, or terms whose postings
-    were fully tombstoned). Under field weighting the bound scales by
-    max(w): wtf = w_t·tf1 + w_b·(tf−tf1) ≤ max(w)·tf — forgetting this
+    were fully tombstoned). Under true-BM25F field weighting the safe
+    term bound uses the B_f ≥ (1−b) floor: tfn = w_t·tf1/B1 + w_b·tfb/B0
+    ≤ (w_t + w_b)·max_tf/(1−b) (each field tf ≤ tf) — forgetting this
     would under-estimate other_max and over-prune (lossy weighted
     top-k)."""
-    w_max = max(field_weights) if field_weights is not None else 1.0
     out = {}
     for r in (
         probe.groupBy("term_id")
@@ -409,10 +453,28 @@ def _probe_term_bounds(
         .collect()
     ):
         tid = int(r["term_id"])
-        mt = np.array([w_max * float(r["mt"])])
-        md = np.array([float(r["md"])])
-        out[tid] = float(bm25_score(mt, md, idfs[tid], avgdl, K1, B)[0])
+        if field_weights is not None:
+            out[tid] = _weighted_term_bound(
+                float(r["mt"]), idfs[tid], field_weights
+            )
+        else:
+            mt = np.array([float(r["mt"])])
+            md = np.array([float(r["md"])])
+            out[tid] = float(bm25_score(mt, md, idfs[tid], avgdl, K1, B)[0])
     return out
+
+
+def _weighted_term_bound(
+    max_tf: float, idf: float, field_weights: tuple[float, float]
+) -> float:
+    """Safe term-level upper bound for true-BM25F scoring: with each
+    field's normalizer floored at (1−b) and both field tfs ≤ max_tf,
+    tfn ≤ (w_t + w_b)·max_tf/(1−b); the saturated score is increasing in
+    tfn. Looser than the per-block bound (which has real per-field
+    extrema) — it only gates which BLOCKS get the tight check."""
+    w_t, w_b = field_weights
+    tfn = (w_t + w_b) * max_tf / (1.0 - B)
+    return idf * (tfn * (K1 + 1.0)) / (tfn + K1)
 
 
 def search(
@@ -429,11 +491,13 @@ def search(
     mode="OR": reference union semantics. mode="AND": posting-list
     intersection (north rule).
 
-    field_weights=(w_title, w_body): BM25F-lite field-weighted scoring
-    over the postings' tf1 (title) channel — the reference scores every
-    search with per-field weights (app.py:75-92,679-725); idf and length
-    norm stay unweighted (documented simplification, mirrored by the
-    declarative bm25f_topk oracle).
+    field_weights=(w_title, w_body): TRUE BM25F scoring (Robertson/
+    Zaragoza simple BM25F — compression.bm25f_score) over the postings'
+    (tf1, dl1) field channel: each field's tf is normalized by its own
+    field length against the field's corpus average, then the weighted
+    sum saturates once. The reference scores every search with per-field
+    weights (app.py:75-92,679-725); idf stays corpus-global (per the
+    literature), mirrored by the declarative bm25f_topk oracle.
 
     doc_ids: optional DataFrame with a doc_id column — a metadata filter
     (reference app.py:407-497 composes location/class filters inside the
@@ -476,32 +540,33 @@ def search(
                 )
                 break
             if field_weights is not None:
-                # lexicon stores only max_tf: the safe term bound is
-                # max(w)·max_tf (block-level bounds are tighter via
-                # block_max_tf1)
-                mt = max(field_weights) * float(mt)
-            maxes[tid] = float(
-                bm25_score(
-                    np.array([float(mt)]), np.array([float(md)]),
-                    idfs[tid], index.avgdl, K1, B,
-                )[0]
-            )
+                # lexicon stores only max_tf: use the (1−b)-floored
+                # true-BM25F term bound (block-level bounds are tighter
+                # via the per-field block extrema)
+                maxes[tid] = _weighted_term_bound(
+                    float(mt), idfs[tid], field_weights
+                )
+            else:
+                maxes[tid] = float(
+                    bm25_score(
+                        np.array([float(mt)]), np.array([float(md)]),
+                        idfs[tid], index.avgdl, K1, B,
+                    )[0]
+                )
         other_max = {
             tid: sum(v for t2, v in maxes.items() if t2 != tid)
             for tid in term_ids
         }
         rarest = min(bound, key=lambda t: (bound[t]["df"], t))
-        # the driver sketch serves unweighted queries AND title-upweighted
-        # ones (its tf1 channel reproduces the decode's wtf exactly; the
-        # w_t < w_b orientation is excluded so legacy zero-filled tf1
-        # rows can never over-state achieved scores — _sketch_theta).
-        # FILTERED queries can't use it: the sketch ignores the doc_ids
-        # set, so its kth achieved score may exceed the kth FILTERED
-        # score and over-prune — they keep the distributed rarest-term
-        # pass, which scores real filtered postings.
-        sketch_ok = doc_ids is None and (
-            field_weights is None or field_weights[0] >= field_weights[1]
-        )
+        # the driver sketch serves unweighted AND weighted queries (its
+        # real (tf1, dl1) channel reproduces the decode's true-BM25F
+        # scores exactly; pre-upgrade sketch rows carry NULL channels and
+        # are skipped per term — _sketch_theta). FILTERED queries can't
+        # use it: the sketch ignores the doc_ids set, so its kth achieved
+        # score may exceed the kth FILTERED score and over-prune — they
+        # keep the distributed rarest-term pass, which scores real
+        # filtered postings.
+        sketch_ok = doc_ids is None
         if sketch_ok:
             theta = _sketch_theta(index, term_ids, idfs, k, field_weights)
             if rarest not in index.hot_bounds:

@@ -55,14 +55,18 @@ def _round_half_up6(x: float) -> float:
 class OracleIndex:
     n_docs: int = 0
     avgdl: float = 0.0
+    avgdl1: float = 0.0  # TITLE-field average length (true-BM25F norm)
+    avgdlb: float = 0.0  # body-field average length
     lexicon: dict[str, int] = field(default_factory=dict)  # term -> dense id
     term_df: dict[int, int] = field(default_factory=dict)
     term_cf: dict[int, int] = field(default_factory=dict)
-    # term_id -> (doc_ids int64 sorted, tfs int64, dls int64, tf1s int64)
-    # tf1 = TITLE-field tf (fields channel — the reference forward index
-    # records per-field matches, create_forward_index.py:47-49)
+    # term_id -> (doc_ids int64 sorted, tfs, dls, tf1s, dl1s int64)
+    # tf1/dl1 = TITLE-field tf and length (fields channel — the reference
+    # forward index records per-field matches,
+    # create_forward_index.py:47-49)
     postings: dict[
-        int, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]
+        int,
+        tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray],
     ] = field(default_factory=dict)
     doc_url: dict[int, str] = field(default_factory=dict)
     doc_dl: dict[int, int] = field(default_factory=dict)
@@ -79,8 +83,9 @@ def build_index(pages: pd.DataFrame) -> OracleIndex:
     rows only (FIXTURES.md §1)."""
     idx = OracleIndex()
     en = pages[pages["lang"] == "en"]
-    per_term_docs: dict[str, list[tuple[int, int, int, int]]] = {}
+    per_term_docs: dict[str, list[tuple[int, int, int, int, int]]] = {}
     dls: list[int] = []
+    dl1s: list[int] = []
     for url, html in zip(en["url"], en["html"]):
         extracted = extract_text(html)
         norm = normalize_text(extracted)
@@ -89,11 +94,13 @@ def build_index(pages: pd.DataFrame) -> OracleIndex:
         doc_id = doc_id_from_url(url)
         tokens = norm.split(" ") if norm else []
         dl = len(tokens)
+        dl1 = min(dl, title_dl)  # title tokens are norm's prefix
         idx.extracted[url] = extracted
         idx.normalized[url] = norm
         idx.doc_url[doc_id] = url
         idx.doc_dl[doc_id] = dl
         dls.append(dl)
+        dl1s.append(dl1)
         counts: dict[str, int] = {}
         t1_counts: dict[str, int] = {}
         for pos, t in enumerate(tokens):
@@ -102,10 +109,16 @@ def build_index(pages: pd.DataFrame) -> OracleIndex:
                 t1_counts[t] = t1_counts.get(t, 0) + 1
         for t, tf in counts.items():
             per_term_docs.setdefault(t, []).append(
-                (doc_id, tf, dl, t1_counts.get(t, 0))
+                (doc_id, tf, dl, t1_counts.get(t, 0), dl1)
             )
     idx.n_docs = len(en)
     idx.avgdl = float(sum(dls)) / idx.n_docs if idx.n_docs else 0.0
+    # per-field averages from EXACT int totals (same derivation as the
+    # Spark engine's index_build.field_avgdls)
+    idx.avgdl1 = float(sum(dl1s)) / idx.n_docs if idx.n_docs else 0.0
+    idx.avgdlb = (
+        float(sum(dls) - sum(dl1s)) / idx.n_docs if idx.n_docs else 0.0
+    )
     # dense term ids in sorted-term order (reference semantics,
     # create_parallel_lexicon.py:84)
     for tid, term in enumerate(sorted(per_term_docs)):
@@ -115,7 +128,8 @@ def build_index(pages: pd.DataFrame) -> OracleIndex:
         t = np.array([r[1] for r in rows], dtype=np.int64)
         l = np.array([r[2] for r in rows], dtype=np.int64)
         t1 = np.array([r[3] for r in rows], dtype=np.int64)
-        idx.postings[tid] = (d, t, l, t1)
+        d1 = np.array([r[4] for r in rows], dtype=np.int64)
+        idx.postings[tid] = (d, t, l, t1, d1)
         idx.term_df[tid] = len(rows)
         idx.term_cf[tid] = int(t.sum())
     return idx
@@ -143,10 +157,13 @@ def search(
 
     mode="OR" is the reference union semantics (app.py:594-617);
     mode="AND" is the north-rule intersection (doc must contain all terms).
-    field_weights=(w_title, w_body): BM25F-lite weighted tf over the tf1
-    channel (same float64 expression shape as the Spark engine).
+    field_weights=(w_title, w_body): TRUE BM25F over the (tf1, dl1)
+    field channel — the IDENTICAL float64 expression the Spark engine
+    uses (functions.compression.bm25f_score is imported, not mirrored).
     doc_filter: metadata-filtered search — only these doc_ids may appear.
     """
+    from search_engine_spark.functions.compression import bm25f_score
+
     qtokens = normalize_text(query).split(" ")
     term_ids = sorted(
         {idx.lexicon[t] for t in qtokens if t and t in idx.lexicon}
@@ -157,15 +174,15 @@ def search(
     seen_count: dict[int, int] = {}
     # accumulate in ascending term_id order -> deterministic float sum order
     for tid in term_ids:
-        d, t, l, t1 = idx.postings[tid]
+        d, t, l, t1, d1 = idx.postings[tid]
         if field_weights is not None:
             w_t, w_b = field_weights
-            tf_eff = w_t * t1.astype(np.float64) + w_b * (
-                (t - t1).astype(np.float64)
+            contrib = bm25f_score(
+                t1, t - t1, d1, l - d1, idx.idf(tid), w_t, w_b,
+                idx.avgdl1 or 1.0, idx.avgdlb or 1.0, K1, B,
             )
         else:
-            tf_eff = t
-        contrib = bm25_contrib(tf_eff, l, idx.idf(tid), idx.avgdl)
+            contrib = bm25_contrib(t, l, idx.idf(tid), idx.avgdl)
         for doc, c in zip(d.tolist(), contrib.tolist()):
             if doc_filter is not None and doc not in doc_filter:
                 continue

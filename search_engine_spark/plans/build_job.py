@@ -118,10 +118,11 @@ def resumable_build(
             }
         )
     doc_stats = spark.read.parquet(out.doc_stats)
-    n_docs, total_dl = ib.corpus_totals(doc_stats)
+    n_docs, total_dl, total_dl1 = ib.corpus_totals(doc_stats)
     avgdl = float(total_dl) / n_docs if n_docs else 0.0
+    avgdl1, avgdlb = ib.field_avgdls(n_docs, total_dl, total_dl1)
     ib.write_scalar_parquet(
-        out.stats_base, "n_docs long, total_dl long", (n_docs, total_dl)
+        out.stats_base, ib.STATS_BASE_SCHEMA, (n_docs, total_dl, total_dl1)
     )
 
     forward = ib.build_forward(docs, with_positions=with_positions)
@@ -217,8 +218,9 @@ def resumable_build(
     if not manifest.done("stats"):
         ib.write_scalar_parquet(
             out.stats,
-            "n_docs long, avgdl double, n_salts int, salt_threshold long, n_barrels int",
-            (n_docs, avgdl, n_salts, salt_threshold, n_barrels),
+            ib.STATS_SCHEMA,
+            (n_docs, avgdl, avgdl1, avgdlb, n_salts, salt_threshold,
+             n_barrels),
         )
         manifest.commit(
             {"step": "stats", "run_id": run_id, "rows": 1, "bytes": _dir_bytes(out.stats),

@@ -59,7 +59,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from search_engine_spark.operators import index_build as ib
 
-DELTA_SCHEMA = "term_id long, doc_id long, tf int, tf1 int, dl long, barrel int"
+DELTA_SCHEMA = (
+    "term_id long, doc_id long, tf int, tf1 int, dl long, dl1 long, "
+    "barrel int"
+)
 
 
 def delta_dir(paths: ib.IndexPaths) -> str:
@@ -270,26 +273,44 @@ def union_corpus_stats(
     paths: ib.IndexPaths,
     base_ds: DataFrame,
     latest_ds: DataFrame,
-) -> tuple[int, int]:
-    """(n_docs, total_dl) of base ∪ un-compacted deltas as EXACT ints —
-    stats_base scalars plus one small aggregate over the (tiny) latest
-    delta rows, not a full doc_stats rescan. Re-ingests count once: the
-    latest delta version REPLACES the base row's dl. Exact integer
-    arithmetic keeps the derived avgdl bit-equal to a fresh build's."""
+) -> tuple[int, int, int]:
+    """(n_docs, total_dl, total_dl1) of base ∪ un-compacted deltas as
+    EXACT ints — stats_base scalars plus one small aggregate over the
+    (tiny) latest delta rows, not a full doc_stats rescan. Re-ingests
+    count once: the latest delta version REPLACES the base row's dl.
+    Exact integer arithmetic keeps the derived avgdl/avgdl1/avgdlb
+    bit-equal to a fresh build's. Legacy rows without dl1 count 0."""
     row = spark.read.parquet(paths.stats_base).collect()[0]
-    n_docs, total_dl = int(row["n_docs"]), int(row["total_dl"])
-    agg = latest_ds.join(
-        base_ds.select("doc_id", F.col("dl").alias("_base_dl")),
+    rd = row.asDict()
+    n_docs, total_dl = int(rd["n_docs"]), int(rd["total_dl"])
+    total_dl1 = int(rd.get("total_dl1") or 0)
+    base_dl1 = (
+        F.col("dl1") if "dl1" in base_ds.columns else F.lit(0).cast("long")
+    )
+    new_dl1 = (
+        F.col("dl1") if "dl1" in latest_ds.columns else F.lit(0).cast("long")
+    )
+    agg = latest_ds.withColumn("_new_dl1", new_dl1).join(
+        base_ds.select(
+            "doc_id", F.col("dl").alias("_base_dl"),
+            base_dl1.alias("_base_dl1"),
+        ),
         "doc_id",
         "left",
     ).agg(
         F.sum(F.when(F.col("_base_dl").isNull(), 1).otherwise(0)).alias("n_new"),
         F.sum("dl").alias("dl_new"),
         F.sum(F.coalesce("_base_dl", F.lit(0))).alias("dl_replaced"),
+        F.sum("_new_dl1").alias("dl1_new"),
+        F.sum(
+            F.when(F.col("_base_dl").isNull(), 0)
+            .otherwise(F.coalesce("_base_dl1", F.lit(0)))
+        ).alias("dl1_replaced"),
     ).collect()[0]
     n_docs += int(agg["n_new"] or 0)
     total_dl += int(agg["dl_new"] or 0) - int(agg["dl_replaced"] or 0)
-    return n_docs, total_dl
+    total_dl1 += int(agg["dl1_new"] or 0) - int(agg["dl1_replaced"] or 0)
+    return n_docs, total_dl, total_dl1
 
 
 def uncompacted_snapshot(spark: SparkSession, paths: ib.IndexPaths) -> dict | None:
@@ -339,9 +360,11 @@ def uncompacted_snapshot(spark: SparkSession, paths: ib.IndexPaths) -> dict | No
         .dropDuplicates(["doc_id"])
     )
     if os.path.exists(paths.stats_base):
-        n_docs, total_dl = union_corpus_stats(spark, paths, base_ds, latest_ds)
+        n_docs, total_dl, _ = union_corpus_stats(
+            spark, paths, base_ds, latest_ds
+        )
     else:  # legacy index without stats_base scalars
-        n_docs, total_dl = ib.corpus_totals(folded_ds)
+        n_docs, total_dl, _ = ib.corpus_totals(folded_ds)
     pos_seq = _read_deltas_with_seq(spark, paths, positions_delta_dir(paths))
     pos_cols = [c for c in pos_seq.columns if c != "batch_seq"]
     return {
@@ -395,7 +418,7 @@ def apply_incremental_batch(
     # table to maintain
     has_positions = os.path.exists(paths.positions)
     forward_full = ib.build_forward(docs, with_positions=has_positions)
-    forward = forward_full.select("doc_id", "term", "tf", "tf1", "dl")
+    forward = forward_full.select("doc_id", "term", "tf", "tf1", "dl", "dl1")
     if has_positions:
         forward_full.cache()
     forward.cache()
@@ -483,6 +506,7 @@ def apply_incremental_batch(
             "tf",
             "tf1",
             "dl",
+            "dl1",
             F.pmod("term_id", F.lit(n_barrels)).cast("int").alias("barrel"),
         )
     )
@@ -510,7 +534,7 @@ def apply_incremental_batch(
         all_ds = _read_deltas_with_seq(spark, paths, doc_stats_delta_dir(paths))
         if all_ds is not None:
             latest = _latest_per_doc(all_ds)
-            n_docs, total_dl = union_corpus_stats(
+            n_docs, total_dl, _ = union_corpus_stats(
                 spark, paths, base_ds, latest
             )
         else:
@@ -533,40 +557,58 @@ def apply_incremental_batch(
 
 
 def decode_postings_rows(postings: DataFrame) -> DataFrame:
-    """Inverse of encode: blob rows -> (term_id, doc_id, tf, tf1, dl)
+    """Inverse of encode: blob rows -> (term_id, doc_id, tf, tf1, dl, dl1)
     rows. mapInPandas, numpy-vectorized decode (compression.py).
-    Pre-fields-channel barrels (no tf1s column) decode with tf1 = 0 —
-    compacting a v1 index re-encodes it into the v2 layout."""
+    Pre-fields-channel barrels decode with tf1 = 0 (v1) / dl1 = 0 (v2) —
+    compacting an older index re-encodes it into the current layout."""
     import numpy as np
     import pandas as pd
 
     from search_engine_spark.functions.compression import decode_posting_blocks
 
     has_tf1 = "tf1s" in postings.columns
-    cols = ib.DECODE_BASE_COLS + (ib.DECODE_TF1_COLS if has_tf1 else [])
+    has_dl1 = "dls1" in postings.columns
+    cols = list(ib.DECODE_BASE_COLS)
+    if has_tf1:
+        cols += ["tf1_lens", "tf1s"]
+    if has_dl1:
+        cols += ["dl1_lens", "dls1"]
     postings = postings.select(*cols)  # prune theta/metadata columns
 
     def decode(batches):
         for pdf in batches:
-            tids, docs_, tfs, tf1s, dls = [], [], [], [], []
+            tids, docs_, tfs, tf1s, dls, dl1s = [], [], [], [], [], []
             for row in pdf.itertuples(index=False):
-                if has_tf1:
-                    d, t, l, t1 = decode_posting_blocks(
-                        row.doc_deltas, row.tfs, row.dls,
-                        row.db_lens, row.tf_lens, row.dl_lens, None,
-                        row.tf1s, row.tf1_lens,
-                    )
+                out = decode_posting_blocks(
+                    row.doc_deltas, row.tfs, row.dls,
+                    row.db_lens, row.tf_lens, row.dl_lens, None,
+                    row.tf1s if has_tf1 else None,
+                    row.tf1_lens if has_tf1 else None,
+                    # a mixed barrel may carry NULL field streams on
+                    # rows that predate the channel (allowMissingColumns
+                    # back-fill) — decode them as absent
+                    (row.dls1 if row.dls1 is not None else None)
+                    if has_dl1 else None,
+                    (row.dl1_lens if row.dl1_lens is not None else None)
+                    if has_dl1 else None,
+                )
+                d, t, l = out[0], out[1], out[2]
+                i = 3
+                if has_tf1 and row.tf1s is not None:
+                    t1 = out[i]
+                    i += 1
                 else:
-                    d, t, l = decode_posting_blocks(
-                        row.doc_deltas, row.tfs, row.dls,
-                        row.db_lens, row.tf_lens, row.dl_lens,
-                    )
                     t1 = np.zeros(len(d), dtype=np.int64)
+                if has_dl1 and row.dls1 is not None:
+                    d1 = out[i]
+                else:
+                    d1 = np.zeros(len(d), dtype=np.int64)
                 tids.append(np.full(len(d), int(row.term_id), dtype=np.int64))
                 docs_.append(d)
                 tfs.append(t)
                 tf1s.append(t1)
                 dls.append(l)
+                dl1s.append(d1)
             if tids:
                 yield pd.DataFrame(
                     {
@@ -575,11 +617,13 @@ def decode_postings_rows(postings: DataFrame) -> DataFrame:
                         "tf": np.concatenate(tfs).astype(np.int32),
                         "tf1": np.concatenate(tf1s).astype(np.int32),
                         "dl": np.concatenate(dls),
+                        "dl1": np.concatenate(dl1s),
                     }
                 )
 
     return postings.mapInPandas(
-        decode, schema="term_id long, doc_id long, tf int, tf1 int, dl long"
+        decode,
+        schema="term_id long, doc_id long, tf int, tf1 int, dl long, dl1 long",
     )
 
 
@@ -664,7 +708,7 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
             F.broadcast(tomb), "doc_id", "left_anti"
         )
     all_rows = base_rows.unionByName(
-        deltas.select("term_id", "doc_id", "tf", "tf1", "dl")
+        deltas.select("term_id", "doc_id", "tf", "tf1", "dl", "dl1")
     ).dropDuplicates(["term_id", "doc_id"])
     # the dedup makes compaction IDEMPOTENT: a crash after the barrel
     # swap but before delta-log truncation re-folds the same rows on the
@@ -684,7 +728,7 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     joined = (
         all_rows.join(term_stats.select("term_id", "df"), "term_id")
         .select(
-            "term_id", "df", "doc_id", "tf", "tf1", "dl",
+            "term_id", "df", "doc_id", "tf", "tf1", "dl", "dl1",
             ib.salt_col(n_salts, salt_threshold),
         )
     )
@@ -756,7 +800,7 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     dsd = doc_stats_delta_dir(paths)
     ds_deltas_seq = _read_deltas_with_seq(spark, paths, dsd)
     ds_staging = None
-    bn, bt = None, None
+    bn, bt, bt1 = None, None, None
     if ds_deltas_seq is not None:
         base_ds = spark.read.parquet(paths.doc_stats)
         n_delta = ds_deltas_seq.count()
@@ -783,26 +827,28 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
             )
             ds_staging = f"{paths.doc_stats}_staging"
             folded.write.mode("overwrite").parquet(ds_staging)
-            bn, bt = ib.corpus_totals(spark.read.parquet(ds_staging))
+            bn, bt, bt1 = ib.corpus_totals(spark.read.parquet(ds_staging))
         else:
             # additive: moves don't change per-file contents
-            b0, t0 = ib.corpus_totals(base_ds)
-            d0, dt0 = ib.corpus_totals(ds_deltas_seq)
-            bn, bt = b0 + d0, t0 + dt0
+            b0, t0, t10 = ib.corpus_totals(base_ds)
+            d0, dt0, dt10 = ib.corpus_totals(ds_deltas_seq)
+            bn, bt, bt1 = b0 + d0, t0 + dt0, t10 + dt10
     else:
-        bn, bt = ib.corpus_totals(spark.read.parquet(paths.doc_stats))
+        bn, bt, bt1 = ib.corpus_totals(spark.read.parquet(paths.doc_stats))
 
     # stats scalars (driver-side, instant) into staging
     stats_staging = f"{paths.stats}_staging"
     stats_base_staging = f"{paths.stats_base}_staging"
     ib.write_scalar_parquet(
-        stats_base_staging, "n_docs long, total_dl long", (bn, bt)
+        stats_base_staging, ib.STATS_BASE_SCHEMA, (bn, bt, bt1)
     )
     avgdl_new = float(bt) / bn if bn else 0.0
+    avgdl1_new, avgdlb_new = ib.field_avgdls(bn, bt, bt1)
     ib.write_scalar_parquet(
         stats_staging,
-        "n_docs long, avgdl double, n_salts int, salt_threshold long, n_barrels int",
-        (bn, avgdl_new, n_salts, salt_threshold, n_barrels),
+        ib.STATS_SCHEMA,
+        (bn, avgdl_new, avgdl1_new, avgdlb_new, n_salts, salt_threshold,
+         n_barrels),
     )
 
     # positional fold into staging (ALL barrels in a full merge,

@@ -61,10 +61,11 @@ def test_weighted_sketch_theta_engages_and_is_safe(spark_index, oracle_index):
     )
 
 
-def test_body_upweighted_falls_back_lossless(spark_index):
-    """w_title < w_body is excluded from the sketch path (legacy
-    zero-filled tf1 could over-state achieved scores) — it must take the
-    distributed theta and stay lossless."""
+def test_body_upweighted_lossless_and_matches_oracle(spark_index, oracle_index):
+    """The w_title < w_body orientation rides the same sketch path now
+    that the sketch stores the REAL (tf1, dl1) channel (pre-upgrade rows
+    carry NULLs and are skipped, never zero-filled) — WAND must stay
+    lossless and the true-BM25F scores bit-equal to the oracle."""
     fw = (1.0, 2.0)
     a = search_topk(spark_index, "best western good", k=10, field_weights=fw)
     b = search_topk(
@@ -72,6 +73,11 @@ def test_body_upweighted_falls_back_lossless(spark_index):
         use_wand=False,
     )
     assert a == b and a
+    want = oracle.search(oracle_index, "best western good", k=10, field_weights=fw)
+    assert [d for d, _ in a] == [d for d, _ in want]
+    np.testing.assert_array_equal(
+        np.array([s for _, s in a]), np.array([s for _, s in want])
+    )
 
 
 def test_title_term_boosted(spark_index, oracle_index):

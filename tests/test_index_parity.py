@@ -55,6 +55,9 @@ def test_doc_stats_parity(spark_index, oracle_index):
         assert oracle_index.doc_dl[int(r["doc_id"])] == r["dl"]
     assert spark_index.n_docs == oracle_index.n_docs
     assert spark_index.avgdl == oracle_index.avgdl  # bit-equal float64
+    # per-field averages (true-BM25F norm inputs) — bit-equal too
+    assert spark_index.avgdl1 == oracle_index.avgdl1
+    assert spark_index.avgdlb == oracle_index.avgdlb
 
 
 def test_lexicon_parity(spark_index, oracle_index):
@@ -78,26 +81,29 @@ def test_postings_parity(spark_index, oracle_index):
         tid = oracle_index.lexicon[term]
         rows = spark_index.postings.filter(F.col("term_id") == tid).collect()
         assert rows, term
-        ds, ts, ls, t1s = [], [], [], []
+        ds, ts, ls, t1s, d1s = [], [], [], [], []
         for r in rows:
-            d, t, l, t1 = decode_posting_blocks(
+            d, t, l, t1, d1 = decode_posting_blocks(
                 bytes(r["doc_deltas"]), bytes(r["tfs"]), bytes(r["dls"]),
                 r["db_lens"], r["tf_lens"], r["dl_lens"], None,
                 bytes(r["tf1s"]), r["tf1_lens"],
+                bytes(r["dls1"]), r["dl1_lens"],
             )
             # within-blob doc order must be ascending (delta precondition)
             assert (np.diff(d) > 0).all() if len(d) > 1 else True
             assert r["df"] == oracle_index.term_df[tid]
             ds.append(d); ts.append(t); ls.append(l); t1s.append(t1)
+            d1s.append(d1)
         d = np.concatenate(ds); t = np.concatenate(ts); l = np.concatenate(ls)
-        t1 = np.concatenate(t1s)
+        t1 = np.concatenate(t1s); d1 = np.concatenate(d1s)
         order = np.argsort(d)
-        d, t, l, t1 = d[order], t[order], l[order], t1[order]
-        od, ot, ol, ot1 = oracle_index.postings[tid]
+        d, t, l, t1, d1 = d[order], t[order], l[order], t1[order], d1[order]
+        od, ot, ol, ot1, od1 = oracle_index.postings[tid]
         assert d.tolist() == od.tolist(), term
         assert t.tolist() == ot.tolist(), term
         assert l.tolist() == ol.tolist(), term
         assert t1.tolist() == ot1.tolist(), term  # fields channel parity
+        assert d1.tolist() == od1.tolist(), term  # field-length parity
 
 
 def test_head_term_best_is_salted(spark_index, oracle_index):
