@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "simhash",
     "simhash_near_dup",
     "embedding_cosine_topk",
+    "embedding_rp_near_dup",
     "kmeans_centroids",
     "quality_score",
     "groupby_multi_mean",
@@ -185,7 +186,6 @@ def run_bench(sf_dir: str, cpus: str, scaling: bool) -> dict:
         # best-of-N interleaved rounds: build, engine queries, operator
         # suite — each round runs EVERYTHING once, so a throttle window
         # inflates one round, not the committed minimum
-        idx = None
         for rnd in range(N_ROUNDS):
             index_path = f"{work}/index_r{rnd}"
             t0 = time.monotonic()

@@ -118,6 +118,47 @@ _CONTRACTIONS_BASE = {
     "something's": "something is", "everybody's": "everybody is",
     "everyone's": "everyone is", "everything's": "everything is",
     "nobody's": "nobody is", "nothing's": "nothing is",
+    # full-inventory pass (round 3): modal/aux chains ('d've, 'll've,
+    # n't've), y'all compounds, to've/so've, remaining wh- and slang
+    # forms — the long tail of the `contractions` package's table,
+    # written out from standard English usage
+    "i'd've": "i would have", "i'll've": "i will have",
+    "he'd've": "he would have", "he'll've": "he will have",
+    "she'd've": "she would have", "she'll've": "she will have",
+    "it'd've": "it would have", "it'll've": "it will have",
+    "we'd've": "we would have", "we'll've": "we will have",
+    "they'd've": "they would have", "they'll've": "they will have",
+    "you'd've": "you would have", "you'll've": "you will have",
+    "that'd've": "that would have", "there'd've": "there would have",
+    "who'd've": "who would have", "who'll've": "who will have",
+    "what'll've": "what will have", "can't've": "cannot have",
+    "won't've": "will not have", "hadn't've": "had not have",
+    "hasn't've": "has not have", "didn't've": "did not have",
+    "oughtn't've": "ought not have", "daren't've": "dare not have",
+    "shan't've": "shall not have", "isn't've": "is not have",
+    "y'all'd": "you all would", "y'all'd've": "you all would have",
+    "y'all're": "you all are", "y'all've": "you all have",
+    "y'all'll": "you all will",
+    "so've": "so have", "so's": "so is", "to've": "to have",
+    "when've": "when have", "where've": "where have",
+    "why've": "why have", "why'd": "why did", "why're": "why are",
+    "how've": "how have", "how're": "how are",
+    "what'd": "what did", "when'd": "when did", "where'll": "where will",
+    "this's": "this is", "those're": "those are", "these're": "these are",
+    "that're": "that are",
+    "sha'n't": "shall not", "shalln't": "shall not",
+    "amn't": "am not", "'twere": "it were", "'tisn't": "it is not",
+    "e'er": "ever", "o'er": "over", "'em": "them", "'til": "until",
+    "ol'": "old", "finna": "fixing to", "imma": "i am going to",
+    "innit": "is it not", "gon't": "go not", "howdy": "how do you do",
+    "cap'n": "captain", "c'mon": "come on", "g'day": "good day",
+    "ev'ry": "every", "d'you": "do you", "d'ye": "do you",
+    "whatcha": "what are you", "betcha": "bet you", "gotcha": "got you",
+    "methinks": "me thinks", "tryna": "trying to", "hafta": "have to",
+    "oughta": "ought to", "woulda": "would have", "coulda": "could have",
+    "shoulda": "should have", "musta": "must have", "mighta": "might have",
+    "helluva": "hell of a", "boutta": "about to", "'bout": "about",
+    "'round": "around", "'fore": "before", "'neath": "beneath",
 }
 
 

@@ -1349,6 +1349,146 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH near-dup over embeddings — the 100-TB scale path
+# (the blocking-free companion to q_embedding_dup_pairs, whose label-cell
+# self-join is exact but O(c²) within a cell).
+
+_RP_BITS = 32
+_RP_BANDS = 4
+_RP_ROWS = 8  # _RP_BITS == _RP_BANDS * _RP_ROWS
+_RP_DIMS = 64  # embeddings-table dimensionality (TESTDATA.md)
+_RP_QUANT = 1_000_000  # floor(x·10^6) component quantization
+
+
+def _rp_planes() -> list[list[int]]:
+    """±1 Rademacher hyperplane matrix (bit j × dim d) from the parity of
+    md5(f"rp:{j}:{d}") — md5 is the repo's ONE cross-engine hash
+    (CLAUDE.md). The oracle recomputes the SAME coefficients in SQL:
+    substr(md5(..), 32, 1) IN (odd hex chars) == int(hexdigest, 16) & 1.
+    Sign-random-projection LSH (Charikar, STOC'02): P[bit collision for a
+    pair at angle θ] = 1 − θ/π, so an r-bit band key is an S-curve
+    selector exactly like the MinHash banding above."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp:{j}:{d}".encode()).hexdigest(), 16) & 1
+            else -1
+            for d in range(_RP_DIMS)
+        ]
+        for j in range(_RP_BITS)
+    ]
+
+
+def _rp_qemb() -> Column:
+    """Integer-quantized embedding: floor(x·10^6) per component. Every
+    downstream signature operation (±1 dot products, sign bits, band
+    keys) is exact BIGINT arithmetic — order-independent and
+    bit-identical across Spark/DuckDB/numpy, with no float-association
+    or rounding-tie hazard in the sign decision (float32 → DOUBLE cast
+    and the ·10^6 IEEE product are exact/deterministic on both engines,
+    and FLOOR has no ties)."""
+    return F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * _RP_QUANT).cast("long"),
+    )
+
+
+def q_embedding_rp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global embedding near-dup candidates via random-hyperplane LSH
+    banding + exact cosine verify — the candidate-then-verify shape at
+    corpus scale, no blocking key required (reference parity: the same
+    dedup family as create_inverted_index.py's content hashing, lifted
+    to the embedding column).
+
+    Plan shape: (1) exact-duplicate vectors pre-collapse to one
+    representative (min vec_id per quantized-vector md5) BEFORE banding
+    — a c-member identical-embedding cluster (boilerplate text → one
+    embedding) shares every band key and would emit c·(c−1)/2 pairs
+    from each bucket, the same O(c²) hazard the text-side LSH fixed in
+    round 3 (tests/test_embedding_scale.py asserts O(c)); (2) 32 sign
+    bits from md5-derived ±1 hyperplanes over integer-quantized
+    components, packed into 4 bands × 8 bits; (3) candidates = equi-join
+    on (band, band_key) — shuffle co-located by bucket, never all-pairs:
+    random pairs (bit prob ≈ ½) collide in ≥1 band w.p. ≈ 4·2⁻⁸ ≈ 1.6%,
+    true near-dups (cosine ≥ .95, bit prob 1−θ/π ≈ .93) w.p. ≈ .97;
+    (4) exact cosine ≥ 0.35 verify on the sparse candidate set (same
+    output contract as q_embedding_dup_pairs)."""
+    emb = embeddings(spark, sf_dir).select("vec_id", _rp_qemb().alias("q"))
+    qh = F.md5(
+        F.concat_ws(",", F.transform(F.col("q"), lambda x: x.cast("string")))
+    )
+    with_h = emb.withColumn("qh", qh)
+    reps = (
+        with_h.groupBy("qh").agg(F.min("vec_id").alias("vec_id"))
+        .select("vec_id")
+    )
+    emb_r = with_h.join(reps, "vec_id", "left_semi")
+    planes = _rp_planes()
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(s) for s in planes[j]]).cast("array<long>"),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        for j in range(_RP_BITS)
+    ]
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            sum(
+                F.when(
+                    projs[b * _RP_ROWS + i] >= 0, F.lit(1 << i)
+                ).otherwise(F.lit(0))
+                for i in range(_RP_ROWS)
+            ).cast("long").alias("band_key"),
+        )
+        for b in range(_RP_BANDS)
+    ]
+    keys = (
+        emb_r.select("vec_id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select(
+            "vec_id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+    )
+    ka = keys.select(F.col("vec_id").alias("vec_a"), "band", "band_key")
+    kb = keys.select(F.col("vec_id").alias("vec_b"), "band", "band_key")
+    cands = (
+        ka.join(kb, ["band", "band_key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    eb = embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    cos = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b"))
+        / (
+            F.sqrt(_dot(F.col("emb_a"), F.col("emb_a")))
+            * F.sqrt(_dot(F.col("emb_b"), F.col("emb_b")))
+        ),
+        4,
+    )
+    return (
+        cands.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
 def q_embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style coarse structure: per-label centroid norm + count (the
     partition/centroid stats an IVF index maintains; posexplode + hash agg,
@@ -1655,6 +1795,67 @@ WITH pairs AS (
          b.embedding AS emb_b
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id
+),
+expanded AS (
+  SELECT vec_a, vec_b,
+         CAST(emb_a[i] AS DOUBLE) AS x, CAST(emb_b[i] AS DOUBLE) AS y
+  FROM pairs, unnest(range(1, len(emb_a) + 1)) AS t(i)
+),
+dots AS (
+  SELECT vec_a, vec_b, SUM(x * y) AS dot,
+         SQRT(SUM(x * x)) AS na, SQRT(SUM(y * y)) AS nb
+  FROM expanded GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b, ROUND(dot / (na * nb), 4) AS cosine
+FROM dots WHERE ROUND(dot / (na * nb), 4) >= 0.35
+""",
+    # mirrors q_embedding_rp_near_dup exactly: same md5-parity hyperplanes,
+    # same floor(x·10^6) integer quantization (all-BIGINT signature math —
+    # no float-tie hazard in the sign bits), same 4×8-bit banding, same
+    # exact-dup pre-collapse, same cosine-verify tail as embedding_dup_pairs
+    "embedding_rp_near_dup": f"""
+WITH qe AS (
+  SELECT vec_id, i - 1 AS d,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_RP_QUANT}) AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+qh AS (
+  SELECT vec_id,
+         md5(array_to_string(list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_RP_QUANT}) AS BIGINT)),
+             ',')) AS h
+  FROM embeddings
+),
+reps AS (SELECT MIN(vec_id) AS vec_id FROM qh GROUP BY h),
+planes AS (
+  SELECT j, d,
+         CASE WHEN substr(md5('rp:' || CAST(j AS VARCHAR) || ':'
+                              || CAST(d AS VARCHAR)), 32, 1)
+              IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END AS s
+  FROM range(0, {_RP_BITS}) pj(j), range(0, {_RP_DIMS}) pd(d)
+),
+proj AS (
+  SELECT qe.vec_id, p.j, SUM(p.s * qe.q) AS pr
+  FROM qe JOIN reps USING (vec_id) JOIN planes p ON p.d = qe.d
+  GROUP BY qe.vec_id, p.j
+),
+keys AS (
+  SELECT vec_id, CAST(j // {_RP_ROWS} AS INT) AS band,
+         SUM(CASE WHEN pr >= 0
+                  THEN CAST(1 AS BIGINT) << CAST(j % {_RP_ROWS} AS INT)
+                  ELSE 0 END) AS band_key
+  FROM proj GROUP BY vec_id, band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM keys a JOIN keys b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.vec_a, c.vec_b, ea.embedding AS emb_a, eb.embedding AS emb_b
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
 ),
 expanded AS (
   SELECT vec_a, vec_b,
@@ -2227,6 +2428,7 @@ QUERIES = {
     "ref_heuristic_topk": q_ref_heuristic_topk,
     "position_bonus_topk": q_position_bonus_topk,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    "embedding_rp_near_dup": q_embedding_rp_near_dup,
     "sentiment": q_sentiment,
     "ref_heuristic_sentiment_topk": q_ref_heuristic_sentiment_topk,
     "dedup_exact": q_dedup_exact,

@@ -1,0 +1,104 @@
+"""Scale-shape guards for the random-hyperplane embedding near-dup
+operator (q_embedding_rp_near_dup) — the embedding-side twin of
+tests/test_dedup_scale.py.
+
+Three properties, mirroring the text-side LSH guards:
+- sparsity: banded candidates ≪ all-pairs on the driver-gate corpus;
+- O(c) on an exact-duplicate embedding cluster: identical vectors share
+  every band key, so banding raw rows would emit c·(c−1)/2 pairs from
+  each bucket — the quantized-vector pre-collapse must make candidate
+  counts independent of c (VERDICT r2's last quadratic hazard);
+- recall: planted true near-dups (cosine ≥ 0.95, bit-collision prob
+  1 − θ/π ≈ 0.93 ⇒ ≥1-of-4-bands prob ≈ 0.97) must surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from search_engine_spark.operators import corpus
+
+SF = "/root/testdata/sf0.01"
+
+_CLUSTER_C = 1000
+_N_BASE = 60
+_N_NEAR = 8  # planted near-dup pairs
+_DIMS = corpus._RP_DIMS
+
+
+@pytest.fixture(scope="module")
+def rp_fixture_dir(tmp_path_factory):
+    """Synthetic embeddings table (driver parquet shape): one
+    1000-member identical-vector cluster + 60 random vectors + 8 planted
+    near-dup pairs (unit vector + N(0, 0.02) noise ⇒ cosine ≈ 0.987,
+    per-bit collision prob ≈ 0.95, ≥1-of-4-bands ≈ 0.99)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    rows: list[dict] = []
+
+    def add(vec_id: int, v: np.ndarray, label: int) -> None:
+        rows.append(
+            {
+                "vec_id": vec_id,
+                "embedding": v.astype(np.float32).tolist(),
+                "label": label,
+            }
+        )
+
+    boiler = rng.normal(size=_DIMS)
+    boiler /= np.linalg.norm(boiler)
+    for i in range(_CLUSTER_C):
+        add(i, boiler, 0)
+    for i in range(_N_BASE):
+        v = rng.normal(size=_DIMS)
+        add(10_000 + i, v / np.linalg.norm(v), 1)
+    for i in range(_N_NEAR):
+        v = rng.normal(size=_DIMS)
+        v /= np.linalg.norm(v)
+        w = v + rng.normal(scale=0.02, size=_DIMS)
+        w /= np.linalg.norm(w)
+        add(20_000 + 2 * i, v, 2)
+        add(20_000 + 2 * i + 1, w, 2)
+    d = tmp_path_factory.mktemp("rpfixture")
+    pd.DataFrame(rows).to_parquet(f"{d}/embeddings.parquet", index=False)
+    return str(d)
+
+
+def test_rp_near_dup_sparse_on_gate_corpus(spark):
+    """On the driver-gate embeddings (500 random-ish vectors, max cosine
+    ≈ 0.51) the verified output is a SPARSE subset of the exact
+    ≥0.35-cosine pairs: every surfaced pair is genuinely ≥ 0.35, and the
+    banding keeps the candidate join far from all-pairs."""
+    n = corpus.embeddings(spark, SF).count()
+    rows = corpus.q_embedding_rp_near_dup(spark, SF).collect()
+    assert 0 < len(rows) < 0.05 * n * (n - 1) / 2
+    assert all(r["cosine"] >= 0.35 for r in rows)
+
+
+def test_rp_near_dup_o_of_c_on_dup_cluster(spark, rp_fixture_dir):
+    """The 1000-member identical-embedding cluster must contribute ZERO
+    intra-cluster pairs (collapsed to one representative before banding)
+    and the total output must be bounded by representative pairs — not
+    the ~5·10^5 pairs the un-collapsed bucket self-join would emit."""
+    rows = corpus.q_embedding_rp_near_dup(spark, rp_fixture_dir).collect()
+    assert not any(
+        r["vec_a"] < _CLUSTER_C and r["vec_b"] < _CLUSTER_C for r in rows
+    )
+    n_reps = 1 + _N_BASE + 2 * _N_NEAR
+    assert len(rows) <= n_reps * (n_reps - 1) / 2
+
+
+def test_rp_near_dup_recall_on_planted_pairs(spark, rp_fixture_dir):
+    """Planted near-dup pairs (cosine ≈ 0.987) must band-collide and
+    surface; ≥ 80% recall is the contract (theory says ≈ 99% at these
+    angles — the fixture is deterministic, so this either always passes
+    or the geometry is wrong)."""
+    rows = corpus.q_embedding_rp_near_dup(spark, rp_fixture_dir).collect()
+    found = {(r["vec_a"], r["vec_b"]) for r in rows}
+    planted = {
+        (20_000 + 2 * i, 20_000 + 2 * i + 1) for i in range(_N_NEAR)
+    }
+    hit = planted & found
+    assert len(hit) >= 0.8 * len(planted), (sorted(planted - found), found)

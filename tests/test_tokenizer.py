@@ -34,6 +34,25 @@ def test_contractions_expanded():
     assert tokenize("Don't stay at www.bad.example hotels!") == ["do", "stay", "hotels"]
 
 
+def test_contractions_long_tail():
+    """Round-3 full-inventory pass: modal chains ('d've / 'll've /
+    n't've), y'all compounds, and apostrophe-free slang all expand
+    before punctuation/stopword stages (reference tokenizer.py:55-56
+    runs `contractions.fix` first for the same reason)."""
+    # "i'd've" -> "i would have": "i"/"have" are stopwords, "would"
+    # survives (not in the curated stopword list)
+    assert tokenize("i'd've slept") == ["would", "slept"]
+    # y'all're -> "you all are"; you/all/are are all stopwords
+    assert tokenize("y'all're welcome") == ["welcome"]
+    # slang without apostrophes expands too ("what are you" are all
+    # stopwords; "cooking" then lemmatizes to "cook")
+    assert tokenize("whatcha cooking") == ["cook"]
+    # "should have" both stopwords; irregular "known" -> "know"
+    assert tokenize("shoulda known better") == ["know", "better"]
+    # leading-apostrophe forms ('bout) and trailing (ol')
+    assert tokenize("'bout ol' times") == ["about", "old", "times"]
+
+
 def test_punctuation_to_space():
     assert tokenize("good,bad;ugly") == ["good", "bad", "ugly"]
 
