@@ -799,17 +799,25 @@ def exact_dup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingle_df(
-    spark: SparkSession, sf_dir: str, n: int = 3, reps_only: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    reps_only: bool = False,
+    distinct: bool = True,
 ) -> DataFrame:
+    """distinct=True is the SET of shingles (what Jaccard's
+    intersection/union arithmetic needs — a full (doc_id, shingle)
+    shuffle). MinHash passes distinct=False: min() is idempotent to
+    duplicates, so the signature path skips that shuffle entirely and
+    its only exchange is the 16-min partial-agg row per doc."""
     docs = documents(spark, sf_dir).filter(F.col("lang") == "en")
     if reps_only:
         # one doc_id semi-join pass BEFORE shingling: dup texts are never
         # shingled/minhashed at all (the signature of an exact dup is
         # byte-identical to its representative's — pure wasted work)
         docs = docs.join(exact_dup_reps(spark, sf_dir), "doc_id", "left_semi")
-    return docs.select(
-        "doc_id", F.explode(_shingles(n)).alias("shingle")
-    ).distinct()
+    out = docs.select("doc_id", F.explode(_shingles(n)).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 # universal-hash family for the minhash signature: ONE md5 per shingle
@@ -831,8 +839,32 @@ def minhash_signatures(
     (a_i·h + b_i) mod p. (doc_id, seed, minhash).
 
     reps_only=True restricts to exact-dup representatives — the form the
-    LSH banding consumes (see exact_dup_reps)."""
-    sh = shingle_df(spark, sf_dir, 3, reps_only=reps_only)
+    LSH banding consumes (see exact_dup_reps).
+
+    Plan shape (round 3): ONE groupBy(doc_id) computing all 16 mins as
+    wide aggregate columns, then stack() to the (doc_id, seed, minhash)
+    long format. The previous shape (broadcast seed crossJoin → 16× row
+    fan-out → groupBy(doc_id, seed)) shuffled 16× the shingle rows; the
+    wide form shuffles each doc's partial-agg row ONCE and the map-side
+    combine does the rest — at 100 TB that is a 16× shuffle-volume cut
+    on the dedup pipeline's widest stage."""
+    wide = _minhash_wide(spark, sf_dir, reps_only=reps_only)
+    stack_args = ", ".join(f"{i}, mh{i}" for i in range(_N_HASHES))
+    return wide.selectExpr(
+        "doc_id",
+        f"stack({_N_HASHES}, {stack_args}) AS (seed, minhash)",
+    )
+
+
+def _minhash_wide(
+    spark: SparkSession, sf_dir: str, reps_only: bool = False
+) -> DataFrame:
+    """(doc_id, mh0..mh15): the full MinHash signature as one row via a
+    single hash-aggregate pass — min_i((a_i·h + b_i) mod p) computed as
+    16 wide agg columns over the un-fanned shingle-hash rows.
+    distinct=False: duplicate shingles cannot change a min, so the
+    signature never pays Jaccard's set-dedup shuffle."""
+    sh = shingle_df(spark, sf_dir, 3, reps_only=reps_only, distinct=False)
     hashed = sh.select(
         "doc_id",
         (
@@ -841,19 +873,16 @@ def minhash_signatures(
             % _MH_P
         ).alias("h"),
     )
-    seeds = spark.range(_N_HASHES).select(F.col("id").cast("int").alias("seed"))
-    a = (F.lit(_MH_A0) + F.col("seed").cast("long") * F.lit(_MH_A1)) % _MH_P
-    b = (F.lit(_MH_B0) + F.col("seed").cast("long") * F.lit(_MH_B1)) % _MH_P
-    return (
-        hashed.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            ((a * F.col("h") + b) % _MH_P).alias("mh"),
+    aggs = []
+    for i in range(_N_HASHES):
+        a = (_MH_A0 + i * _MH_A1) % _MH_P
+        b = (_MH_B0 + i * _MH_B1) % _MH_P
+        aggs.append(
+            F.min(
+                (F.lit(a).cast("long") * F.col("h") + F.lit(b)) % _MH_P
+            ).alias(f"mh{i}")
         )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("mh").alias("minhash"))
-    )
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -877,23 +906,33 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster's members are implied via their representative; exact dups
     themselves are q_dedup_exact's output. tests/test_dedup_scale.py
     asserts O(c) behavior on a synthetic 1k-member cluster."""
-    sig = minhash_signatures(spark, sf_dir, reps_only=True)
-    bands = (
-        sig.withColumn("band", F.floor(F.col("seed") / _LSH_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    wide = _minhash_wide(spark, sf_dir, reps_only=True)
+    # band keys straight off the wide signature row — same md5(concat in
+    # seed order) as before, but with NO second shuffle: the previous
+    # shape re-grouped the long (doc_id, seed, minhash) rows by
+    # (doc_id, band) and collect_list-sorted them; the wide row already
+    # holds the signature in seed order, so banding is a pure projection
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
             F.md5(
                 F.concat_ws(
                     "|",
-                    F.transform(
-                        F.sort_array(
-                            F.collect_list(F.struct("seed", "minhash"))
-                        ),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
+                    *[
+                        F.col(f"mh{b * _LSH_ROWS + r}").cast("string")
+                        for r in range(_LSH_ROWS)
+                    ],
                 )
-            ).alias("band_key")
+            ).alias("band_key"),
         )
+        for b in range(_LSH_BANDS)
+    ]
+    bands = wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
@@ -1382,6 +1421,34 @@ def _rp_planes() -> list[list[int]]:
     ]
 
 
+def _rp_band_array_sql() -> str:
+    """The 4 (band, band_key) structs as ONE generated SQL expression
+    over the quantized column `q`. Generating SQL text (parsed once,
+    JVM-side) instead of composing 32 aggregate lambdas × 64 F.lit
+    literals through Py4J cuts ~3.5 s of driver-side plan construction
+    per call (measured at sf0.1) — the evaluated expression is
+    identical: proj_j = Σ_d plane[j][d]·q[d] (exact BIGINT), bit_j =
+    proj_j ≥ 0, band_key = Σ bit·2^i."""
+    planes = _rp_planes()
+
+    def proj(j: int) -> str:
+        arr = ",".join(f"{s}L" for s in planes[j])
+        return (
+            f"aggregate(zip_with(q, array({arr}), (x, y) -> x * y), "
+            "0L, (a, x) -> a + x)"
+        )
+
+    bands = []
+    for b in range(_RP_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN {proj(b * _RP_ROWS + i)} >= 0 "
+            f"THEN {1 << i}L ELSE 0L END)"
+            for i in range(_RP_ROWS)
+        )
+        bands.append(f"struct({b} AS band, ({bits}) AS band_key)")
+    return "array(" + ",".join(bands) + ")"
+
+
 def _rp_qemb() -> Column:
     """Integer-quantized embedding: floor(x·10^6) per component. Every
     downstream signature operation (±1 dot products, sign bits, band
@@ -1426,33 +1493,10 @@ def q_embedding_rp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
     )
     emb_r = with_h.join(reps, "vec_id", "left_semi")
-    planes = _rp_planes()
-    projs = [
-        F.aggregate(
-            F.zip_with(
-                F.col("q"),
-                F.array(*[F.lit(s) for s in planes[j]]).cast("array<long>"),
-                lambda x, y: x * y,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        for j in range(_RP_BITS)
-    ]
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            sum(
-                F.when(
-                    projs[b * _RP_ROWS + i] >= 0, F.lit(1 << i)
-                ).otherwise(F.lit(0))
-                for i in range(_RP_ROWS)
-            ).cast("long").alias("band_key"),
-        )
-        for b in range(_RP_BANDS)
-    ]
     keys = (
-        emb_r.select("vec_id", F.explode(F.array(*band_structs)).alias("bk"))
+        emb_r.select(
+            "vec_id", F.explode(F.expr(_rp_band_array_sql())).alias("bk")
+        )
         .select(
             "vec_id",
             F.col("bk.band").alias("band"),
