@@ -1002,55 +1002,50 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_of(tok: DataFrame) -> DataFrame:
     """SimHash body over an exploded (doc_id, term) token view — shared
-    by the all-docs q_simhash and the reps-only near-dup path."""
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    by the all-docs q_simhash and the reps-only near-dup path.
+
+    Plan shape (round 3, mirroring the MinHash wide-agg rewrite): ONE
+    groupBy(doc_id) computing all 64 per-bit sums as wide aggregate
+    columns. Two fan-outs disappear versus the previous shape:
+    (a) the per-(doc, term) tf pre-aggregation — summing tf·(2·bit−1)
+    over distinct terms equals summing (2·bit−1) over raw token rows,
+    so tf never needs to be materialized; (b) the ×64 (band, bit)
+    posexplode — each bit becomes an agg column, not a row. Tokens of
+    one doc are co-partitioned (posexplode preserves the scan
+    partition), so the map-side combine collapses to ~one 64-column row
+    per doc before the only exchange. Integer sums are order-invariant,
+    so the values stay bit-identical to the (unchanged) DuckDB oracle's
+    tf-weighted CROSS JOIN formulation."""
+    mh = tok.select("doc_id", F.md5(F.col("term")).alias("mh"))
     hexv = lambda j: F.instr(  # noqa: E731
-        F.lit("0123456789abcdef"), F.substring(F.md5(F.col("term")), j, 1)
+        F.lit("0123456789abcdef"), F.substring(F.col("mh"), j, 1)
     ) - 1
     band_h16 = [
         hexv(4 * j + 1) * 4096 + hexv(4 * j + 2) * 256
         + hexv(4 * j + 3) * 16 + hexv(4 * j + 4)
         for j in range(_SIMHASH_BANDS)
     ]
-    with_bands = tf.select(
+    hashed = mh.select(
         "doc_id",
-        "tf",
-        F.posexplode(F.array(*band_h16)).alias("band", "h16"),
+        *[band_h16[j].alias(f"h{j}") for j in range(_SIMHASH_BANDS)],
     )
-    with_bits = with_bands.select(
-        "doc_id",
-        "band",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(_SIMHASH_BAND_BITS - 1))
-        ).alias("bit"),
-        (
-            F.col("tf")
-            * (
-                2 * (F.floor(F.col("h16") / F.pow(F.lit(2.0), F.col("bit"))) % 2)
-                - 1
-            )
-        ).alias("w"),
-    )
-    per_bit = with_bits.groupBy("doc_id", "band", "bit").agg(
-        F.sum("w").alias("s")
-    )
-    per_band = per_bit.groupBy("doc_id", "band").agg(
+    aggs = [
         F.sum(
-            F.when(
-                F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
+            2 * F.shiftright(F.col(f"h{j}"), b).bitwiseAND(F.lit(1)) - 1
+        ).alias(f"s{j}_{b}")
+        for j in range(_SIMHASH_BANDS)
+        for b in range(_SIMHASH_BAND_BITS)
+    ]
+    wide = hashed.groupBy("doc_id").agg(*aggs)
+    sims = []
+    for j in range(_SIMHASH_BANDS):
+        band_val = F.lit(0)
+        for b in range(_SIMHASH_BAND_BITS):
+            band_val = band_val + F.when(
+                F.col(f"s{j}_{b}") > 0, F.lit(1 << b)
             ).otherwise(0)
-        )
-        .cast("long")
-        .alias("band_val")
-    )
-    return per_band.groupBy("doc_id").agg(
-        *[
-            F.max(
-                F.when(F.col("band") == j, F.col("band_val"))
-            ).alias(f"sim{j}")
-            for j in range(_SIMHASH_BANDS)
-        ]
-    )
+        sims.append(band_val.cast("long").alias(f"sim{j}"))
+    return wide.select("doc_id", *sims)
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1675,6 +1670,131 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_MAX_ITERS = 25  # min-label propagation cap (dup graphs: stars + short chains)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dedup clusters — the dedup pipeline's final
+    merge step (exact + near dup evidence → one cluster id per involved
+    doc). Edge set: (a) exact-dup membership edges, each member to its
+    min-doc_id representative (star topology — the rep already carries
+    the component min); (b) verified near-dup representative pairs
+    (n-gram Jaccard ≥ 0.9 over the LSH candidates, the same evidence
+    corpus_select drops by). cluster_id = min doc_id reachable.
+
+    Plan shape: min-label propagation to fixpoint. The symmetrized edge
+    list and the label frame are localCheckpointed so the (expensive)
+    Jaccard lineage runs once and each iteration is a single
+    edge⋈label shuffle + per-node min; convergence needs graph-diameter
+    rounds, and dedup graphs are near-stars (diameter ≲ 3), not long
+    paths. At true web scale the same loop body upgrades to
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") for O(log n) worst-case rounds; the
+    fixpoint-by-count driver check costs one scalar action per round.
+    Only (doc_id, lbl) longs ever shuffle — never text."""
+    docs_h = documents(spark, sf_dir).select(
+        F.md5(F.col("text")).alias("h"), "doc_id"
+    )
+    grp = docs_h.groupBy("h").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("c")
+    )
+    e1 = (
+        docs_h.join(grp.filter(F.col("c") > 1), "h")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    e2 = (
+        q_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.9)
+        .select("doc_a", "doc_b")
+    )
+    edges = e1.unionByName(e2).distinct()
+    sym = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_CC_MAX_ITERS):
+        nbr = (
+            sym.join(
+                labels.withColumnsRenamed(
+                    {"doc_id": "doc_b", "lbl": "nbr_lbl"}
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nbr_lbl").alias("nbr_min"))
+            .withColumnRenamed("doc_a", "doc_id")
+        )
+        new = (
+            labels.join(nbr, "doc_id")
+            .select(
+                "doc_id", F.least(F.col("lbl"), F.col("nbr_min")).alias("lbl")
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+
+
+def _hash_bucket(expr: Column, mod: int) -> Column:
+    """Deterministic [0, mod) bucket from a string column — same
+    md5→BIGINT idiom as doc ids (bit-identical across Spark/DuckDB)."""
+    return (
+        F.conv(F.substring(F.md5(expr), 1, 15), 16, 10).cast("long") % mod
+    )
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: bucket = md5(doc_id) mod 100,
+    train < 90 ≤ val < 95 ≤ test. Hash-based (not random): reproducible
+    across engines and runs, and stable under corpus growth — appending
+    docs never moves an existing doc's split, so incremental pipeline
+    runs cannot leak val docs into train. Pure projection fused into the
+    scan: zero shuffle at any scale."""
+    b = _hash_bucket(F.col("doc_id").cast("string"), 100)
+    return documents(spark, sf_dir).select(
+        "doc_id",
+        b.cast("int").alias("bucket"),
+        F.when(b < 90, F.lit("train"))
+        .when(b < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified downsample: keep a doc when
+    its salted hash bucket falls under the language's rate (en is the
+    head language in web crawls, so it is downsampled to 50%; tail
+    languages keep 100% — the standard rebalancing move for pre-training
+    mixes). The salt prefix decorrelates this hash from q_split_assign's
+    so sampling never biases the split. Map-only: the filter is a scan
+    predicate; no shuffle, no driver state."""
+    b = _hash_bucket(
+        F.concat(F.lit("samp|"), F.col("doc_id").cast("string")), 100
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(50)).otherwise(F.lit(100))
+    return (
+        documents(spark, sf_dir)
+        .filter(b < rate)
+        .select("doc_id", "lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (driver runs these on the same parquet views)
 
@@ -1762,6 +1882,29 @@ _MINHASH_SIG_REPS_CTE = (
         "          AND doc_id IN (SELECT doc_id FROM reps)) d",
     )
 )
+
+# full candidate→verify chain ending in a `jacc` CTE (mirror of
+# q_ngram_jaccard, reusing the reps-filtered DISTINCT-shingle `sh` CTE) —
+# consumed by the dedup_clusters oracle's edge set
+_JACC_CTES = f"""{_MINHASH_SIG_REPS_CTE},
+{_LSH_CANDS_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+jacc AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(COALESCE(i.n_inter, 0) * 1.0
+               / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)), 6) AS jaccard
+  FROM cands c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+)"""
 
 ORACLE_SQL: dict[str, str] = {
     "term_tf": f"""
@@ -2196,6 +2339,49 @@ sim AS (
 )
 """
 
+ORACLE_SQL["dedup_clusters"] = f"""
+WITH RECURSIVE {_JACC_CTES},
+gh AS (SELECT md5(text) AS h, doc_id FROM documents),
+grp AS (SELECT h, MIN(doc_id) AS rep, COUNT(*) AS c FROM gh GROUP BY h),
+e1 AS (SELECT g.rep AS doc_a, gh.doc_id AS doc_b
+       FROM gh JOIN grp g USING (h) WHERE g.c > 1 AND gh.doc_id <> g.rep),
+e2 AS (SELECT doc_a, doc_b FROM jacc WHERE jaccard >= 0.9),
+cc_edges AS (SELECT doc_a, doc_b FROM e1 UNION SELECT doc_a, doc_b FROM e2),
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM cc_edges
+        UNION SELECT doc_b, doc_a FROM cc_edges),
+cc_nodes AS (SELECT DISTINCT src AS doc_id FROM sym),
+reach AS (
+  SELECT doc_id, doc_id AS lbl FROM cc_nodes
+  UNION
+  SELECT s.src AS doc_id, r.lbl FROM sym s JOIN reach r ON r.doc_id = s.dst
+)
+SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
+ORACLE_SQL["split_assign"] = """
+SELECT doc_id, CAST(bucket AS INT) AS bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+) b
+"""
+
+ORACLE_SQL["stratified_sample"] = """
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('samp|' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 100 AS bucket
+  FROM documents
+) b
+WHERE bucket < (CASE WHEN lang = 'en' THEN 50 ELSE 100 END)
+"""
+
 ORACLE_SQL["simhash"] = f"""
 WITH {_SIMHASH_CTE}
 SELECT doc_id, sim0, sim1, sim2, sim3 FROM sim
@@ -2495,5 +2681,8 @@ QUERIES = {
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
     "corpus_select": q_corpus_select,
+    "dedup_clusters": q_dedup_clusters,
+    "split_assign": q_split_assign,
+    "stratified_sample": q_stratified_sample,
     "multimodal_meta": q_multimodal_meta,
 }

@@ -157,3 +157,83 @@ def test_simhash_near_dup_o_of_c_on_dup_cluster(spark, dup_cluster_dir):
     )
     pair_set = {(r["doc_a"], r["doc_b"]) for r in rows}
     assert (20_000, 20_001) in pair_set
+
+
+def test_dedup_clusters_on_dup_cluster(spark, dup_cluster_dir):
+    """Two components exactly: the 1000-member exact cluster (every
+    member labeled with the min id 0) and the near-dup pair — whose
+    one-word tail edit gives 3-gram Jaccard 18/20 = 0.9, right AT the
+    evidence threshold. The 20 distinct docs never appear."""
+    rows = corpus.q_dedup_clusters(spark, dup_cluster_dir).collect()
+    got = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert set(got) == set(range(_CLUSTER_C)) | {20_000, 20_001}
+    assert all(got[i] == 0 for i in range(_CLUSTER_C))
+    assert got[20_000] == 20_000 and got[20_001] == 20_000
+
+
+@pytest.fixture(scope="module")
+def transitive_dir(spark, tmp_path_factory):
+    """X1 == X2 (exact dups); Y = X1 with ONE mid-text word changed over a
+    60-word body (3-gram Jaccard (n-3)/(n+3) ≈ 0.90 at n ≈ 57 shingles —
+    above the near-dup evidence threshold); Z isolated. Expected
+    component: {X1, X2, Y} via the exact edge X2→X1 PLUS the near-dup
+    edge X1–Y — the transitive merge across both evidence kinds."""
+    import pandas as pd
+
+    words = [f"tokenword{i}" for i in range(60)]
+    x = " ".join(words)
+    y_words = list(words)
+    y_words[30] = "changedword"
+    y = " ".join(y_words)
+    rows = [
+        {"doc_id": 1, "text": x, "lang": "en"},
+        {"doc_id": 2, "text": x, "lang": "en"},
+        {"doc_id": 3, "text": y, "lang": "en"},
+        {
+            "doc_id": 4,
+            "text": "completely unrelated isolated document about nothing "
+            "similar whatsoever containing different vocabulary entirely",
+            "lang": "en",
+        },
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["source"] = "src1"
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path_factory.mktemp("transitive")
+    pdf.to_parquet(f"{d}/documents.parquet", index=False)
+    return str(d)
+
+
+def test_dedup_clusters_transitive_merge(spark, transitive_dir):
+    rows = corpus.q_dedup_clusters(spark, transitive_dir).collect()
+    got = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert got == {1: 1, 2: 1, 3: 1}  # Z (doc 4) never appears
+
+
+def test_split_assign_deterministic_partition(spark):
+    """Split must partition the corpus exactly (every doc, one split) and
+    be identical across invocations (hash-based, not random)."""
+    a = corpus.q_split_assign(spark, SF).collect()
+    b = corpus.q_split_assign(spark, SF).collect()
+    assert sorted(a) == sorted(b)
+    n_docs = corpus.documents(spark, SF).count()
+    assert len(a) == n_docs
+    by_split = {}
+    for r in a:
+        by_split.setdefault(r["split"], 0)
+        by_split[r["split"]] += 1
+    assert set(by_split) == {"train", "val", "test"}
+    assert by_split["train"] > by_split["val"]
+    assert all(0 <= r["bucket"] < 100 for r in a)
+
+
+def test_stratified_sample_rates(spark):
+    """en is downsampled to ~50%, tail languages kept at 100% exactly."""
+    kept = corpus.q_stratified_sample(spark, SF).collect()
+    docs = corpus.documents(spark, SF).select("doc_id", "lang").collect()
+    n_en = sum(1 for r in docs if r["lang"] == "en")
+    n_rest = len(docs) - n_en
+    kept_en = sum(1 for r in kept if r["lang"] == "en")
+    kept_rest = len(kept) - kept_en
+    assert kept_rest == n_rest  # non-en: full retention
+    assert 0.3 * n_en < kept_en < 0.7 * n_en  # en: ~50% (hash variance)

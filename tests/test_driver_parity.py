@@ -26,6 +26,9 @@ SUBSET = [
     "embedding_cosine_topk",
     "embedding_ivf_topk",
     "quality_score",
+    "dedup_clusters",
+    "split_assign",
+    "stratified_sample",
     "sessionize",
     "groupby_multi_mean",
     "window_user_events",
