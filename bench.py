@@ -132,6 +132,9 @@ BENCH_QUERIES = [
     "embedding_cosine_topk",
     "embedding_rp_near_dup",
     "kmeans_centroids",
+    "dedup_clusters",
+    "split_assign",
+    "stratified_sample",
     "quality_score",
     "groupby_multi_mean",
     "join_map_chain",

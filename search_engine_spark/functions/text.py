@@ -163,14 +163,22 @@ _CONTRACTIONS_BASE = {
 
 
 def _contraction_variants(d: dict[str, str]) -> dict[str, str]:
-    out: dict[str, str] = {}
+    """Case + curly-apostrophe variants. setdefault so a variant key that
+    COLLIDES with a base key never clobbers it: "'bout".capitalize() is
+    "'bout" itself (leading apostrophe is not a letter), and letting the
+    capitalized value ("About") win would leak through the case-SENSITIVE
+    pre-lowercase stopword filter where the reference's "about" is
+    dropped."""
+    out: dict[str, str] = dict(d)
     for k, v in d.items():
-        out[k] = v
-        out[k.capitalize()] = v.capitalize()
-        out[k.upper()] = v.upper()
-        # curly-apostrophe variants seen in web text
-        out[k.replace("'", "’")] = v
-        out[k.capitalize().replace("'", "’")] = v.capitalize()
+        for kk, vv in (
+            (k.capitalize(), v.capitalize()),
+            (k.upper(), v.upper()),
+            # curly-apostrophe variants seen in web text
+            (k.replace("'", "’"), v),
+            (k.capitalize().replace("'", "’"), v.capitalize()),
+        ):
+            out.setdefault(kk, vv)
     return out
 
 
@@ -180,6 +188,55 @@ _CONTRACTION_KEYS = sorted(CONTRACTIONS, key=len, reverse=True)
 _CONTRACTION_RE = re.compile(
     r"(?<![\w'])(" + "|".join(re.escape(k) for k in _CONTRACTION_KEYS) + r")(?![\w'])"
 )
+
+# -- run-based expansion, semantically identical to _CONTRACTION_RE.sub --
+# The 925-branch alternation costs ~900 branch attempts at EVERY token
+# start (no trie in CPython re) — measured ~240 µs/doc, a double-digit %
+# of index-build wall. Equivalent reformulation: every key is drawn from
+# [\w'’], and the boundary lookarounds are (?<![\w']) / (?![\w']), so a
+# match can only start at the beginning of a maximal [\w'’] run or right
+# after a curly apostrophe (the one key-character NOT in the boundary
+# class), and can only end at the run end or right before a curly
+# apostrophe. Scanning candidates left-to-right and preferring the
+# longest key reproduces re.sub's position-then-branch-order semantics
+# exactly (equal-length branches matching the same span are the same
+# string). Property-tested equivalent in tests/test_tokenizer.py.
+_RUN_RE = re.compile(r"[\w'’]+")
+_KEY_LENGTHS = sorted({len(k) for k in CONTRACTIONS}, reverse=True)
+
+
+def _expand_run(m: "re.Match[str]") -> str:
+    r = m.group(0)
+    hit = CONTRACTIONS.get(r)
+    if hit is not None:
+        return hit
+    if "'" not in r and "’" not in r:
+        return r  # pure word run: only a whole-run key could match
+    n = len(r)
+    out: list[str] = []
+    i = 0  # copied-up-to position
+    j = 0  # candidate start under consideration
+    while j < n:
+        matched = False
+        if j == 0 or r[j - 1] == "’":
+            for L in _KEY_LENGTHS:
+                end = j + L
+                if end > n or (end < n and r[end] != "’"):
+                    continue
+                val = CONTRACTIONS.get(r[j:end])
+                if val is not None:
+                    out.append(r[i:j])
+                    out.append(val)
+                    i = j = end
+                    matched = True
+                    break
+        if not matched:
+            p = r.find("’", j)
+            if p == -1:
+                break
+            j = p + 1
+    out.append(r[i:])
+    return "".join(out)
 
 _URL_RE = re.compile(r"https?://\S+|www\.\S+")  # tokenizer.py:44
 PUNCTUATION = string.punctuation
@@ -324,7 +381,7 @@ def lemmatize_series(s: pd.Series) -> pd.Series:
 
 
 def expand_contractions(text: str) -> str:
-    return _CONTRACTION_RE.sub(lambda m: CONTRACTIONS[m.group(1)], text)
+    return _RUN_RE.sub(_expand_run, text)
 
 
 def remove_urls(text: str) -> str:
@@ -391,9 +448,7 @@ def normalize_series(s: pd.Series) -> pd.Series:
     the Spark pandas UDF — only ``.str`` ops, no per-row Python."""
     s = s.astype("string").fillna("")
     s = s.str.replace(_URL_RE, "", regex=True)
-    s = s.str.replace(
-        _CONTRACTION_RE, lambda m: CONTRACTIONS[m.group(1)], regex=True
-    )
+    s = s.str.replace(_RUN_RE, _expand_run, regex=True)
     s = s.str.replace(_PUNCT_CLASS, " ", regex=True)
     # stopword removal (case-sensitive, pre-lowercase): collapse whitespace
     # first so the boundary regex sees single separators, then filter.

@@ -49,8 +49,13 @@ def test_contractions_long_tail():
     assert tokenize("whatcha cooking") == ["cook"]
     # "should have" both stopwords; irregular "known" -> "know"
     assert tokenize("shoulda known better") == ["know", "better"]
-    # leading-apostrophe forms ('bout) and trailing (ol')
-    assert tokenize("'bout ol' times") == ["about", "old", "times"]
+    # leading-apostrophe forms ('bout) and trailing (ol'): "'bout"
+    # expands to lowercase "about" (reference contractions.fix), which
+    # the case-sensitive stopword filter then drops — the earlier
+    # expectation of a surviving "about" token came from a variant-table
+    # clobber ("'bout".capitalize() == "'bout" overwrote the base value
+    # with "About", sneaking past the pre-lowercase stopword stage)
+    assert tokenize("'bout ol' times") == ["old", "times"]
 
 
 def test_punctuation_to_space():
@@ -199,3 +204,47 @@ def test_extract_fields_series_equivalence():
     body, title = extract_fields_series(cases)
     assert body.tolist() == extract_series(cases).tolist()
     assert title.tolist() == extract_title_series(cases).tolist()
+
+
+# -- run-based contraction expansion == the 925-branch alternation regex --
+
+def _regex_expand(s: str) -> str:
+    """The original (slow) alternation-regex formulation, kept as the
+    executable spec for the run-based fast path."""
+    from search_engine_spark.functions import text as T
+
+    return T._CONTRACTION_RE.sub(lambda m: T.CONTRACTIONS[m.group(1)], s)
+
+
+_CONTRACTION_FRAGMENTS = st.sampled_from(
+    [
+        "don't", "don’t", "DON'T", "Y'all'd've", "y’all’d’ve", "'bout",
+        "’bout", "gonna", "gonnax", "xgonna", "don", "cant", "won'ts",
+        "don’t’s", "can’t’", "ol’", "a'b", "x’", "’", "'", "it", "42", "_x",
+    ]
+)
+_GLUE = st.sampled_from(["", " ", ",", "’", "'", ".", "-", "  "])
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.tuples(_CONTRACTION_FRAGMENTS, _GLUE), min_size=1, max_size=8)
+)
+def test_run_based_expansion_equals_regex_spec(pairs):
+    from search_engine_spark.functions.text import expand_contractions
+
+    s = "".join(f + g for f, g in pairs)
+    assert expand_contractions(s) == _regex_expand(s)
+
+
+def test_run_based_expansion_edge_boundaries():
+    from search_engine_spark.functions.text import expand_contractions
+
+    # key followed by curly apostrophe (valid end boundary mid-run)
+    assert expand_contractions("don’t’s") == _regex_expand("don’t’s")
+    # candidate start right after a curly apostrophe inside a run
+    assert expand_contractions("x’don’t") == _regex_expand("x’don’t")
+    # ascii apostrophe blocks the boundary (no expansion)
+    assert expand_contractions("don't's") == _regex_expand("don't's")
+    # leading-apostrophe key at run start
+    assert expand_contractions("go 'bout it") == "go about it"
