@@ -221,8 +221,9 @@ def run_bench(sf_dir: str, cpus: str, scaling: bool) -> dict:
         extra["query_p50_ms"] = round(lat[len(lat) // 2] * 1000, 1)
 
         # 4. training-data pipeline smoke at 1M docs: corpus_select over a
-        # synthetic corpus with a 5% exact-dup cluster (single run —
-        # labeled a smoke, not a best-of number)
+        # synthetic corpus with a 5% exact-dup cluster — best-of-3 like
+        # every other number (a single run was observed swinging 23-95 s
+        # with the VM throttle, far beyond the documented ±30% window)
         pipe_docs = int(
             os.environ.get("SPARK_GRAFT_PIPELINE_DOCS", "1000000")
         )
@@ -231,13 +232,15 @@ def run_bench(sf_dir: str, cpus: str, scaling: bool) -> dict:
 
             pipe_dir = f"{work}/pipe"
             synth_documents(spark, pipe_docs, pipe_dir)
-            t0 = time.monotonic()
-            corpus_ops.q_corpus_select(spark, pipe_dir).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            timings["pipeline_corpus_select"] = round(
-                time.monotonic() - t0, 3
-            )
+            pipe_best = None
+            for _ in range(N_ROUNDS):
+                t0 = time.monotonic()
+                corpus_ops.q_corpus_select(spark, pipe_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                wall = time.monotonic() - t0
+                pipe_best = wall if pipe_best is None else min(pipe_best, wall)
+            timings["pipeline_corpus_select"] = round(pipe_best, 3)
             extra["pipeline_docs"] = pipe_docs
         spark.stop()
 
