@@ -237,3 +237,57 @@ def test_stratified_sample_rates(spark):
     kept_rest = len(kept) - kept_en
     assert kept_rest == n_rest  # non-en: full retention
     assert 0.3 * n_en < kept_en < 0.7 * n_en  # en: ~50% (hash variance)
+
+
+@pytest.fixture(scope="module")
+def chain_dir(spark, tmp_path_factory):
+    """4-doc NEAR-DUP CHAIN (no exact dups anywhere): C2 = C1 with word
+    10 changed, C3 = C2 with word 25 changed, C4 = C3 with word 40
+    changed. Adjacent pairs differ by ONE word over a 60-word body
+    (3-gram Jaccard 55/61 ≈ 0.902 ≥ 0.9 → edge); skip-level pairs differ
+    by two+ words (52/64 ≈ 0.813 < 0.9 → NO edge). The component has
+    diameter 3, so the min label must PROPAGATE three hops — this is the
+    fixpoint-loop guard the star fixtures can't provide (they converge in
+    one round)."""
+    import pandas as pd
+
+    words = [f"chainword{i}" for i in range(60)]
+
+    def variant(*changes):
+        w = list(words)
+        for pos, repl in changes:
+            w[pos] = repl
+        return " ".join(w)
+
+    rows = [
+        {"doc_id": 1, "text": variant(), "lang": "en"},
+        {"doc_id": 2, "text": variant((10, "altA")), "lang": "en"},
+        {"doc_id": 3, "text": variant((10, "altA"), (25, "altB")), "lang": "en"},
+        {"doc_id": 4, "text": variant((10, "altA"), (25, "altB"), (40, "altC")), "lang": "en"},
+        {
+            "doc_id": 5,
+            "text": "entirely separate vocabulary about completely different "
+            "topics nothing shared with the chain documents whatsoever",
+            "lang": "en",
+        },
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["source"] = "src1"
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path_factory.mktemp("chain")
+    pdf.to_parquet(f"{d}/documents.parquet", index=False)
+    return str(d)
+
+
+def test_dedup_clusters_chain_propagation(spark, chain_dir):
+    # precondition: the evidence edges really form a path, not a clique
+    edges = {
+        (r["doc_a"], r["doc_b"])
+        for r in corpus.q_ngram_jaccard(spark, chain_dir)
+        .filter(F.col("jaccard") >= 0.9)
+        .collect()
+    }
+    assert edges == {(1, 2), (2, 3), (3, 4)}, edges
+    rows = corpus.q_dedup_clusters(spark, chain_dir).collect()
+    got = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}  # 3-hop propagation to doc 4
