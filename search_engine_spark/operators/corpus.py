@@ -1673,6 +1673,85 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_MAX_ITERS = 25  # min-label propagation cap (dup graphs: stars + short chains)
 
 
+def _connected_components(edges: DataFrame) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds on ANY graph topology, vs graph-diameter rounds for
+    plain min-label propagation (a 10^5-doc near-dup chain would need
+    10^5 propagation rounds; this needs ~17).
+
+    Input: undirected distinct (doc_a, doc_b) evidence edges. Output:
+    (doc_id, cluster_id) for every node, cluster_id = component min.
+
+    Each round is two shuffle stages over (long, long) edge rows only:
+    large-star groups the symmetrized edges by node and re-points every
+    strictly-larger neighbor at min(neighborhood ∪ self); small-star
+    groups the to-smaller-directed edges and re-points all neighbors
+    (and self) at the minimum neighbor. The edge list monotonically
+    flattens into per-component stars centered at the minimum; at
+    fixpoint every non-root appears exactly once as a source pointing
+    at its component min. Per round the frame is localCheckpointed (the
+    lineage would otherwise double) and convergence is the rigorous
+    set-equality check (two exceptAll probes on the checkpointed
+    frames); at true web scale the probes would be replaced by a
+    one-pass (count, order-invariant checksum) agg — same job count,
+    collision-checked instead of exact."""
+    e = (
+        edges.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_CC_MAX_ITERS):
+        # large-star: over the symmetrized neighborhood of each u, point
+        # every neighbor v > u at m = min(N(u) ∪ {u})
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lm = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        large = (
+            sym.join(lm, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: over the to-smaller-directed edges of each u, point
+        # every neighbor (and u itself) at m = min(N(u)); edges from
+        # large-star already satisfy u > v, no re-normalization needed
+        sm = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(sm, "u")
+        new_e = (
+            joined.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(sm.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty()
+        )
+        e = new_e
+        if converged:
+            break
+    labels = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = (
+        e.select(F.col("v").alias("doc_id"))
+        .distinct()
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return labels.unionByName(roots)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components dedup clusters — the dedup pipeline's final
     merge step (exact + near dup evidence → one cluster id per involved
@@ -1680,18 +1759,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-doc_id representative (star topology — the rep already carries
     the component min); (b) verified near-dup representative pairs
     (n-gram Jaccard ≥ 0.9 over the LSH candidates, the same evidence
-    corpus_select drops by). cluster_id = min doc_id reachable.
-
-    Plan shape: min-label propagation to fixpoint. The symmetrized edge
-    list and the label frame are localCheckpointed so the (expensive)
-    Jaccard lineage runs once and each iteration is a single
-    edge⋈label shuffle + per-node min; convergence needs graph-diameter
-    rounds, and dedup graphs are near-stars (diameter ≲ 3), not long
-    paths. At true web scale the same loop body upgrades to
-    large-star/small-star (Kiveris et al., "Connected Components in
-    MapReduce and Beyond") for O(log n) worst-case rounds; the
-    fixpoint-by-count driver check costs one scalar action per round.
-    Only (doc_id, lbl) longs ever shuffle — never text."""
+    corpus_select drops by). cluster_id = min doc_id reachable, computed
+    by `_connected_components` (large-star/small-star, O(log n) rounds).
+    Only (long, long) edge rows ever shuffle — never text."""
     docs_h = documents(spark, sf_dir).select(
         F.md5(F.col("text")).alias("h"), "doc_id"
     )
@@ -1708,46 +1778,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.9)
         .select("doc_a", "doc_b")
     )
-    edges = e1.unionByName(e2).distinct()
-    sym = edges.unionByName(
-        edges.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(_CC_MAX_ITERS):
-        nbr = (
-            sym.join(
-                labels.withColumnsRenamed(
-                    {"doc_id": "doc_b", "lbl": "nbr_lbl"}
-                ),
-                "doc_b",
-            )
-            .groupBy("doc_a")
-            .agg(F.min("nbr_lbl").alias("nbr_min"))
-            .withColumnRenamed("doc_a", "doc_id")
-        )
-        new = (
-            labels.join(nbr, "doc_id")
-            .select(
-                "doc_id", F.least(F.col("lbl"), F.col("nbr_min")).alias("lbl")
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-            .filter(F.col("lbl") != F.col("old"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
-    return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+    return _connected_components(e1.unionByName(e2).distinct())
 
 
 def _hash_bucket(expr: Column, mod: int) -> Column:
