@@ -171,12 +171,17 @@ def _contraction_variants(d: dict[str, str]) -> dict[str, str]:
     dropped."""
     out: dict[str, str] = dict(d)
     for k, v in d.items():
+        # str.capitalize() is a no-op on leading-apostrophe keys ("'bout")
+        # — capitalize the first LETTER instead so "'Bout"/"’Bout" expand
+        kcap = (
+            k[0] + k[1:].capitalize() if k[:1] in ("'", "’") else k.capitalize()
+        )
         for kk, vv in (
-            (k.capitalize(), v.capitalize()),
+            (kcap, v.capitalize()),
             (k.upper(), v.upper()),
             # curly-apostrophe variants seen in web text
             (k.replace("'", "’"), v),
-            (k.capitalize().replace("'", "’"), v.capitalize()),
+            (kcap.replace("'", "’"), v.capitalize()),
         ):
             out.setdefault(kk, vv)
     return out

@@ -56,6 +56,11 @@ def test_contractions_long_tail():
     # clobber ("'bout".capitalize() == "'bout" overwrote the base value
     # with "About", sneaking past the pre-lowercase stopword stage)
     assert tokenize("'bout ol' times") == ["old", "times"]
+    # capitalized leading-apostrophe forms get a first-LETTER-capitalized
+    # variant (str.capitalize() is a no-op on "'bout"); the capitalized
+    # expansion "About" then rightly survives the case-sensitive filter
+    assert tokenize("'Bout time") == ["about", "time"]
+    assert tokenize("’Bout time") == ["about", "time"]
 
 
 def test_punctuation_to_space():
