@@ -1,0 +1,69 @@
+"""CSV batch source round-trip: the reference's directory-of-CSV-batches
+ingestion layout (batch_maker.py) must load back bit-identical to the
+parquet frame — including the html BINARY payload (base64 ride-along) and
+microsecond timestamps — and feed the operators unchanged."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from search_engine_spark.sources.csv_batches import (
+    load_documents_csv,
+    load_pages_csv,
+    write_documents_csv,
+    write_pages_csv,
+)
+from search_engine_spark.sources.pages import generate_pages_df
+
+SF = "/root/testdata/sf0.01"
+
+
+def _rows(df, key):
+    return sorted(map(tuple, df.collect()), key=lambda r: r[: key])
+
+
+def test_pages_csv_round_trip_bit_identical(spark, tmp_path):
+    pages = generate_pages_df(spark, 500)
+    d = str(tmp_path / "pages_csv")
+    write_pages_csv(pages, d)
+    back = load_pages_csv(spark, d)
+    assert back.schema == pages.schema
+    orig = {r["url"]: r for r in pages.collect()}
+    got = {r["url"]: r for r in back.collect()}
+    assert set(orig) == set(got)
+    for url, r in orig.items():
+        g = got[url]
+        assert g["html"] == r["html"], url  # binary survives base64
+        assert g["text"] == r["text"], url
+        assert g["warc_ts"] == r["warc_ts"], url  # microsecond precision
+        assert g["lang"] == r["lang"], url
+
+
+def test_documents_csv_feeds_operators_identically(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "docs_csv")
+    write_documents_csv(docs, d)
+    sf_csv = str(tmp_path)  # documents() reads <dir>/documents.parquet …
+    back = load_documents_csv(spark, d)
+    assert back.schema == docs.select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).schema
+    a = sorted(map(tuple, docs.select("doc_id", "text", "lang").collect()))
+    b = sorted(map(tuple, back.select("doc_id", "text", "lang").collect()))
+    assert a == b
+    # an operator over the CSV-loaded frame == over parquet: term_tf shape
+    tf_csv = (
+        back.filter(F.col("lang") == "en")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .count()
+    )
+    tf_pq = (
+        docs.filter(F.col("lang") == "en")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .count()
+    )
+    assert sorted(map(tuple, tf_csv.collect())) == sorted(
+        map(tuple, tf_pq.collect())
+    )
