@@ -291,3 +291,43 @@ def test_dedup_clusters_chain_propagation(spark, chain_dir):
     rows = corpus.q_dedup_clusters(spark, chain_dir).collect()
     got = {r["doc_id"]: r["cluster_id"] for r in rows}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}  # 3-hop propagation to doc 4
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Property check: large-star/small-star == a driver-side union-find
+    on random graphs (mixed stars, chains, cliques, isolated edges) —
+    topology coverage the three fixture tests can't reach."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(6):
+        n = rng.randint(5, 40)
+        m = rng.randint(1, 60)
+        edges = set()
+        while len(edges) < m:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        # union-find oracle
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        involved = {x for e in edges for x in e}
+        expect = {x: find(x) for x in involved}
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges], "doc_a long, doc_b long"
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in corpus._connected_components(df).collect()
+        }
+        assert got == expect, (trial, sorted(edges))
