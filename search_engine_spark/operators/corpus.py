@@ -1826,6 +1826,36 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_select_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-policy corpus selection: keep one representative (the
+    component-min doc_id) per dedup CLUSTER, plus every uninvolved doc
+    that passes the lang/quality gates. Differs from q_corpus_select's
+    pairwise drop-larger policy exactly where similarity is
+    non-transitive: two small docs that each near-dup a common LARGER doc
+    but not each other both survive pairwise, while the cluster policy
+    keeps one per connected component (the standard fuzzy-dedup stance in
+    pre-training pipelines). Exact-dup members need no separate keep-set
+    here — they are non-representatives of their cluster by
+    construction. Plan: the cluster labels (small: only dup-involved
+    docs) broadcast into one anti-join; text never shuffles."""
+    lang_ok = (
+        q_lang_id(spark, sf_dir)
+        .filter(F.col("lang_pred") == "en")
+        .select("doc_id")
+    )
+    qual = q_quality_score(spark, sf_dir).filter(F.col("quality") >= 0.5)
+    non_reps = (
+        q_dedup_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return (
+        qual.join(lang_ok, "doc_id", "left_semi")
+        .join(F.broadcast(non_reps), "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (driver runs these on the same parquet views)
 
@@ -2370,8 +2400,10 @@ sim AS (
 )
 """
 
-ORACLE_SQL["dedup_clusters"] = f"""
-WITH RECURSIVE {_JACC_CTES},
+# evidence edges (exact-dup stars + verified near-dup pairs) → recursive
+# reachability, ending in a `reach(doc_id, lbl)` CTE — shared by the
+# dedup_clusters oracle and the cluster-policy corpus_select_cc oracle
+_CC_CTES = f"""{_JACC_CTES},
 gh AS (SELECT md5(text) AS h, doc_id FROM documents),
 grp AS (SELECT h, MIN(doc_id) AS rep, COUNT(*) AS c FROM gh GROUP BY h),
 e1 AS (SELECT g.rep AS doc_a, gh.doc_id AS doc_b
@@ -2385,8 +2417,42 @@ reach AS (
   SELECT doc_id, doc_id AS lbl FROM cc_nodes
   UNION
   SELECT s.src AS doc_id, r.lbl FROM sym s JOIN reach r ON r.doc_id = s.dst
-)
+)"""
+
+ORACLE_SQL["dedup_clusters"] = f"""
+WITH RECURSIVE {_CC_CTES}
 SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
+ORACLE_SQL["corpus_select_cc"] = f"""
+WITH RECURSIVE {_CC_CTES},
+nonrep AS (
+  SELECT doc_id FROM reach GROUP BY doc_id HAVING MIN(lbl) <> doc_id
+),
+toksq AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+ratio AS (
+  SELECT doc_id,
+         ROUND(SUM(CASE WHEN term IN ({", ".join("'" + w + "'" for w in _EN_MARKERS)})
+                        THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS en_ratio
+  FROM toksq GROUP BY doc_id
+),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         COUNT(DISTINCT term) * 1.0 / COUNT(*) AS ttr_raw
+  FROM toksq GROUP BY doc_id
+),
+scoredq AS (
+  SELECT doc_id, n_tokens,
+         ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5 + ttr_raw * 0.5, 6) AS quality
+  FROM perdoc
+)
+SELECT s.doc_id, s.n_tokens, s.quality
+FROM scoredq s
+JOIN ratio r ON r.doc_id = s.doc_id AND r.en_ratio >= 0.03
+LEFT JOIN nonrep d ON d.doc_id = s.doc_id
+WHERE d.doc_id IS NULL AND s.quality >= 0.5
 """
 
 ORACLE_SQL["split_assign"] = """
@@ -2712,6 +2778,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
     "corpus_select": q_corpus_select,
+    "corpus_select_cc": q_corpus_select_cc,
     "dedup_clusters": q_dedup_clusters,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,

@@ -331,3 +331,61 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             for r in corpus._connected_components(df).collect()
         }
         assert got == expect, (trial, sorted(edges))
+
+
+@pytest.fixture(scope="module")
+def nontransitive_dir(spark, tmp_path_factory):
+    """Docs 5 and 10 each near-dup the LARGER doc 20 (one word changed at
+    different positions) but not each other (two words apart → Jaccard
+    ≈ 0.82 < 0.9). Doc 1 is unrelated quality text. "the" markers every
+    8th slot pass the lang-ID gate; ~68 tokens pass the quality gate."""
+    import pandas as pd
+
+    def with_markers(words):
+        out = []
+        for i, w in enumerate(words):
+            if i % 8 == 0:
+                out.append("the")
+            out.append(w)
+        return " ".join(out)
+
+    base = [f"policyword{i}" for i in range(60)]
+    v5 = list(base)
+    v5[10] = "changefive"
+    v10 = list(base)
+    v10[25] = "changeten"
+    uniq = [f"separate{i}" for i in range(60)]
+    rows = [
+        {"doc_id": 1, "text": with_markers(uniq), "lang": "en"},
+        {"doc_id": 5, "text": with_markers(v5), "lang": "en"},
+        {"doc_id": 10, "text": with_markers(v10), "lang": "en"},
+        {"doc_id": 20, "text": with_markers(base), "lang": "en"},
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["source"] = "src1"
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path_factory.mktemp("nontransitive")
+    pdf.to_parquet(f"{d}/documents.parquet", index=False)
+    return str(d)
+
+
+def test_cluster_policy_vs_pairwise_policy(spark, nontransitive_dir):
+    """The two selection policies must diverge exactly here: pairwise
+    drop-larger keeps BOTH small near-dups of a common larger doc;
+    cluster policy keeps one representative per connected component."""
+    edges = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in corpus.q_ngram_jaccard(spark, nontransitive_dir).collect()
+    }
+    strong = {p for p, j in edges.items() if j >= 0.9}
+    assert strong == {(5, 20), (10, 20)}, edges  # precondition
+    pairwise = {
+        r["doc_id"]
+        for r in corpus.q_corpus_select(spark, nontransitive_dir).collect()
+    }
+    cluster = {
+        r["doc_id"]
+        for r in corpus.q_corpus_select_cc(spark, nontransitive_dir).collect()
+    }
+    assert pairwise == {1, 5, 10}  # 20 dropped, both small dups kept
+    assert cluster == {1, 5}  # one representative (min id) per component

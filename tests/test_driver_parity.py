@@ -27,6 +27,7 @@ SUBSET = [
     "embedding_ivf_topk",
     "quality_score",
     "dedup_clusters",
+    "corpus_select_cc",
     "split_assign",
     "stratified_sample",
     "sessionize",
