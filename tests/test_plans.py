@@ -71,3 +71,27 @@ def test_no_python_udf_in_declarative_suite(spark, sfd):
         assert "BatchEvalPython" not in p, name
         assert "ArrowEvalPython" not in p, name
         assert "MapInPandas" not in p, name
+
+
+def test_split_and_sample_zero_shuffle(spark, sfd):
+    """The split/sampling ops must stay pure scan-fused projections —
+    zero Exchange at any scale."""
+    for q in (corpus.q_split_assign, corpus.q_stratified_sample):
+        p = _plan(q(spark, sfd))
+        assert "Exchange" not in p, q.__name__
+        assert "Scan parquet" in p
+
+
+def test_source_detail_pushdown(spark, sfd):
+    """Parent point-lookup: the key predicate must reach the scan (at a
+    source-partitioned 100-TB layout this is the partition prune)."""
+    p = _plan(corpus.q_source_detail(spark, sfd))
+    assert "EqualTo(source,src1)" in p
+    assert "Exchange" not in p
+
+
+def test_simhash_single_exchange(spark, sfd):
+    """The wide-agg SimHash must keep exactly ONE exchange (partial agg
+    collapses ~1 row/doc map-side before the only doc_id shuffle)."""
+    p = _plan(corpus.q_simhash(spark, sfd))
+    assert p.count("Exchange") == 1, p.count("Exchange")
