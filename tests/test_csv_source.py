@@ -67,3 +67,45 @@ def test_documents_csv_feeds_operators_identically(spark, tmp_path):
     assert sorted(map(tuple, tf_csv.collect())) == sorted(
         map(tuple, tf_pq.collect())
     )
+
+
+def test_csv_upload_to_index_end_to_end(spark, tmp_path):
+    """The reference's POST /hotels/upload + /reviews/upload semantics
+    end-to-end: a CSV batch directory is loaded (base64 html → binary),
+    ingested through the real Structured Streaming path, compacted, and
+    the result is BIT-EQUAL to a fresh batch build over the same corpus."""
+    from search_engine_spark.operators import index_build as ib
+    from search_engine_spark.operators.query import SearchIndex, search_topk
+    from search_engine_spark.sources.pages import PAGES_SCHEMA
+    from search_engine_spark.streaming.incremental import compact
+    from search_engine_spark.streaming.jobs import ingest_stream
+
+    full = generate_pages_df(spark, 260, partitions=4)
+    pdf = full.toPandas()
+    base = spark.createDataFrame(pdf.iloc[:200], PAGES_SCHEMA)
+    upload = spark.createDataFrame(pdf.iloc[200:], PAGES_SCHEMA)
+
+    # the "upload": a CSV batch directory, round-tripped through the source
+    csv_dir = str(tmp_path / "upload_csv")
+    write_pages_csv(upload, csv_dir)
+    uploaded = load_pages_csv(spark, csv_dir)
+    stream_in = str(tmp_path / "stream_in")
+    uploaded.write.parquet(stream_in)
+
+    paths = ib.IndexPaths(str(tmp_path / "index"))
+    ib.build_index(
+        spark, base, paths, n_salts=4, salt_threshold=60, n_barrels=8,
+        id_partitions=8,
+    )
+    ingest_stream(spark, stream_in, paths, str(tmp_path / "ckpt"))
+    assert compact(spark, paths)["compacted_barrels"] > 0
+
+    fresh_paths = ib.IndexPaths(str(tmp_path / "fresh"))
+    ib.build_index(
+        spark, full, fresh_paths, n_salts=4, salt_threshold=60,
+        n_barrels=8, id_partitions=8,
+    )
+    idx_up = SearchIndex(spark, paths)
+    idx_fresh = SearchIndex(spark, fresh_paths)
+    for q in ("best western", "good well", "best"):
+        assert search_topk(idx_up, q, k=10) == search_topk(idx_fresh, q, k=10), q
