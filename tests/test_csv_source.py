@@ -43,7 +43,6 @@ def test_documents_csv_feeds_operators_identically(spark, tmp_path):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     d = str(tmp_path / "docs_csv")
     write_documents_csv(docs, d)
-    sf_csv = str(tmp_path)  # documents() reads <dir>/documents.parquet …
     back = load_documents_csv(spark, d)
     assert back.schema == docs.select(
         "doc_id", "text", "lang", "source", "n_chars"
@@ -109,3 +108,22 @@ def test_csv_upload_to_index_end_to_end(spark, tmp_path):
     idx_fresh = SearchIndex(spark, fresh_paths)
     for q in ("best western", "good well", "best"):
         assert search_topk(idx_up, q, k=10) == search_topk(idx_fresh, q, k=10), q
+
+
+def test_documents_jsonl_round_trip(spark, tmp_path):
+    """JSONL variant: same directory-of-part-files contract, explicit
+    schema + FAILFAST (no inference pass), bit-identical round-trip."""
+    from search_engine_spark.sources.jsonl import (
+        load_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(docs, d)
+    back = load_documents_jsonl(spark, d)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    assert back.schema == docs.select(*cols).schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, docs.select(*cols).collect())
+    )
