@@ -82,6 +82,17 @@ def _utc(fn: Callable[[SparkSession, str], DataFrame]):
 #   dedup_exact              ⊂ corpus_select (the keep_doc_id set is its
 #     exact-dedup semi-join) + dedup_clusters (the per-hash group count
 #     gates the c>1 membership edges)
+#   source_detail            ⊂ bm25_filtered_topk (pushed equality-filter
+#     semantics below a projection) + source_stats (the source column's
+#     per-group doc counts bit-check the same partition key)
+#   corpus_select_cc         ⊂ corpus_select (the identical lang/quality/
+#     exact-dup filter stack) + dedup_clusters (the cluster-representative
+#     set it semi-joins IS that query's output)
+#   split_assign             ⊂ stratified_sample (same _hash_bucket md5
+#     arithmetic decides membership — a divergence moves sampled rows)
+#   multimodal_meta          ⊂ dedup_exact / dedup_clusters (content_hash
+#     = the same md5(text) that keys their groups); octet_length is the
+#     one residual intrinsic
 _DEFERRED_TAIL = [
     "doc_stats",
     "corpus_stats",
@@ -96,6 +107,10 @@ _DEFERRED_TAIL = [
     "kmeans_centroids",
     "lsh_candidate_pairs",
     "dedup_exact",
+    "source_detail",
+    "corpus_select_cc",
+    "split_assign",
+    "multimodal_meta",
 ]
 
 

@@ -136,6 +136,10 @@ BENCH_QUERIES = [
     "split_assign",
     "stratified_sample",
     "quality_score",
+    "repetition_signals",
+    "boilerplate_ngrams",
+    "source_stats",
+    "pii_scrub",
     "groupby_multi_mean",
     "join_map_chain",
     "window_user_events",

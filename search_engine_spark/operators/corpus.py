@@ -1686,6 +1686,205 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- web-corpus curation signals: boilerplate mining, Gopher-style
+# repetition, per-domain rollup, PII scrub ---------------------------------
+
+
+def _raw_bigrams() -> Column:
+    """Raw whitespace bigrams over text — no stopword filter, no lang gate
+    (boilerplate and repetition live in exactly the tokens the cleaning
+    pipeline would strip). element_at is 1-based to match DuckDB list
+    indexing; docs with <2 tokens yield []."""
+    arr = F.split(F.col("text"), " ")
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(arr, i), F.element_at(arr, i + 1)),
+    )
+    return F.when(F.size(arr) >= 2, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate n-gram mining: the 100 bigrams present in
+    the most distinct documents (df), the signal CCNet-style pipelines use
+    to strip nav bars / cookie banners that repeat across a crawl. Shape:
+    explode → per-doc distinct → (ngram) hash agg with map-side partials →
+    TakeOrderedAndProject. The only shuffle keys on the ngram; hot
+    boilerplate ngrams are exactly the high-df keys, and count agg is
+    associative so skew costs nothing (partials absorb it map-side)."""
+    bg = documents(spark, sf_dir).select(
+        # per-doc dedup happens INSIDE the projection (array_distinct, no
+        # shuffle) so each doc contributes each ngram once and a plain
+        # count IS the document frequency — vs explode+distinct, which
+        # would pay a full (doc_id, ngram) exchange before the df agg
+        F.explode(F.array_distinct(_raw_bigrams())).alias("ngram")
+    )
+    return (
+        bg.groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("ngram"))
+        .limit(100)
+    )
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition signals (Rae et al. 2021 §A1.1):
+    top-bigram fraction (occurrences of the most frequent bigram / all
+    bigram instances) and duplicate-bigram fraction (instances whose bigram
+    repeats within the doc). High values = machine-generated / templated
+    text. ZERO-shuffle: the signal is within-document, so it is computed
+    entirely inside the projection — sort the bigram array, then one
+    run-length fold (F.aggregate with struct state) yields the max
+    multiplicity and the duplicated-instance count. The explode + two-level
+    groupBy alternative ships every (doc_id, bigram) pair across an
+    exchange for a per-doc answer; this plan ships nothing (CLAUDE.md's
+    per-(doc, term)-aggregation-is-within-document rule, applied to
+    bigrams). Docs with <2 tokens have no bigrams and emit no row."""
+    bgs = F.array_sort(_raw_bigrams())
+    # fold state: (prev bigram, current run length, max run, dup-instance
+    # count). On a run break fold the finished run into top/dup; the
+    # finish lambda folds the final run the same way.
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def _merge(acc, x):
+        cont = acc.prev.eqNullSafe(x)
+        return F.struct(
+            x.alias("prev"),
+            F.when(cont, acc.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(cont, acc.top).otherwise(F.greatest(acc.top, acc.run)).alias(
+                "top"
+            ),
+            F.when(cont, acc.dup)
+            .otherwise(
+                acc.dup + F.when(acc.run > 1, acc.run).otherwise(F.lit(0))
+            )
+            .alias("dup"),
+        )
+
+    def _finish(acc):
+        return F.struct(
+            F.greatest(acc.top, acc.run).alias("top"),
+            (acc.dup + F.when(acc.run > 1, acc.run).otherwise(F.lit(0))).alias(
+                "dup"
+            ),
+        )
+
+    folded = F.aggregate(bgs, init, _merge, _finish)
+    return (
+        documents(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(bgs).cast("long").alias("n_bigrams"),
+            folded.alias("_f"),
+        )
+        .filter(F.col("n_bigrams") >= 1)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("_f.top") / F.col("n_bigrams"), 6).alias(
+                "top_bigram_frac"
+            ),
+            F.round(F.col("_f.dup") / F.col("n_bigrams"), 6).alias(
+                "dup_bigram_frac"
+            ),
+        )
+    )
+
+
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain) curation rollup — the per-domain quality /
+    duplication profile web pipelines use to allowlist or downweight whole
+    domains before per-doc filtering. The per-doc token count / distinct
+    count / quality composite are array intrinsics inside the projection
+    (size, array_distinct — no explode, no per-doc shuffle); the exact
+    dup_rate's count_distinct then plans as Spark's two-phase distinct agg
+    — an (source, h) exchange then a (source) exchange — but both ship at
+    most ONE tiny row per doc (never tokens, never text), which is the
+    floor for an exact per-domain distinct count."""
+    arr = F.split(F.col("text"), " ")
+    n_tok = F.size(arr).cast("long")
+    n_distinct = F.size(F.array_distinct(arr)).cast("long")
+    per_doc = documents(spark, sf_dir).select(
+        "source",
+        F.md5(F.col("text")).alias("h"),
+        n_tok.alias("n_tokens"),
+        # same composite as q_quality_score (rounded 6dp there = the
+        # published per-doc score; this is the mean of that published value)
+        F.round(
+            F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5
+            + (n_distinct / n_tok) * 0.5,
+            6,
+        ).alias("quality"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+        F.round(F.lit(1.0) - F.count_distinct(F.col("h")) / F.count("*"), 6).alias(
+            "dup_rate"
+        ),
+    )
+
+
+# PII patterns shared by the operator and tests/test_curation.py — plain
+# character classes + bounded repetition only, the regex subset where Java
+# regex (Spark) and RE2 (DuckDB) are semantically identical (no
+# backreferences, no lookaround, no \b).
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+PII_PHONE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+
+def pii_scrub_cols(text: Column) -> list[Column]:
+    """Redaction columns over a text Column: per-category match counts
+    (from the original text) + md5 of the masked text. Pure JVM
+    `regexp_extract_all`/`regexp_replace` — whole-stage codegen, no UDF.
+    Email is replaced first (its local part may contain digit runs), then
+    IP before phone (both are dotted digit groups; IP's 4-quad form is the
+    more specific)."""
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, F.lit(PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(PII_IP),
+            F.lit("<IP>"),
+        ),
+        F.lit(PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IP), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(masked).alias("masked_hash"),
+    ]
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (email / IPv4 / phone → typed placeholder
+    tokens) with per-category counts. The driver-gate corpus is PII-free
+    by construction, so its parity row verifies the FALSE-POSITIVE side
+    (counts all zero, masked_hash == md5(text) — the scrub must not
+    corrupt clean text); recall on synthetic PII-laden docs is
+    tests/test_curation.py's job, which also cross-checks the Java-regex
+    and RE2 match sets on those docs. Narrow projection: only doc_id +
+    derived columns leave the scan; one stage, no shuffle."""
+    return documents(spark, sf_dir).select(
+        "doc_id", *pii_scrub_cols(F.col("text"))
+    )
+
+
 _CC_MAX_ITERS = 25  # min-label propagation cap (dup graphs: stars + short chains)
 
 
@@ -2756,6 +2955,65 @@ FROM agg a LEFT JOIN ds d ON a.doc_id = d.doc_id
 ORDER BY score DESC, a.doc_id ASC LIMIT 50
 """
 
+# curation signals: raw whitespace bigrams (1-based list indexing matches
+# Spark element_at; range() is end-exclusive so i runs 1..len-1)
+_RAW_BG_CTE = """
+arr AS (SELECT doc_id, source, text, string_split(text, ' ') AS a
+        FROM documents),
+bg AS (SELECT doc_id, a[i] || ' ' || a[i + 1] AS bigram
+       FROM arr, unnest(range(1, GREATEST(len(a), 1))) AS t(i))
+"""
+
+ORACLE_SQL["boilerplate_ngrams"] = f"""
+WITH {_RAW_BG_CTE.strip()},
+df AS (SELECT bigram AS ngram, COUNT(DISTINCT doc_id) AS df
+       FROM bg GROUP BY bigram)
+SELECT ngram, df FROM df ORDER BY df DESC, ngram ASC LIMIT 100
+"""
+
+ORACLE_SQL["repetition_signals"] = f"""
+WITH {_RAW_BG_CTE.strip()},
+per_bg AS (SELECT doc_id, bigram, COUNT(*) AS c
+           FROM bg GROUP BY doc_id, bigram)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_frac,
+       ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c), 6)
+         AS dup_bigram_frac
+FROM per_bg GROUP BY doc_id
+"""
+
+ORACLE_SQL["source_stats"] = """
+WITH toks AS (
+  SELECT doc_id, source, md5(text) AS h,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, source, h, COUNT(*) AS n_tokens,
+         ROUND(LEAST(COUNT(*) / 100.0, 1.0) * 0.5
+               + (COUNT(DISTINCT term) * 1.0 / COUNT(*)) * 0.5, 6) AS quality
+  FROM toks GROUP BY doc_id, source, h
+)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(quality), 6) AS mean_quality,
+       ROUND(AVG(n_tokens), 6) AS mean_tokens,
+       ROUND(1.0 - COUNT(DISTINCT h) * 1.0 / COUNT(*), 6) AS dup_rate
+FROM per_doc GROUP BY source
+"""
+
+ORACLE_SQL["pii_scrub"] = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_IP}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_IP}', '<IP>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g')) AS masked_hash
+FROM documents
+"""
+
 QUERIES = {
     "engine_bm25_topk": q_engine_bm25_topk,
     "engine_field_topk": q_engine_field_topk,
@@ -2804,4 +3062,8 @@ QUERIES = {
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,
     "multimodal_meta": q_multimodal_meta,
+    "boilerplate_ngrams": q_boilerplate_ngrams,
+    "repetition_signals": q_repetition_signals,
+    "source_stats": q_source_stats,
+    "pii_scrub": q_pii_scrub,
 }

@@ -1,0 +1,199 @@
+"""Semantic tests for the web-corpus curation signals
+(operators/corpus.py: boilerplate mining, Gopher repetition, per-source
+rollup, PII scrub). The driver-gate parity rows check these against DuckDB
+on the PII-free synthetic corpus; these tests check the *semantics* on
+handcrafted corpora where the expected values are computable by hand —
+including the PII recall side the gate corpus cannot exercise."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+import pyspark.sql.functions as F
+
+from search_engine_spark.operators import corpus
+
+
+def _docs_dir(tmp_path_factory, name, rows):
+    pdf = pd.DataFrame(rows)
+    if "lang" not in pdf:
+        pdf["lang"] = "en"
+    if "source" not in pdf:
+        pdf["source"] = "src1"
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path_factory.mktemp(name)
+    pdf.to_parquet(f"{d}/documents.parquet", index=False)
+    return str(d)
+
+
+# --- repetition signals ---------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rep_dir(tmp_path_factory):
+    return _docs_dir(
+        tmp_path_factory,
+        "repetition",
+        [
+            # 4 tokens, bigrams = [a a, a a, a a]: fully repeated
+            {"doc_id": 0, "text": "a a a a"},
+            # bigrams = [x y, y z, z w]: all unique
+            {"doc_id": 1, "text": "x y z w"},
+            # bigrams = [p q, q p, p q]: "p q"×2 + "q p"×1
+            {"doc_id": 2, "text": "p q p q"},
+            # single token: no bigrams, must emit NO row
+            {"doc_id": 3, "text": "lonely"},
+        ],
+    )
+
+
+def test_repetition_signals_hand_values(spark, rep_dir):
+    rows = {
+        r["doc_id"]: r
+        for r in corpus.q_repetition_signals(spark, rep_dir).collect()
+    }
+    assert set(rows) == {0, 1, 2}  # doc 3 has no bigrams
+    assert rows[0]["n_bigrams"] == 3
+    assert rows[0]["top_bigram_frac"] == 1.0
+    assert rows[0]["dup_bigram_frac"] == 1.0
+    assert rows[1]["top_bigram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert rows[1]["dup_bigram_frac"] == 0.0
+    assert rows[2]["n_bigrams"] == 3
+    assert rows[2]["top_bigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert rows[2]["dup_bigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+# --- boilerplate mining ---------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def boiler_dir(tmp_path_factory):
+    rows = [
+        # the injected banner appears in 30 docs, each followed by a
+        # unique tail so the docs are not exact duplicates
+        {"doc_id": i, "text": f"accept cookie policy banner unique{i} tail{i}"}
+        for i in range(30)
+    ]
+    rows += [
+        {"doc_id": 100 + i, "text": f"organic body{i} content{i} words{i}"}
+        for i in range(5)
+    ]
+    return _docs_dir(tmp_path_factory, "boiler", rows)
+
+
+def test_boilerplate_ngrams_ranks_banner_first(spark, boiler_dir):
+    top = corpus.q_boilerplate_ngrams(spark, boiler_dir).collect()
+    by_ngram = {r["ngram"]: r["df"] for r in top}
+    # every banner-internal bigram has df=30 and outranks everything else
+    for bg in ["accept cookie", "cookie policy", "policy banner"]:
+        assert by_ngram[bg] == 30
+    head = [r["ngram"] for r in top[:3]]
+    assert set(head) == {"accept cookie", "cookie policy", "policy banner"}
+    # every per-doc-unique bigram has df=1
+    assert by_ngram.get("banner unique0", 1) == 1
+
+
+# --- per-source rollup ----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def source_dir(tmp_path_factory):
+    rows = [
+        # srcA: 4 docs, 2 of them identical → dup_rate = 1 - 3/4
+        {"doc_id": 0, "source": "srcA", "text": "alpha beta gamma delta"},
+        {"doc_id": 1, "source": "srcA", "text": "alpha beta gamma delta"},
+        {"doc_id": 2, "source": "srcA", "text": "epsilon zeta eta theta"},
+        {"doc_id": 3, "source": "srcA", "text": "iota kappa lambda mu"},
+        # srcB: 2 distinct docs → dup_rate 0
+        {"doc_id": 4, "source": "srcB", "text": "nu xi omicron pi"},
+        {"doc_id": 5, "source": "srcB", "text": "rho sigma tau upsilon"},
+    ]
+    return _docs_dir(tmp_path_factory, "sourcestats", rows)
+
+
+def test_source_stats_hand_values(spark, source_dir):
+    rows = {r["source"]: r for r in corpus.q_source_stats(spark, source_dir).collect()}
+    assert rows["srcA"]["n_docs"] == 4
+    assert rows["srcA"]["dup_rate"] == pytest.approx(0.25, abs=1e-6)
+    assert rows["srcB"]["n_docs"] == 2
+    assert rows["srcB"]["dup_rate"] == 0.0
+    # all docs: 4 tokens, all distinct → quality = 0.04*0.5 + 1.0*0.5 = 0.52
+    assert rows["srcB"]["mean_quality"] == pytest.approx(0.52, abs=1e-6)
+    assert rows["srcB"]["mean_tokens"] == 4.0
+
+
+# --- PII scrub ------------------------------------------------------------
+
+_PII_ROWS = [
+    {"doc_id": 0, "text": "contact me at jane.doe+spam@example.co.uk today"},
+    {"doc_id": 1, "text": "server 192.168.1.254 and backup 10.0.0.1 are up"},
+    {"doc_id": 2, "text": "call 555-867-5309 or 415.555.2671 after noon"},
+    {"doc_id": 3, "text": "mixed bob@host.io at 127.0.0.1 dial 800-555-0100"},
+    {"doc_id": 4, "text": "clean text with no personal identifiers at all"},
+]
+
+
+@pytest.fixture(scope="module")
+def pii_dir(tmp_path_factory):
+    return _docs_dir(tmp_path_factory, "pii", _PII_ROWS)
+
+
+def test_pii_scrub_recall_counts(spark, pii_dir):
+    rows = {r["doc_id"]: r for r in corpus.q_pii_scrub(spark, pii_dir).collect()}
+    assert (rows[0]["n_emails"], rows[0]["n_ips"], rows[0]["n_phones"]) == (1, 0, 0)
+    assert (rows[1]["n_emails"], rows[1]["n_ips"], rows[1]["n_phones"]) == (0, 2, 0)
+    assert (rows[2]["n_emails"], rows[2]["n_ips"], rows[2]["n_phones"]) == (0, 0, 2)
+    assert (rows[3]["n_emails"], rows[3]["n_ips"], rows[3]["n_phones"]) == (1, 1, 1)
+    assert (rows[4]["n_emails"], rows[4]["n_ips"], rows[4]["n_phones"]) == (0, 0, 0)
+
+
+def test_pii_scrub_masks_text(spark, pii_dir):
+    """The masked text (recomputed via the shared column builder) carries
+    placeholders and no residual PII literal."""
+    masked = {
+        r["doc_id"]: r["m"]
+        for r in corpus.documents(spark, pii_dir)
+        .select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("text"), F.lit(corpus.PII_EMAIL), F.lit("<EMAIL>")
+                    ),
+                    F.lit(corpus.PII_IP),
+                    F.lit("<IP>"),
+                ),
+                F.lit(corpus.PII_PHONE),
+                F.lit("<PHONE>"),
+            ).alias("m"),
+        )
+        .collect()
+    }
+    assert masked[0] == "contact me at <EMAIL> today"
+    assert masked[1] == "server <IP> and backup <IP> are up"
+    assert masked[2] == "call <PHONE> or <PHONE> after noon"
+    assert masked[3] == "mixed <EMAIL> at <IP> dial <PHONE>"
+    assert masked[4] == _PII_ROWS[4]["text"]
+
+
+def test_pii_scrub_java_vs_re2_on_pii_docs(spark, pii_dir):
+    """The gate corpus is PII-free, so its parity row only proves the
+    false-positive side. This is the recall-side cross-engine check: the
+    full q_pii_scrub output (counts + masked hash) must be identical
+    between Spark (Java regex) and DuckDB (RE2) on PII-laden docs."""
+    got = {
+        r["doc_id"]: (r["n_emails"], r["n_ips"], r["n_phones"], r["masked_hash"])
+        for r in corpus.q_pii_scrub(spark, pii_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{pii_dir}/documents.parquet'"
+    )
+    want = {
+        int(d): (int(e), int(i), int(p), h)
+        for d, e, i, p, h in con.execute(
+            corpus.ORACLE_SQL["pii_scrub"]
+        ).fetchall()
+    }
+    assert got == want

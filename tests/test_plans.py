@@ -95,3 +95,39 @@ def test_simhash_single_exchange(spark, sfd):
     collapses ~1 row/doc map-side before the only doc_id shuffle)."""
     p = _plan(corpus.q_simhash(spark, sfd))
     assert p.count("Exchange") == 1, p.count("Exchange")
+
+
+def test_pii_scrub_zero_shuffle(spark, sfd):
+    """PII scrub is a pure scan-fused projection: regexp count + mask in
+    whole-stage codegen, no Exchange, no Python."""
+    p = _plan(corpus.q_pii_scrub(spark, sfd))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_repetition_signals_zero_shuffle(spark, sfd):
+    """Per-doc repetition signals are within-document: the sorted-array
+    run-length fold must compile to a shuffle-free projection."""
+    p = _plan(corpus.q_repetition_signals(spark, sfd))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_source_stats_two_exchanges_of_doc_rows(spark, sfd):
+    """Per-source rollup: per-doc stats are array intrinsics in the
+    projection (no explode shuffle); the exact-distinct dup_rate plans as
+    the standard two-phase (source,h) -> (source) exchange pair, each
+    shipping at most one row per doc. Guard that it never grows beyond
+    that (an explode-based regression would add a token-level exchange)."""
+    p = _plan(corpus.q_source_stats(spark, sfd))
+    assert p.count("Exchange") == 2, p.count("Exchange")
+    assert "explode" not in p
+
+
+def test_boilerplate_ngrams_single_aggregate_exchange(spark, sfd):
+    """Boilerplate mining: per-doc dedup is array_distinct inside the
+    projection (no distinct shuffle); one ngram-keyed agg exchange + the
+    top-k collect, nothing else."""
+    p = _plan(corpus.q_boilerplate_ngrams(spark, sfd))
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange") == 1, p.count("Exchange")
