@@ -603,6 +603,14 @@ def search(
         scored = scored.join(
             F.broadcast(doc_ids.select("doc_id")), "doc_id", "left_semi"
         )
+    return _sum_topk(scored, len(term_ids), mode, k)
+
+
+def _sum_topk(scored: DataFrame, n_bound: int, mode: str, k: int) -> DataFrame:
+    """(doc_id, rank, score) partials -> ordered top-k: per-doc sum in
+    rank order (build-independent, oracle-bit-equal — see search()),
+    AND-mode term-count intersection, TakeOrderedAndProject on the 6-dp
+    rounded key."""
     per_doc = scored.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("rank", "score"))).alias("parts")
     )
@@ -614,12 +622,166 @@ def search(
         F.size("parts").alias("n_terms"),
     )
     if mode == "AND":
-        total = total.filter(F.col("n_terms") == len(term_ids))
+        total = total.filter(F.col("n_terms") == n_bound)
     return (
         total.select("doc_id", "score")
         .orderBy(F.desc(F.round("score", 6)), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def search_uncompacted(
+    index: SearchIndex,
+    query: str,
+    k: int = 10,
+    mode: str = "OR",
+    field_weights: tuple[float, float] | None = None,
+) -> DataFrame:
+    """BM25 term search over the UNION corpus (base ∪ un-compacted ingest
+    deltas) — the term-side twin of search_phrase's union snapshot,
+    closing the freshness asymmetry where term queries served exactly the
+    base snapshot until compact().
+
+    Exactness: df per term is counted live over the union posting rows,
+    N/avgdl (and the per-field averages for BM25F) come from
+    uncompacted_snapshot's exact-int fold, and every posting is scored by
+    the SAME canonical numpy kernel the compacted decode uses — so
+    results are bit-equal to compact() + search() (tests/test_streaming).
+
+    Cost model (deliberate): the freshness window trades WAND block
+    skipping for exactness — the driver theta sketches and lexicon term
+    bounds were computed under BASE stats, and a changed N/avgdl/df moves
+    every bound, so pruning with them could clip a true top-k doc. Base
+    postings stay barrel+term pruned (the dominant saving) and decode
+    exhaustively; delta rows are small by construction; compact() restores
+    the fully-pruned path. Latest-version-wins: base rows of re-ingested
+    or tombstoned docs are anti-joined out on the (broadcast, tiny) delta
+    doc set, exactly like the positional path.
+
+    Corner: a term whose postings are ALL tombstoned but not yet
+    compacted still binds here (df 0 after the anti-join, contributes no
+    rows); in AND mode it empties the result until compact() drops it
+    from the lexicon — the conservative reading of an in-flux corpus."""
+    index.check_epoch()
+    spark = index.spark
+    from search_engine_spark.streaming import incremental as inc
+
+    snap = inc.uncompacted_snapshot(spark, index.paths)
+    if snap is None:
+        return search(
+            index, query, k=k, mode=mode, field_weights=field_weights
+        )
+    tokens = sorted({t for t in normalize_text(query).split(" ") if t})
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not tokens:
+        return empty
+    # bind via the base ∪ delta lexicon (new terms must bind; the cached
+    # driver lexicon is stale while deltas exist)
+    bound = {
+        int(r["term_id"]): r["term"]
+        for r in snap["lexicon"]
+        .filter(F.col("term").isin(tokens))
+        .select("term", "term_id")
+        .collect()
+    }
+    if not bound:
+        return empty
+    term_ids = sorted(bound)
+    ranks = {
+        tid: i
+        for i, tid in enumerate(sorted(term_ids, key=lambda t: bound[t]))
+    }
+    # postings-delta torn-log guard (the term-side analogue of the
+    # positional guard): a crash between ingest steps can leave doc_stats
+    # batches without postings batches — serving would miss those docs
+    ds_b = {
+        inc.os.path.basename(d)
+        for d in inc._batch_subdirs(inc.doc_stats_delta_dir(index.paths))
+    }
+    pd_b = {
+        inc.os.path.basename(d)
+        for d in inc._batch_subdirs(inc.delta_dir(index.paths))
+    }
+    if ds_b != pd_b:
+        raise ValueError(
+            "postings delta log is torn (doc_stats batches "
+            f"{sorted(ds_b - pd_b)} have no postings delta): re-ingest "
+            "the batch or run streaming.incremental.compact() first"
+        )
+    cols = ["term_id", "doc_id", "tf", "tf1", "dl", "dl1"]
+    probe = _probe(index, term_ids)
+    if field_weights is not None and "dls1" not in probe.columns:
+        raise ValueError(
+            "field-weighted search needs the per-field length stream "
+            "(dls1) — rebuild or compact this index with the current "
+            "version"
+        )
+    base = (
+        inc.decode_postings_rows(probe)
+        .join(F.broadcast(snap["delta_doc_ids"]), "doc_id", "left_anti")
+        .select(*cols)
+    )
+    deltas = inc._read_deltas_with_seq(
+        spark, index.paths, inc.delta_dir(index.paths)
+    )
+    delta_rows = (
+        inc._latest_per_doc(deltas)
+        .filter(F.col("term_id").isin(term_ids))
+        .select(*cols)
+    )
+    union_rows = base.unionByName(delta_rows)
+    # live union df per term: the union rows ARE the term's posting list
+    # (unique per (term, doc) — base is, delta is latest-wins, overlap is
+    # anti-joined), so COUNT is exact document frequency
+    dfs = union_rows.groupBy("term_id").agg(F.count("*").alias("df"))
+    rows_in = union_rows.join(F.broadcast(dfs), "term_id")
+    n_docs, avgdl = snap["n_docs"], snap["avgdl"]
+    avgdl1 = snap["avgdl1"] or 1.0
+    avgdlb = snap["avgdlb"] or 1.0
+    fw = field_weights
+    rank_map = dict(ranks)
+    score_cols = ["term_id", "doc_id", "tf", "dl", "df"] + (
+        ["tf1", "dl1"] if fw is not None else []
+    )
+
+    def score_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # one idf per distinct term (math.log — the engine/oracle
+            # scalar), broadcast to rows
+            idf_by_tid = {
+                int(t): idf_value(int(d), n_docs)
+                for t, d in pdf[["term_id", "df"]].drop_duplicates()
+                .itertuples(index=False)
+            }
+            idf = pdf["term_id"].map(idf_by_tid).to_numpy(dtype=np.float64)
+            tf = pdf["tf"].to_numpy(dtype=np.float64)
+            dl = pdf["dl"].to_numpy(dtype=np.float64)
+            if fw is not None:
+                w_t, w_b = fw
+                t1 = pdf["tf1"].to_numpy(dtype=np.float64)
+                d1 = pdf["dl1"].to_numpy(dtype=np.float64)
+                score = bm25f_score(
+                    t1, tf - t1, d1, dl - d1, idf, w_t, w_b,
+                    avgdl1, avgdlb, K1, B,
+                )
+            else:
+                score = bm25_score(tf, dl, idf, avgdl, K1, B)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "rank": pdf["term_id"].map(rank_map).to_numpy(
+                        dtype=np.int32
+                    ),
+                    "score": score,
+                }
+            )
+
+    scored = rows_in.select(*score_cols).mapInPandas(
+        score_rows, schema="doc_id long, rank int, score double"
+    )
+    return _sum_topk(scored, len(term_ids), mode, k)
 
 
 def search_phrase(
@@ -650,12 +812,11 @@ def search_phrase(
         raise ValueError("index was built without positions")
     # un-compacted ingest deltas: serve the UNION snapshot (base ∪
     # deltas) — a phrase query derives all its stats (tf, df, dl, N,
-    # avgdl) live from matched docs, so unlike term search (base-only
-    # until compact: its compressed barrels/WAND metadata exist only
-    # post-compaction) it can answer the union corpus EXACTLY, bit-equal
-    # to a fresh build (tests/test_streaming.py). The divergence in
-    # served snapshot between the two paths while deltas exist is
-    # deliberate and documented here.
+    # avgdl) live from matched docs, so it answers the union corpus
+    # EXACTLY, bit-equal to a fresh build (tests/test_streaming.py).
+    # Term queries choose per call: search() stays on the base snapshot
+    # (WAND-pruned; its sketches are base-stats-valid), while
+    # search_uncompacted() serves the same union snapshot as this path.
     from search_engine_spark.streaming.incremental import uncompacted_snapshot
 
     snap = uncompacted_snapshot(spark, index.paths)

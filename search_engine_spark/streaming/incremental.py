@@ -315,12 +315,13 @@ def union_corpus_stats(
 
 def uncompacted_snapshot(spark: SparkSession, paths: ib.IndexPaths) -> dict | None:
     """Serving view of the UNION corpus (base ∪ un-compacted deltas) for
-    phrase queries (query.search_phrase): unlike term search — whose
-    compressed barrels and WAND metadata only exist post-compaction, so
-    it serves exactly the base snapshot until compact() — a phrase query
-    derives everything it scores with (positions, tf, df, dl, N, avgdl)
-    live from its matched docs, so it can serve the union snapshot
-    EXACTLY (bit-equal to a fresh build; tests/test_streaming.py).
+    phrase queries (query.search_phrase) and fresh term queries
+    (query.search_uncompacted): both derive everything they score with
+    (tf, df, dl, N, avgdl — positions for the phrase path) live from the
+    base ∪ delta rows, so they serve the union snapshot EXACTLY
+    (bit-equal to a fresh build; tests/test_streaming.py). Plain
+    query.search keeps serving the base snapshot — its WAND sketches and
+    lexicon bounds were computed under base stats and stay valid there.
 
     Returns None when no deltas exist (serve the base tables), else a
     dict with:
@@ -338,10 +339,14 @@ def uncompacted_snapshot(spark: SparkSession, paths: ib.IndexPaths) -> dict | No
     ds_dirs = _batch_subdirs(doc_stats_delta_dir(paths))
     if not ds_dirs:
         return None
+    # the torn-log guard only applies to POSITIONAL indexes (term-only
+    # indexes never write positions deltas; search_uncompacted serves
+    # them from the postings delta log alone)
+    has_positions = os.path.exists(paths.positions)
     pos_dirs = _batch_subdirs(positions_delta_dir(paths))
     ds_b = {os.path.basename(d) for d in ds_dirs}
     pos_b = {os.path.basename(d) for d in pos_dirs}
-    if ds_b != pos_b:
+    if has_positions and ds_b != pos_b:
         raise ValueError(
             "positional delta log is torn (doc_stats batches "
             f"{sorted(ds_b - pos_b)} have no positional delta): re-ingest "
@@ -360,20 +365,28 @@ def uncompacted_snapshot(spark: SparkSession, paths: ib.IndexPaths) -> dict | No
         .dropDuplicates(["doc_id"])
     )
     if os.path.exists(paths.stats_base):
-        n_docs, total_dl, _ = union_corpus_stats(
+        n_docs, total_dl, total_dl1 = union_corpus_stats(
             spark, paths, base_ds, latest_ds
         )
     else:  # legacy index without stats_base scalars
-        n_docs, total_dl, _ = ib.corpus_totals(folded_ds)
-    pos_seq = _read_deltas_with_seq(spark, paths, positions_delta_dir(paths))
-    pos_cols = [c for c in pos_seq.columns if c != "batch_seq"]
+        n_docs, total_dl, total_dl1 = ib.corpus_totals(folded_ds)
+    avgdl1, avgdlb = ib.field_avgdls(n_docs, total_dl, total_dl1)
+    pos_delta = None
+    if pos_dirs:
+        pos_seq = _read_deltas_with_seq(
+            spark, paths, positions_delta_dir(paths)
+        )
+        pos_cols = [c for c in pos_seq.columns if c != "batch_seq"]
+        pos_delta = _latest_per_doc(pos_seq).select(*pos_cols)
     return {
         "lexicon": read_lexicon(spark, paths),
         "doc_stats": folded_ds,
         "n_docs": n_docs,
         "avgdl": float(total_dl) / n_docs if n_docs else 0.0,
+        "avgdl1": avgdl1,
+        "avgdlb": avgdlb,
         "delta_doc_ids": latest_ds.select("doc_id"),
-        "pos_delta": _latest_per_doc(pos_seq).select(*pos_cols),
+        "pos_delta": pos_delta,
     }
 
 
@@ -406,7 +419,8 @@ def apply_incremental_batch(
     resolves latest-batch-wins (_latest_per_doc). The positional index
     IS maintained when the index was built with_positions: ingest writes
     positions_delta, compaction folds it, and BETWEEN the two
-    search_phrase serves the union snapshot via uncompacted_snapshot()."""
+    search_phrase and search_uncompacted serve the union snapshot via
+    uncompacted_snapshot()."""
     recover_pending(paths)  # roll forward an interrupted previous compact
     bid = str(batch_id)
     stats = ib.read_stats(spark, paths)

@@ -618,3 +618,115 @@ def test_phrase_over_deltas_changed_reingest(spark, tmp_path):
         np.testing.assert_array_equal(
             np.array([s for _, s in x]), np.array([s for _, s in y])
         )
+
+
+def _topk_list(df):
+    return [(int(r["doc_id"]), float(r["score"])) for r in df.collect()]
+
+
+def test_term_search_uncompacted_equals_fresh(spark, tmp_path):
+    """search_uncompacted serves the UNION corpus (base ∪ un-compacted
+    batches) bit-equal to a fresh build + WAND search — OR, AND and
+    field-weighted modes — closing the term-side freshness asymmetry
+    (search_phrase already served the union; term search was base-only
+    until compact()). After compact() it falls through to the pruned
+    search() path and the same equality holds."""
+    from search_engine_spark.operators.query import (
+        search_topk,
+        search_uncompacted,
+    )
+    from search_engine_spark.streaming.incremental import (
+        apply_incremental_batch,
+        compact,
+    )
+
+    base = generate_pages_df(spark, 300, partitions=4)
+    full = generate_pages_df(spark, 380, partitions=4)
+    paths = ib.IndexPaths(str(tmp_path / "tidx"))
+    ib.build_index(
+        spark, base, paths, n_salts=2, salt_threshold=60, n_barrels=4,
+        id_partitions=4,
+    )
+    batch = spark.createDataFrame(
+        full.toPandas().iloc[300:],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    apply_incremental_batch(spark, batch, paths, batch_id="t1")
+
+    fresh_paths = ib.IndexPaths(str(tmp_path / "tfresh"))
+    ib.build_index(
+        spark, full, fresh_paths, n_salts=2, salt_threshold=60, n_barrels=4,
+        id_partitions=4,
+    )
+    fresh = SearchIndex(spark, fresh_paths)
+
+    def check(inc, tag):
+        for q, mode, fw in [
+            ("best good well", "OR", None),
+            ("best good", "AND", None),
+            ("hotel room", "OR", (2.0, 1.0)),
+        ]:
+            a = _topk_list(search_uncompacted(inc, q, k=10, mode=mode,
+                                              field_weights=fw))
+            b = search_topk(fresh, q, k=10, mode=mode, field_weights=fw)
+            assert [d for d, _ in a] == [d for d, _ in b], (tag, q, mode)
+            np.testing.assert_array_equal(
+                np.array([s for _, s in a]), np.array([s for _, s in b])
+            )
+
+    check(SearchIndex(spark, paths), "pre-compact")
+    compact(spark, paths)
+    check(SearchIndex(spark, paths), "post-compact")
+
+
+def test_term_search_uncompacted_changed_reingest(spark, tmp_path):
+    """Latest-wins over a CHANGED re-ingest before compact(): the old
+    version's postings are invisible, delta-lexicon-only terms bind, and
+    scores bit-equal a fresh build of the updated corpus."""
+    from search_engine_spark.operators.query import (
+        search_topk,
+        search_uncompacted,
+    )
+    from search_engine_spark.sources.pages import generate_pages_pandas
+    from search_engine_spark.streaming.incremental import (
+        apply_incremental_batch,
+    )
+
+    pdf = generate_pages_pandas(np.arange(250))
+    paths = ib.IndexPaths(str(tmp_path / "tcidx"))
+    ib.build_index(
+        spark, _pages_df(spark, pdf), paths, n_salts=2, salt_threshold=60,
+        n_barrels=4, id_partitions=4,
+    )
+    changed = pdf.iloc[5:8].copy()
+    changed["html"] = [
+        (
+            b"<html><head><title>t%d</title></head><body><p>"
+            b"zzzterm target content</p></body></html>" % i
+        )
+        for i in (5, 6, 7)
+    ]
+    r = apply_incremental_batch(spark, _pages_df(spark, changed), paths, "tc1")
+    assert r["tombstoned"] == 3
+
+    updated = pdf.copy()
+    updated.iloc[5:8] = changed
+    fresh_paths = ib.IndexPaths(str(tmp_path / "tcfresh"))
+    ib.build_index(
+        spark, _pages_df(spark, updated), fresh_paths, n_salts=2,
+        salt_threshold=60, n_barrels=4, id_partitions=4,
+    )
+    inc = SearchIndex(spark, paths)
+    fresh = SearchIndex(spark, fresh_paths)
+    # delta-lexicon-only term binds and scores like fresh
+    a = _topk_list(search_uncompacted(inc, "zzzterm target", k=10))
+    b = search_topk(fresh, "zzzterm target", k=10)
+    assert len(a) == 3 and a == b
+    # queries the OLD versions matched answer like fresh
+    for q in ["best western", "good hotel"]:
+        x = _topk_list(search_uncompacted(inc, q, k=10))
+        y = search_topk(fresh, q, k=10)
+        assert [d for d, _ in x] == [d for d, _ in y], q
+        np.testing.assert_array_equal(
+            np.array([s for _, s in x]), np.array([s for _, s in y])
+        )
