@@ -956,3 +956,153 @@ def search_topk(
         field_weights=field_weights, doc_ids=doc_ids,
     ).collect()
     return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+
+# --- query-UX surface: autocomplete, spelling correction, snippets -------
+
+
+def suggest_terms(index: SearchIndex, prefix: str, k: int = 10) -> DataFrame:
+    """Prefix autocomplete over the lexicon, ranked by document frequency
+    (the signal the reference's lexicon probe exposes, app.py:392-401,
+    extended to the type-ahead read pattern). -> (term, term_id, df).
+
+    Plan: StringStartsWith is a pushable parquet filter, and the lexicon
+    is written range-partitioned by term (assign_dense_ids), so at a
+    10^9-term lexicon the scan prunes to the prefix's term range before
+    the TakeOrderedAndProject top-k. Empty/whitespace prefixes return
+    empty (a full-lexicon popularity dump is a different query).
+
+    The prefix is only LOWERCASED, not run through normalize_text: a
+    prefix is not a full token — stopword removal would empty "we" (→
+    "western") and the lemmatizer may rewrite a word fragment."""
+    p = prefix.strip().lower()
+    spark = index.spark
+    if not p:
+        return spark.createDataFrame([], "term string, term_id long, df long")
+    return (
+        index.lexicon.filter(F.col("term").startswith(p))
+        .select("term", "term_id", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def correct_term(
+    index: SearchIndex, word: str, max_dist: int = 2, k: int = 10
+) -> DataFrame:
+    """Spelling correction: lexicon terms within ``max_dist`` edits,
+    ranked (distance asc, df desc, term asc) — the did-you-mean read the
+    reference silently drops out-of-lexicon tokens for (app.py:398-401).
+    -> (term, term_id, df, dist).
+
+    Plan: a length-banded scan (|len(term) − len(word)| ≤ max_dist — the
+    levenshtein lower bound, so the band is lossless) with Spark's
+    THRESHOLDED levenshtein intrinsic (returns −1 and stops early once
+    the running distance exceeds max_dist) feeding TakeOrderedAndProject.
+    The scan is embarrassingly parallel over the lexicon — no shuffle
+    beyond the top-k collect. At a 10^9-term lexicon the SymSpell
+    deletion-neighborhood index would replace the band scan; the band +
+    threshold form is the right single-pass shape below that.
+
+    The word is only LOWERCASED: it is by hypothesis misspelled, so the
+    stopword filter could delete it and the rule lemmatizer could rewrite
+    the typo before correction sees it."""
+    w = word.strip().lower()
+    spark = index.spark
+    empty_schema = "term string, term_id long, df long, dist int"
+    if not w or " " in w:
+        return spark.createDataFrame([], empty_schema)
+    dist = F.levenshtein(F.col("term"), F.lit(w), max_dist)
+    return (
+        index.lexicon.filter(
+            F.length("term").between(len(w) - max_dist, len(w) + max_dist)
+        )
+        .select(
+            "term",
+            "term_id",
+            F.col("df").cast("long").alias("df"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def snippets(
+    index: SearchIndex,
+    query: str,
+    pages: DataFrame,
+    k: int = 10,
+    window: int = 5,
+) -> DataFrame:
+    """KWIC snippets for the top-k result docs: ±window tokens around the
+    EARLIEST query-term occurrence (positions come from the positional
+    index; requires with_positions=True). -> (doc_id, score, pos,
+    snippet), ordered like search().
+
+    The index deliberately stores no text (lean barrels); the snippet
+    text comes from re-normalizing the SOURCE pages rows of just the
+    top-k docs. Plan shape at 100 TB: positions scan pruned to the query
+    terms' barrels then broadcast-semi-joined to the k result docs;
+    the pages join is k rows broadcast against the source scan — text
+    never shuffles, and only k docs' html is ever re-normalized (the
+    mapInPandas runs after a broadcast semi-join prunes the scan)."""
+    import os
+
+    from search_engine_spark.operators import index_build as ib
+    from search_engine_spark.functions.compression import (
+        decode_position_list,
+    )
+
+    index.check_epoch()
+    spark = index.spark
+    if not os.path.exists(index.paths.positions):
+        raise ValueError("snippets need an index built with_positions=True")
+    out_schema = "doc_id long, score double, pos long, snippet string"
+    top = search(index, query, k=k).localCheckpoint(eager=True)
+    bound = index.bind_terms(query)
+    if not bound:
+        return spark.createDataFrame([], out_schema)
+    term_ids = sorted(bound)
+    barrels = sorted({tid % index.n_barrels for tid in term_ids})
+    pos = (
+        spark.read.parquet(index.paths.positions)
+        .filter(
+            F.col("barrel").isin(barrels) & F.col("term_id").isin(term_ids)
+        )
+        .join(F.broadcast(top.select("doc_id")), "doc_id", "left_semi")
+        .select("doc_id", "pos_blob")
+    )
+
+    def first_pos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "p": [
+                        int(decode_position_list(b)[0])
+                        for b in pdf["pos_blob"]
+                    ],
+                }
+            )
+
+    earliest = (
+        pos.mapInPandas(first_pos, schema="doc_id long, p long")
+        .groupBy("doc_id")
+        .agg(F.min("p").alias("pos"))
+    )
+    docs = ib.normalize_pages(pages).join(
+        F.broadcast(top.select("doc_id")), "doc_id", "left_semi"
+    )
+    arr = F.split(F.col("norm"), " ")
+    # positions are 0-based token indexes (posexplode in build_forward);
+    # slice() is 1-based
+    start = F.greatest(F.col("pos") - window + 1, F.lit(1))
+    snip = F.concat_ws(" ", F.slice(arr, start, 2 * window + 1))
+    return (
+        top.join(earliest, "doc_id")
+        .join(docs.select("doc_id", "norm"), "doc_id")
+        .select("doc_id", "score", "pos", snip.alias("snippet"))
+        .orderBy(F.desc(F.round("score", 6)), F.asc("doc_id"))
+    )

@@ -1,0 +1,140 @@
+"""Query-UX surface: prefix autocomplete, spelling correction, KWIC
+snippets (operators/query.py). Each is checked against an independent
+Python recompute over the collected lexicon / normalized text — and the
+levenshtein intrinsic additionally against DuckDB's, so the engine's
+ranking can't drift from either reference implementation."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from search_engine_spark.operators import index_build as ib
+from search_engine_spark.operators.query import (
+    SearchIndex,
+    correct_term,
+    search_topk,
+    snippets,
+    suggest_terms,
+)
+from search_engine_spark.sources.pages import generate_pages_df
+
+
+def _lex_rows(index):
+    return [
+        (r["term"], int(r["term_id"]), int(r["df"]))
+        for r in index.lexicon.select("term", "term_id", "df").collect()
+    ]
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_suggest_terms_matches_python_recompute(spark, spark_index):
+    got = [
+        (r["term"], r["df"])
+        for r in suggest_terms(spark_index, "go", k=5).collect()
+    ]
+    lex = _lex_rows(spark_index)
+    want = sorted(
+        ((t, df) for t, _, df in lex if t.startswith("go")),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    assert got == want and got  # non-empty on this corpus ("good", ...)
+
+
+def test_suggest_terms_empty_prefix(spark, spark_index):
+    assert suggest_terms(spark_index, "   ", k=5).collect() == []
+    assert suggest_terms(spark_index, "zzzzz", k=5).collect() == []
+
+
+def test_correct_term_matches_python_and_duckdb(spark, spark_index):
+    word = "westarn"  # one edit from "western"
+    got = [
+        (r["term"], r["dist"])
+        for r in correct_term(spark_index, word, max_dist=2, k=10).collect()
+    ]
+    lex = _lex_rows(spark_index)
+    cand = [
+        (t, _lev(t, word), df)
+        for t, _, df in lex
+        if abs(len(t) - len(word)) <= 2
+    ]
+    want = [
+        (t, d)
+        for t, d, df in sorted(
+            (c for c in cand if c[1] <= 2), key=lambda x: (x[1], -x[2], x[0])
+        )
+    ][:10]
+    assert got == want
+    assert got[0][0] == "western" and got[0][1] == 1
+    # cross-engine distance check: Spark's levenshtein == DuckDB's on the
+    # full banded candidate set
+    con = duckdb.connect()
+    duck = {
+        t: int(d)
+        for t, d in con.execute(
+            "SELECT t, levenshtein(t, ?) FROM (SELECT unnest(?) AS t)",
+            [word, [t for t, _, _ in cand]],
+        ).fetchall()
+    }
+    assert all(duck[t] == d for t, d, _ in cand)
+
+
+def test_correct_term_rejects_phrases_and_blanks(spark, spark_index):
+    assert correct_term(spark_index, "two words").collect() == []
+    assert correct_term(spark_index, "  ").collect() == []
+
+
+@pytest.fixture(scope="module")
+def pos_setup(spark, tmp_path_factory):
+    pages = generate_pages_df(spark, 300, partitions=4)
+    root = str(tmp_path_factory.mktemp("snipidx"))
+    paths = ib.IndexPaths(root)
+    ib.build_index(
+        spark, pages, paths, n_salts=2, salt_threshold=60, n_barrels=4,
+        id_partitions=4, with_positions=True,
+    )
+    return SearchIndex(spark, paths), pages
+
+
+def test_snippets_exact_windows(spark, pos_setup):
+    index, pages = pos_setup
+    q, window = "western breakfast", 5
+    rows = snippets(index, q, pages, k=10, window=window).collect()
+    top = search_topk(index, q, k=10)
+    assert [int(r["doc_id"]) for r in rows] == [d for d, _ in top]
+    np.testing.assert_array_equal(
+        np.array([float(r["score"]) for r in rows]),
+        np.array([s for _, s in top]),
+    )
+    norm = {
+        int(r["doc_id"]): r["norm"]
+        for r in ib.normalize_pages(pages)
+        .select("doc_id", "norm")
+        .collect()
+    }
+    qterms = {"western", "breakfast"}
+    for r in rows:
+        toks = norm[int(r["doc_id"])].split(" ")
+        hits = [i for i, t in enumerate(toks) if t in qterms]
+        p = min(hits)
+        assert int(r["pos"]) == p  # earliest occurrence, 0-based
+        start = max(p - window, 0)
+        assert r["snippet"] == " ".join(toks[start : start + 2 * window + 1])
+
+
+def test_snippets_require_positions(spark, spark_index, corpus):
+    _, sdf = corpus
+    with pytest.raises(ValueError, match="with_positions"):
+        snippets(spark_index, "good", sdf)
