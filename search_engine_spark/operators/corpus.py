@@ -1627,6 +1627,41 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON_MOD = 97  # deterministic eval-set stand-in: doc_id % 97 == 0
+_DECON_MIN_SHARED = 3  # distinct shared shingles to flag a doc
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the pre-training hygiene op: find
+    corpus docs that leak eval-set content, by distinct 3-gram shingle
+    overlap (the n-gram-collision flavor of the GPT-3/PaLM appendix
+    decontamination). The eval set here is a deterministic stand-in
+    (doc_id % 97 == 0) for an external benchmark file.
+
+    Plan: the eval shingle set is DISTINCT and small by construction
+    (benchmarks are ~10^5 docs even at 100 TB corpus scale) → broadcast
+    to every executor; corpus shingles probe it map-side and only
+    (doc_id, 1) survivors reach the count agg — corpus text and corpus
+    shingles never shuffle. -> (doc_id, n_shared, contaminated 0/1) for
+    docs sharing ≥1 shingle."""
+    sh = shingle_df(spark, sf_dir, 3)
+    is_eval = (F.col("doc_id") % _DECON_MOD) == 0
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    return (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .select(
+            "doc_id",
+            "n_shared",
+            (F.col("n_shared") >= _DECON_MIN_SHARED)
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )
+
+
 def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data pipeline's END PRODUCT: the selected corpus.
     Composes the selection filters a pre-training pipeline applies —
@@ -3001,6 +3036,35 @@ SELECT source, COUNT(*) AS n_docs,
 FROM per_doc GROUP BY source
 """
 
+# un-filtered distinct-shingle CTE (all en docs — the decontamination
+# oracle's input; _MINHASH_SIG_CTE embeds the same body)
+_SH_ALL_CTE = f"""
+sh AS (
+  SELECT DISTINCT doc_id,
+         arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+               t -> t NOT IN ({_SQL_STOPLIST})) AS arr
+        FROM documents WHERE lang = 'en') d,
+       unnest(range(1, GREATEST(len(arr) - 1, 1))) AS t(i)
+)
+"""
+
+ORACLE_SQL["decontaminate"] = f"""
+WITH {_SH_ALL_CTE.strip()},
+eval_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {_DECON_MOD} = 0
+),
+shared AS (
+  SELECT s.doc_id, COUNT(*) AS n_shared
+  FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+  WHERE s.doc_id % {_DECON_MOD} <> 0
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_shared,
+       CAST(n_shared >= {_DECON_MIN_SHARED} AS BIGINT) AS contaminated
+FROM shared
+"""
+
 ORACLE_SQL["pii_scrub"] = f"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
@@ -3066,4 +3130,5 @@ QUERIES = {
     "repetition_signals": q_repetition_signals,
     "source_stats": q_source_stats,
     "pii_scrub": q_pii_scrub,
+    "decontaminate": q_decontaminate,
 }

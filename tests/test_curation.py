@@ -197,3 +197,39 @@ def test_pii_scrub_java_vs_re2_on_pii_docs(spark, pii_dir):
         ).fetchall()
     }
     assert got == want
+
+
+# --- benchmark decontamination --------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def decon_dir(tmp_path_factory):
+    eval_text = "quick brown fox jumps over lazy dog tonight"
+    rows = [
+        # doc_id 0 and 97: the deterministic eval set (doc_id % 97 == 0)
+        {"doc_id": 0, "text": eval_text},
+        {"doc_id": 97, "text": "unrelated benchmark question about math"},
+        # doc 1: verbatim leak of the eval text -> many shared shingles
+        {"doc_id": 1, "text": eval_text + " plus trailing words here"},
+        # doc 2: shares exactly ONE 3-gram ("quick brown fox") -> below
+        # the flag threshold
+        {"doc_id": 2, "text": "quick brown fox otherwise totally different words"},
+        # doc 3: clean
+        {"doc_id": 3, "text": "completely separate content nothing shared"},
+    ]
+    return _docs_dir(tmp_path_factory, "decon", rows)
+
+
+def test_decontaminate_flags_leaked_docs(spark, decon_dir):
+    rows = {
+        r["doc_id"]: r for r in corpus.q_decontaminate(spark, decon_dir).collect()
+    }
+    # eval docs themselves are never in the output
+    assert 0 not in rows and 97 not in rows
+    # the verbatim leak shares all 6 eval shingles and is flagged
+    assert rows[1]["n_shared"] >= corpus._DECON_MIN_SHARED
+    assert rows[1]["contaminated"] == 1
+    # one shared shingle: reported but not flagged
+    assert rows[2]["n_shared"] == 1 and rows[2]["contaminated"] == 0
+    # clean doc emits no row
+    assert 3 not in rows
