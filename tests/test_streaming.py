@@ -730,3 +730,32 @@ def test_term_search_uncompacted_changed_reingest(spark, tmp_path):
         np.testing.assert_array_equal(
             np.array([s for _, s in x]), np.array([s for _, s in y])
         )
+
+
+def test_term_search_uncompacted_torn_log_raises(spark, tmp_path):
+    """A crash window can leave doc_stats delta batches without postings
+    delta batches; serving the union would silently miss those docs —
+    search_uncompacted must refuse instead."""
+    import shutil
+
+    from search_engine_spark.operators.query import search_uncompacted
+    from search_engine_spark.streaming.incremental import (
+        apply_incremental_batch,
+        delta_dir,
+    )
+
+    base = generate_pages_df(spark, 150, partitions=4)
+    full = generate_pages_df(spark, 180, partitions=4)
+    paths = ib.IndexPaths(str(tmp_path / "tornidx"))
+    ib.build_index(
+        spark, base, paths, n_salts=2, salt_threshold=60, n_barrels=4,
+        id_partitions=4,
+    )
+    batch = spark.createDataFrame(
+        full.toPandas().iloc[150:],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    apply_incremental_batch(spark, batch, paths, batch_id="torn1")
+    shutil.rmtree(f"{delta_dir(paths)}/batch=torn1")
+    with pytest.raises(ValueError, match="postings delta log is torn"):
+        search_uncompacted(SearchIndex(spark, paths), "best good", k=5)
