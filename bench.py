@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "boilerplate_ngrams",
     "source_stats",
     "pii_scrub",
+    "decontaminate",
     "groupby_multi_mean",
     "join_map_chain",
     "window_user_events",

@@ -1022,12 +1022,12 @@ def _simhash_of(tok: DataFrame) -> DataFrame:
     so the values stay bit-identical to the (unchanged) DuckDB oracle's
     tf-weighted CROSS JOIN formulation."""
     mh = tok.select("doc_id", F.md5(F.col("term")).alias("mh"))
-    hexv = lambda j: F.instr(  # noqa: E731
-        F.lit("0123456789abcdef"), F.substring(F.col("mh"), j, 1)
-    ) - 1
+    # one conv(hex, 16, 10) per band — the per-nibble
+    # instr('0123456789abcdef', substring)×4 chain it replaces ran the
+    # whole q_simhash ~7× slower (1.84 s vs 0.27 s agg wall at sf0.1,
+    # values bit-identical; same-JVM A/B in PLANS.md)
     band_h16 = [
-        hexv(4 * j + 1) * 4096 + hexv(4 * j + 2) * 256
-        + hexv(4 * j + 3) * 16 + hexv(4 * j + 4)
+        F.conv(F.substring(F.col("mh"), 4 * j + 1, 4), 16, 10).cast("int")
         for j in range(_SIMHASH_BANDS)
     ]
     hashed = mh.select(

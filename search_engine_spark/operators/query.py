@@ -974,7 +974,11 @@ def suggest_terms(index: SearchIndex, prefix: str, k: int = 10) -> DataFrame:
 
     The prefix is only LOWERCASED, not run through normalize_text: a
     prefix is not a full token — stopword removal would empty "we" (→
-    "western") and the lemmatizer may rewrite a word fragment."""
+    "western") and the lemmatizer may rewrite a word fragment.
+
+    Serves the BASE lexicon: terms that exist only in un-compacted
+    ingest deltas start completing after compact() (type-ahead tolerates
+    bounded staleness; exact fresh search is search_uncompacted's job)."""
     p = prefix.strip().lower()
     spark = index.spark
     if not p:
