@@ -636,6 +636,7 @@ def search_uncompacted(
     k: int = 10,
     mode: str = "OR",
     field_weights: tuple[float, float] | None = None,
+    doc_ids: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 term search over the UNION corpus (base ∪ un-compacted ingest
     deltas) — the term-side twin of search_phrase's union snapshot,
@@ -661,7 +662,12 @@ def search_uncompacted(
     Corner: a term whose postings are ALL tombstoned but not yet
     compacted still binds here (df 0 after the anti-join, contributes no
     rows); in AND mode it empties the result until compact() drops it
-    from the lexicon — the conservative reading of an in-flux corpus."""
+    from the lexicon — the conservative reading of an in-flux corpus.
+
+    doc_ids: optional metadata filter (search()'s contract) — broadcast
+    semi-join BELOW the per-doc aggregation; since this path never
+    prunes with WAND sketches, the filtered-theta caveat of search()
+    doesn't arise here."""
     index.check_epoch()
     spark = index.spark
     from search_engine_spark.streaming import incremental as inc
@@ -669,7 +675,8 @@ def search_uncompacted(
     snap = inc.uncompacted_snapshot(spark, index.paths)
     if snap is None:
         return search(
-            index, query, k=k, mode=mode, field_weights=field_weights
+            index, query, k=k, mode=mode, field_weights=field_weights,
+            doc_ids=doc_ids,
         )
     tokens = sorted({t for t in normalize_text(query).split(" ") if t})
     empty = spark.createDataFrame([], "doc_id long, score double")
@@ -781,6 +788,10 @@ def search_uncompacted(
     scored = rows_in.select(*score_cols).mapInPandas(
         score_rows, schema="doc_id long, rank int, score double"
     )
+    if doc_ids is not None:
+        scored = scored.join(
+            F.broadcast(doc_ids.select("doc_id")), "doc_id", "left_semi"
+        )
     return _sum_topk(scored, len(term_ids), mode, k)
 
 
@@ -1109,4 +1120,39 @@ def snippets(
         .join(docs.select("doc_id", "norm"), "doc_id")
         .select("doc_id", "score", "pos", snip.alias("snippet"))
         .orderBy(F.desc(F.round("score", 6)), F.asc("doc_id"))
+    )
+
+
+def index_stats(index: SearchIndex) -> DataFrame:
+    """Per-barrel operational profile — the ops view for skew monitoring
+    at 100 TB (which barrel is hot, how effective the Zipf-head salting
+    is, what compression is buying): distinct terms, blob rows (> terms
+    where salting split a hot list), postings, compressed bytes, and the
+    largest single blob. -> one row per barrel, ordered.
+
+    Reads ONLY metadata + blob lengths (octet_length never materializes
+    the binary in the row output) — the scan prunes to 5 light columns
+    and nothing is decoded; the agg is one associative pass. The same
+    numbers per build STEP live in the manifest (per-partition lineage);
+    this is the live-table view."""
+    blob_bytes = sum(
+        [
+            F.coalesce(F.octet_length(c), F.lit(0))
+            for c in ("doc_deltas", "tfs", "dls", "tf1s", "dls1")
+        ],
+        F.lit(0),
+    )
+    p = index.postings.select(
+        "barrel", "term_id", "n_docs", blob_bytes.alias("blob_bytes")
+    )
+    return (
+        p.groupBy("barrel")
+        .agg(
+            F.count_distinct("term_id").alias("n_terms"),
+            F.count("*").cast("long").alias("n_blob_rows"),
+            F.sum("n_docs").cast("long").alias("n_postings"),
+            F.sum("blob_bytes").cast("long").alias("compressed_bytes"),
+            F.max("n_docs").cast("long").alias("max_blob_postings"),
+        )
+        .orderBy("barrel")
     )

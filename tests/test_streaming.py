@@ -660,15 +660,24 @@ def test_term_search_uncompacted_equals_fresh(spark, tmp_path):
     )
     fresh = SearchIndex(spark, fresh_paths)
 
+    import pyspark.sql.functions as F
+
+    allowed = fresh.doc_stats.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id"
+    )
+
     def check(inc, tag):
-        for q, mode, fw in [
-            ("best good well", "OR", None),
-            ("best good", "AND", None),
-            ("hotel room", "OR", (2.0, 1.0)),
+        for q, mode, fw, flt in [
+            ("best good well", "OR", None, None),
+            ("best good", "AND", None, None),
+            ("hotel room", "OR", (2.0, 1.0), None),
+            ("best good well", "OR", None, allowed),
         ]:
             a = _topk_list(search_uncompacted(inc, q, k=10, mode=mode,
-                                              field_weights=fw))
-            b = search_topk(fresh, q, k=10, mode=mode, field_weights=fw)
+                                              field_weights=fw,
+                                              doc_ids=flt))
+            b = search_topk(fresh, q, k=10, mode=mode, field_weights=fw,
+                            doc_ids=flt)
             assert [d for d, _ in a] == [d for d, _ in b], (tag, q, mode)
             np.testing.assert_array_equal(
                 np.array([s for _, s in a]), np.array([s for _, s in b])

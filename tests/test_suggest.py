@@ -138,3 +138,22 @@ def test_snippets_require_positions(spark, spark_index, corpus):
     _, sdf = corpus
     with pytest.raises(ValueError, match="with_positions"):
         snippets(spark_index, "good", sdf)
+
+
+def test_index_stats_invariants(spark, spark_index):
+    from search_engine_spark.operators.query import index_stats
+
+    rows = index_stats(spark_index).collect()
+    assert len(rows) == spark_index.n_barrels
+    # every term lives in exactly one barrel
+    assert sum(r["n_terms"] for r in rows) == spark_index.lexicon.count()
+    # postings across blobs == sum of lexicon document frequencies
+    import pyspark.sql.functions as F
+
+    total_df = spark_index.lexicon.agg(F.sum("df")).collect()[0][0]
+    assert sum(r["n_postings"] for r in rows) == total_df
+    # salting splits hot lists: blob rows >= terms, bytes positive
+    for r in rows:
+        assert r["n_blob_rows"] >= r["n_terms"]
+        assert r["compressed_bytes"] > 0
+        assert r["max_blob_postings"] <= spark_index.n_docs
