@@ -233,3 +233,38 @@ def test_decontaminate_flags_leaked_docs(spark, decon_dir):
     assert rows[2]["n_shared"] == 1 and rows[2]["contaminated"] == 0
     # clean doc emits no row
     assert 3 not in rows
+
+
+# --- _ngrams_of executable spec -------------------------------------------
+
+
+def test_ngrams_of_matches_python_spec(spark):
+    """The iterated-zip_with n-gram constructor has a subtle contract
+    (zip_with null-pads the shorter side; concat_ws silently skips nulls;
+    the tail slice must drop exactly the padded suffix). Batch-property
+    test: 300 seeded random token arrays — including empties, 1-token,
+    double-space (empty-string tokens) and unicode — must equal the
+    obvious Python spec for n = 2, 3, 4 in ONE Spark job."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["a", "bb", "ccc", "", "naïve", "x1", "日本", "z"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    arr = F.split(F.col("text"), " ")
+    out = df.select(
+        "doc_id",
+        "text",
+        *[corpus._ngrams_of(arr, n).alias(f"g{n}") for n in (2, 3, 4)],
+    ).collect()
+    assert len(out) == 300
+    for r in out:
+        toks = r["text"].split(" ")
+        for n in (2, 3, 4):
+            want = [
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ]
+            assert list(r[f"g{n}"]) == want, (r["text"], n)
