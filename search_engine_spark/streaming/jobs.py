@@ -224,3 +224,88 @@ def run_windowed_events(
     return _drain_to_parquet(
         windowed_event_counts(stream), output_dir, checkpoint_dir
     )
+
+
+def percolate(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    spark: SparkSession,
+) -> DataFrame:
+    """Reverse search (percolation): match incoming documents against
+    STANDING queries — the saved-search/alerting read pattern over a
+    crawl stream (Elasticsearch-percolator shape; the reference has no
+    standing queries, but its AND-mode search semantics — posting-list
+    intersection, app.py:594-617 — define what "query matches doc"
+    means here). -> (doc_id, query_id), one row per firing query.
+
+    Inverted-query plan: never docs × queries. The standing queries are
+    normalized with the SAME pipeline as documents, exploded into a
+    (query_id, term) table and BROADCAST (standing-query sets are small
+    by construction); each doc's DISTINCT tokens probe it map-side, and
+    a query fires when all its distinct terms matched (count == arity —
+    AND semantics). Stateless, so the identical transform serves batch
+    frames and readStream micro-batches (run_percolate); at 100 TB of
+    stream the only aggregation keys on (doc_id, query_id) with map-side
+    partials and the document text never shuffles.
+
+    docs: (doc_id, norm) — the normalize_pages output. Queries that
+    normalize to zero tokens never fire."""
+    from search_engine_spark.functions.text import normalize_text
+
+    qterms, qsizes = [], []
+    for qid, text in queries:
+        toks = sorted({t for t in normalize_text(text).split(" ") if t})
+        if not toks:
+            continue
+        qsizes.append((qid, len(toks)))
+        qterms.extend((qid, t) for t in toks)
+    if not qterms:
+        return spark.createDataFrame([], "doc_id long, query_id long")
+    qt = spark.createDataFrame(qterms, "query_id long, term string")
+    qs = spark.createDataFrame(qsizes, "query_id long, n_terms int")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("norm"), " "))).alias(
+            "term"
+        ),
+    )
+    hits = (
+        toks.join(F.broadcast(qt), "term")
+        .groupBy("doc_id", "query_id")
+        .agg(F.count("*").alias("m"))
+    )
+    return (
+        hits.join(F.broadcast(qs), "query_id")
+        .filter(F.col("m") == F.col("n_terms"))
+        .select("doc_id", "query_id")
+    )
+
+
+def run_percolate(
+    spark: SparkSession,
+    input_dir: str,
+    queries: list[tuple[int, str]],
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Pages file-source -> normalize -> percolate -> parquet alert sink,
+    drained with availableNow. percolate()'s (doc, query) count is an
+    aggregation, but a PER-DOCUMENT one: a doc's tokens arrive in one
+    micro-batch, so applying the batch transform inside foreachBatch is
+    exact (no cross-batch state, no watermark needed) and stream output
+    == batch output on the same pages (tested)."""
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        percolate(
+            ib.normalize_pages(batch_df), queries, spark
+        ).write.mode("append").parquet(output_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

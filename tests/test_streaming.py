@@ -768,3 +768,47 @@ def test_term_search_uncompacted_torn_log_raises(spark, tmp_path):
     shutil.rmtree(f"{delta_dir(paths)}/batch=torn1")
     with pytest.raises(ValueError, match="postings delta log is torn"):
         search_uncompacted(SearchIndex(spark, paths), "best good", k=5)
+
+
+def test_percolate_stream_equals_batch(spark, tmp_path):
+    """Reverse search (standing-query alerting): hand-checked AND
+    semantics on the batch transform, and the streamed alert set must
+    equal the batch percolation of the same pages."""
+    from search_engine_spark.streaming.jobs import percolate, run_percolate
+
+    pages = generate_pages_df(spark, 250, partitions=4)
+    queries = [
+        (1, "best western"),        # common pair
+        (2, "good"),                # single frequent term
+        (3, "zzznosuchterm"),       # never fires
+        (4, "the and of"),          # all stopwords -> never fires
+    ]
+    docs = ib.normalize_pages(pages)
+    batch = percolate(docs, queries, spark)
+    rows = {(int(r["doc_id"]), int(r["query_id"])) for r in batch.collect()}
+    assert rows, "expected alerts on this corpus"
+    assert not any(q in (3, 4) for _, q in rows)
+    # AND semantics: every query-1 alert doc contains BOTH terms
+    tok = {
+        int(r["doc_id"]): set(r["norm"].split(" "))
+        for r in docs.select("doc_id", "norm").collect()
+    }
+    q1_expected = {
+        d for d, t in tok.items() if {"best", "western"} <= t
+    }
+    assert {d for d, q in rows if q == 1} == q1_expected
+    assert {d for d, q in rows if q == 2} == {
+        d for d, t in tok.items() if "good" in t
+    }
+    # stream == batch
+    src = tmp_path / "perc_in"
+    pages.write.parquet(str(src))
+    out = tmp_path / "perc_out"
+    run_percolate(
+        spark, str(src), queries, str(out), str(tmp_path / "perc_ckpt")
+    )
+    streamed = {
+        (int(r["doc_id"]), int(r["query_id"]))
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert streamed == rows
