@@ -1156,3 +1156,48 @@ def index_stats(index: SearchIndex) -> DataFrame:
         )
         .orderBy("barrel")
     )
+
+
+def search_corrected(
+    index: SearchIndex,
+    query: str,
+    k: int = 10,
+    mode: str = "OR",
+    max_dist: int = 2,
+) -> tuple[DataFrame, dict[str, str]]:
+    """Did-you-mean search: out-of-lexicon query tokens are replaced by
+    their best correction (correct_term's (dist, df desc, term) ranking)
+    before scoring. The reference silently DROPS unknown tokens
+    (app.py:398-401) — this is the recovery path a user actually wants
+    for a typo'd query. In-lexicon tokens are never rewritten; tokens
+    with no correction within max_dist stay dropped (reference
+    behavior). Returns (results, corrections) where corrections maps
+    each rewritten token to its replacement.
+
+    Cost: binding is the cached-lexicon dict probe (no job); one
+    correct_term top-1 scan per OOV token — typos are rare per query, so
+    the common case adds zero jobs."""
+    tokens = [t for t in normalize_text(query).split(" ") if t]
+    if not tokens:
+        return (
+            index.spark.createDataFrame([], "doc_id long, score double"),
+            {},
+        )
+    bound = index.bind_terms(query)
+    known = {b["term"] for b in bound.values()}
+    corrections: dict[str, str] = {}
+    out_tokens: list[str] = []
+    for t in dict.fromkeys(tokens):  # order-preserving unique
+        if t in known:
+            out_tokens.append(t)
+            continue
+        best = correct_term(index, t, max_dist=max_dist, k=1).collect()
+        if best:
+            corrections[t] = best[0]["term"]
+            out_tokens.append(best[0]["term"])
+    if not out_tokens:
+        return (
+            index.spark.createDataFrame([], "doc_id long, score double"),
+            corrections,
+        )
+    return search(index, " ".join(out_tokens), k=k, mode=mode), corrections

@@ -157,3 +157,18 @@ def test_index_stats_invariants(spark, spark_index):
         assert r["n_blob_rows"] >= r["n_terms"]
         assert r["compressed_bytes"] > 0
         assert r["max_blob_postings"] <= spark_index.n_docs
+
+
+def test_search_corrected_rewrites_typos(spark, spark_index):
+    from search_engine_spark.operators.query import search_corrected
+
+    res, corr = search_corrected(spark_index, "bezt westarn", k=5)
+    assert corr == {"bezt": "best", "westarn": "western"}
+    got = [(int(r["doc_id"]), float(r["score"])) for r in res.collect()]
+    want = search_topk(spark_index, "best western", k=5)
+    assert got == want and got
+    # in-lexicon tokens never rewritten; unknown-beyond-distance dropped
+    res2, corr2 = search_corrected(spark_index, "good qqqqqqqqqq", k=5)
+    assert corr2 == {}
+    got2 = [(int(r["doc_id"]), float(r["score"])) for r in res2.collect()]
+    assert got2 == search_topk(spark_index, "good", k=5)
