@@ -44,9 +44,17 @@ def _b64(col) -> F.Column:
     return F.regexp_replace(F.base64(col), "[\\r\\n]", "")
 
 
-def write_warc_lite(pages: DataFrame, path: str) -> None:
+def write_warc_lite(
+    pages: DataFrame, path: str, compression: str | None = None
+) -> None:
     """pages (url, warc_ts, html binary, text, lang) -> directory of
-    WARC-lite record files (one file per partition)."""
+    WARC-lite record files (one file per partition).
+
+    compression="gzip" mirrors Common-Crawl's .warc.gz reality: a
+    gzipped text file is NOT splittable (one task per file), so at scale
+    parallelism must come from FILE COUNT — repartition the frame to the
+    intended task count before writing, exactly as Common Crawl ships
+    ~60k gz segments per crawl. The loader reads both transparently."""
     rec = F.concat(
         F.lit("WARC/1.0\nWARC-Target-URI: "),
         F.col("url"),
@@ -61,7 +69,10 @@ def write_warc_lite(pages: DataFrame, path: str) -> None:
     )
     # the text sink appends "\n" per row, closing each record before the
     # next "WARC/1.0" magic
-    pages.select(rec.alias("value")).write.mode("overwrite").text(path)
+    w = pages.select(rec.alias("value")).write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
 
 
 def load_warc_lite(spark: SparkSession, path: str) -> DataFrame:

@@ -80,3 +80,14 @@ def test_warc_lite_unicode_and_empty_payloads(spark, tmp_path):
     d = str(tmp_path / "warc3")
     write_warc_lite(pages, d)
     assert _rows(load_warc_lite(spark, d)) == _rows(pages)
+
+
+def test_warc_lite_gzip_round_trip(spark, tmp_path):
+    """.warc.gz reality: gzipped record files read back bit-identical
+    (transparently decompressed; parallelism via file count — the writer
+    keeps one file per partition)."""
+    pages = generate_pages_df(spark, 200, partitions=4)
+    d = str(tmp_path / "warcgz")
+    write_warc_lite(pages, d, compression="gzip")
+    assert len([f for f in os.listdir(d) if f.endswith(".gz")]) == 4
+    assert _rows(load_warc_lite(spark, d)) == _rows(pages)
