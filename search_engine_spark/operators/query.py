@@ -1201,3 +1201,104 @@ def search_corrected(
             corrections,
         )
     return search(index, " ".join(out_tokens), k=k, mode=mode), corrections
+
+
+def search_many(
+    index: SearchIndex,
+    queries: dict[int, str],
+    k: int = 10,
+    mode: str = "OR",
+) -> DataFrame:
+    """Batch query execution: the whole workload in ONE Spark job —
+    -> (query_id, doc_id, score), each query's top-k, ordered
+    (query_id, rounded score desc, doc_id). Results are bit-equal to
+    running search() per query (tested); use it to replay a query log or
+    drive relevance evaluation, where per-query job scheduling (~0.5 s
+    here) would otherwise dominate.
+
+    Plan: one barrel+term-pruned probe over the UNION of all queries'
+    terms, one decode pass emitting the per-(term, doc) partials keyed by
+    a dense union-term index (the decode's rank channel — dense, so no
+    term_id-width concerns), a broadcast fan-out join from term index to
+    (query_id, per-query rank) — a term shared by q queries costs q
+    mapped rows, never a re-decode — then the per-(query, doc) ordered
+    float sum and a per-query window top-k. WAND is skipped (a single
+    theta cannot serve q different queries; the workload's economics are
+    throughput, and the shared decode amortizes what pruning would have
+    saved); per-doc sums keep the same sorted-term-string order as
+    search(), so floats match bit-for-bit."""
+    from pyspark.sql import Window
+
+    index.check_epoch()
+    spark = index.spark
+    out_schema = "query_id long, doc_id long, score double"
+    bound_by_q: dict[int, dict[int, dict]] = {
+        qid: index.bind_terms(text) for qid, text in queries.items()
+    }
+    union_terms = sorted({t for b in bound_by_q.values() for t in b})
+    if not union_terms:
+        return spark.createDataFrame([], out_schema)
+    dense = {tid: i for i, tid in enumerate(union_terms)}
+    idfs = {
+        tid: idf_value(
+            next(b[tid]["df"] for b in bound_by_q.values() if tid in b),
+            index.n_docs,
+        )
+        for tid in union_terms
+    }
+    probe = _probe(index, union_terms)
+    partials = _decode_score_df(index, probe, idfs, 0.0, {}, ranks=dense)
+    # term-index -> (query, per-query rank) fan-out; per-query rank is
+    # the term's position in THAT query's sorted-term-string order (the
+    # float-sum order search() uses)
+    fan = []
+    arity = {}
+    for qid, b in bound_by_q.items():
+        qranks = {
+            tid: i
+            for i, tid in enumerate(sorted(b, key=lambda t: b[t]["term"]))
+        }
+        arity[qid] = len(b)
+        fan.extend((dense[tid], qid, qranks[tid]) for tid in b)
+    if not fan:
+        return spark.createDataFrame([], out_schema)
+    fan_df = spark.createDataFrame(
+        fan, "rank long, query_id long, qrank int"
+    )
+    per_q = partials.join(F.broadcast(fan_df), "rank").select(
+        "query_id", "doc_id", "qrank", "score"
+    )
+    summed = (
+        per_q.groupBy("query_id", "doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("qrank", "score"))
+            ).alias("parts")
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.aggregate(
+                "parts", F.lit(0.0), lambda acc, x: acc + x["score"]
+            ).alias("score"),
+            F.size("parts").alias("n_terms"),
+        )
+    )
+    if mode == "AND":
+        arity_df = spark.createDataFrame(
+            list(arity.items()), "query_id long, arity int"
+        )
+        summed = summed.join(F.broadcast(arity_df), "query_id").filter(
+            F.col("n_terms") == F.col("arity")
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        summed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "doc_id", "score")
+        .orderBy(
+            "query_id", F.desc(F.round("score", 6)), F.asc("doc_id")
+        )
+    )

@@ -172,3 +172,27 @@ def test_search_corrected_rewrites_typos(spark, spark_index):
     assert corr2 == {}
     got2 = [(int(r["doc_id"]), float(r["score"])) for r in res2.collect()]
     assert got2 == search_topk(spark_index, "good", k=5)
+
+
+def test_search_many_equals_per_query(spark, spark_index):
+    """Batch execution must be bit-equal to per-query search() for every
+    query in the workload, OR and AND modes."""
+    from search_engine_spark.operators.query import search_many
+
+    workload = {
+        1: "best western",
+        2: "good well clean",
+        3: "breakfast",
+        4: "zzznotaterm",          # binds nothing -> absent from output
+    }
+    for mode in ("OR", "AND"):
+        out = search_many(spark_index, workload, k=10, mode=mode).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(int(r["query_id"]), []).append(
+                (int(r["doc_id"]), float(r["score"]))
+            )
+        assert 4 not in by_q
+        for qid, text in workload.items():
+            want = search_topk(spark_index, text, k=10, mode=mode)
+            assert by_q.get(qid, []) == want, (qid, mode)
