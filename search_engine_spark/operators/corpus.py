@@ -1846,12 +1846,13 @@ def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.md5(F.col("text")).alias("h"),
         n_tok.alias("n_tokens"),
-        # same composite as q_quality_score (rounded 6dp there = the
-        # published per-doc score; this is the mean of that published value)
-        F.round(
+        # same composite as q_quality_score but UNROUNDED: the per-doc
+        # value feeds the mean, and rounding an intermediate that feeds
+        # arithmetic is the exact-decimal-tie trap (CLAUDE.md) — only the
+        # final mean is rounded
+        (
             F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5
-            + (n_distinct / n_tok) * 0.5,
-            6,
+            + (n_distinct / n_tok) * 0.5
         ).alias("quality"),
     )
     return per_doc.groupBy("source").agg(
@@ -3022,8 +3023,8 @@ WITH toks AS (
 ),
 per_doc AS (
   SELECT doc_id, source, h, COUNT(*) AS n_tokens,
-         ROUND(LEAST(COUNT(*) / 100.0, 1.0) * 0.5
-               + (COUNT(DISTINCT term) * 1.0 / COUNT(*)) * 0.5, 6) AS quality
+         LEAST(COUNT(*) / 100.0, 1.0) * 0.5
+           + (COUNT(DISTINCT term) * 1.0 / COUNT(*)) * 0.5 AS quality
   FROM toks GROUP BY doc_id, source, h
 )
 SELECT source, COUNT(*) AS n_docs,

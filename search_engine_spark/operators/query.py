@@ -175,11 +175,22 @@ class SearchIndex:
 
     # -- step 1+2: query terms -> term ids (driver-side; lexicon probe is a
     # pushed-down IN filter, not a full scan)
-    def bind_terms(self, query: str) -> dict[int, dict]:
+    def bind_terms(self, query: str | list[str]) -> dict[int, dict]:
         """-> {term_id: {df, max_tf, min_dl}} for query terms in the
         lexicon. The (max_tf, min_dl) term bound rides along with the
-        binding, so WAND needs no extra metadata job over the postings."""
-        tokens = sorted({t for t in normalize_text(query).split(" ") if t})
+        binding, so WAND needs no extra metadata job over the postings.
+
+        A LIST argument is treated as ALREADY-NORMALIZED terms and looked
+        up verbatim — the path search_corrected needs: lexicon terms are
+        normalize outputs, and the lemmatizer is not idempotent (e.g.
+        'embed' would re-stem), so re-normalizing a corrected term could
+        silently un-bind it."""
+        if isinstance(query, (list, tuple, set)):
+            tokens = sorted({t for t in query if t})
+        else:
+            tokens = sorted(
+                {t for t in normalize_text(query).split(" ") if t}
+            )
         if not tokens:
             return {}
         if self._local_lexicon is not None:
@@ -479,7 +490,7 @@ def _weighted_term_bound(
 
 def search(
     index: SearchIndex,
-    query: str,
+    query: str | list[str],
     k: int = 10,
     mode: str = "OR",
     use_wand: bool = True,
@@ -699,22 +710,8 @@ def search_uncompacted(
         for i, tid in enumerate(sorted(term_ids, key=lambda t: bound[t]))
     }
     # postings-delta torn-log guard (the term-side analogue of the
-    # positional guard): a crash between ingest steps can leave doc_stats
-    # batches without postings batches — serving would miss those docs
-    ds_b = {
-        inc.os.path.basename(d)
-        for d in inc._batch_subdirs(inc.doc_stats_delta_dir(index.paths))
-    }
-    pd_b = {
-        inc.os.path.basename(d)
-        for d in inc._batch_subdirs(inc.delta_dir(index.paths))
-    }
-    if ds_b != pd_b:
-        raise ValueError(
-            "postings delta log is torn (doc_stats batches "
-            f"{sorted(ds_b - pd_b)} have no postings delta): re-ingest "
-            "the batch or run streaming.incremental.compact() first"
-        )
+    # positional guard) — owned by the delta-log layer
+    inc.check_postings_log(index.paths)
     cols = ["term_id", "doc_id", "tf", "tf1", "dl", "dl1"]
     probe = _probe(index, term_ids)
     if field_weights is not None and "dls1" not in probe.columns:
@@ -736,7 +733,10 @@ def search_uncompacted(
         .filter(F.col("term_id").isin(term_ids))
         .select(*cols)
     )
-    union_rows = base.unionByName(delta_rows)
+    # localCheckpoint: the df aggregate below and the scoring pass both
+    # consume this subtree (base-barrel decode + delta fold + anti-join)
+    # — without it the whole thing executes twice per query
+    union_rows = base.unionByName(delta_rows).localCheckpoint(eager=False)
     # live union df per term: the union rows ARE the term's posting list
     # (unique per (term, doc) — base is, delta is latest-wins, overlap is
     # anti-joined), so COUNT is exact document frequency
@@ -990,6 +990,7 @@ def suggest_terms(index: SearchIndex, prefix: str, k: int = 10) -> DataFrame:
     Serves the BASE lexicon: terms that exist only in un-compacted
     ingest deltas start completing after compact() (type-ahead tolerates
     bounded staleness; exact fresh search is search_uncompacted's job)."""
+    index.check_epoch()
     p = prefix.strip().lower()
     spark = index.spark
     if not p:
@@ -1022,6 +1023,7 @@ def correct_term(
     The word is only LOWERCASED: it is by hypothesis misspelled, so the
     stopword filter could delete it and the rule lemmatizer could rewrite
     the typo before correction sees it."""
+    index.check_epoch()
     w = word.strip().lower()
     spark = index.spark
     empty_schema = "term string, term_id long, df long, dist int"
@@ -1135,11 +1137,17 @@ def index_stats(index: SearchIndex) -> DataFrame:
     and nothing is decoded; the agg is one associative pass. The same
     numbers per build STEP live in the manifest (per-partition lineage);
     this is the live-table view."""
+    index.check_epoch()
+    # legacy (pre-field-channel) barrels lack tf1s/dls1 — include only
+    # the columns this index actually has (decode_postings_rows applies
+    # the same gate)
+    blob_cols = [
+        c
+        for c in ("doc_deltas", "tfs", "dls", "tf1s", "dls1")
+        if c in index.postings.columns
+    ]
     blob_bytes = sum(
-        [
-            F.coalesce(F.octet_length(c), F.lit(0))
-            for c in ("doc_deltas", "tfs", "dls", "tf1s", "dls1")
-        ],
+        [F.coalesce(F.octet_length(c), F.lit(0)) for c in blob_cols],
         F.lit(0),
     )
     p = index.postings.select(
@@ -1200,7 +1208,11 @@ def search_corrected(
             index.spark.createDataFrame([], "doc_id long, score double"),
             corrections,
         )
-    return search(index, " ".join(out_tokens), k=k, mode=mode), corrections
+    # bind the corrected terms AS A LIST (already normalized): joining
+    # them back into a query string would re-run normalize, and the
+    # lemmatizer is not idempotent — a corrected lexicon term could
+    # re-stem into an out-of-lexicon token and silently drop
+    return search(index, out_tokens, k=k, mode=mode), corrections
 
 
 def search_many(

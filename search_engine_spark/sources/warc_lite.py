@@ -55,17 +55,28 @@ def write_warc_lite(
     parallelism must come from FILE COUNT — repartition the frame to the
     intended task count before writing, exactly as Common Crawl ships
     ~60k gz segments per crawl. The loader reads both transparently."""
+    # framing guards: header VALUES must be single-line (a newline in a
+    # url would split the record and corrupt every later field), and
+    # F.concat is null-propagating (one NULL field would null the whole
+    # record) — so headers are newline-stripped and every field
+    # null-coalesces to its empty value
+    hdr = lambda c: F.regexp_replace(  # noqa: E731
+        F.coalesce(c, F.lit("")), "[\\r\\n]", ""
+    )
     rec = F.concat(
         F.lit("WARC/1.0\nWARC-Target-URI: "),
-        F.col("url"),
+        hdr(F.col("url")),
         F.lit("\nWARC-Date: "),
-        F.date_format("warc_ts", _TS_FMT_W),
+        F.coalesce(
+            F.date_format("warc_ts", _TS_FMT_W),
+            F.lit("1970-01-01T00:00:00.000000Z"),
+        ),
         F.lit("\nContent-Language: "),
-        F.col("lang"),
+        hdr(F.col("lang")),
         F.lit("\nX-Text-B64: "),
-        _b64(F.col("text").cast("binary")),
+        _b64(F.coalesce(F.col("text"), F.lit("")).cast("binary")),
         F.lit("\n\n"),
-        _b64(F.col("html")),
+        _b64(F.coalesce(F.col("html"), F.lit(b""))),
     )
     # the text sink appends "\n" per row, closing each record before the
     # next "WARC/1.0" magic

@@ -313,6 +313,27 @@ def union_corpus_stats(
     return n_docs, total_dl, total_dl1
 
 
+def check_postings_log(paths: ib.IndexPaths) -> None:
+    """Raise if the postings delta log is torn — the batch-dir set under
+    postings_delta must equal the one under doc_stats_delta (a crash
+    between ingest steps can leave either side short). Serving the union
+    corpus over a torn log would silently miss or half-apply those docs;
+    compact()/re-ingest repairs. Owned here, next to the positional
+    guard, so every delta-log consumer shares one invariant check
+    (query.search_uncompacted calls this)."""
+    ds_b = {
+        os.path.basename(d) for d in _batch_subdirs(doc_stats_delta_dir(paths))
+    }
+    pd_b = {os.path.basename(d) for d in _batch_subdirs(delta_dir(paths))}
+    if ds_b != pd_b:
+        raise ValueError(
+            "postings delta log is torn (batch sets differ between "
+            f"doc_stats and postings deltas: {sorted(ds_b ^ pd_b)}): "
+            "re-ingest the batch or run streaming.incremental.compact() "
+            "first"
+        )
+
+
 def uncompacted_snapshot(spark: SparkSession, paths: ib.IndexPaths) -> dict | None:
     """Serving view of the UNION corpus (base ∪ un-compacted deltas) for
     phrase queries (query.search_phrase) and fresh term queries

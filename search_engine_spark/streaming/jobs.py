@@ -293,13 +293,18 @@ def run_percolate(
     aggregation, but a PER-DOCUMENT one: a doc's tokens arrive in one
     micro-batch, so applying the batch transform inside foreachBatch is
     exact (no cross-batch state, no watermark needed) and stream output
-    == batch output on the same pages (tested)."""
+    == batch output on the same pages (tested).
+
+    Idempotent per batch: foreachBatch is at-least-once, so each batch
+    writes its OWN batch=<id> directory with mode=overwrite (the same
+    replay discipline as ingest_stream) — a replayed micro-batch rewrites
+    its directory instead of double-appending alerts."""
     stream = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         percolate(
             ib.normalize_pages(batch_df), queries, spark
-        ).write.mode("append").parquet(output_dir)
+        ).write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(process)
