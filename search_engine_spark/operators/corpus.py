@@ -28,7 +28,7 @@ No Python UDFs anywhere in this module (hot paths are JVM-only).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from search_engine_spark.functions.text import STOPWORDS_LIST
 
@@ -763,6 +763,104 @@ _N_HASHES = 16
 _LSH_BANDS = 4
 _LSH_ROWS = 4  # _N_HASHES == _LSH_BANDS * _LSH_ROWS
 
+# Per-(band, band_key) bucket cap for the banding self-joins (round 4,
+# VERDICT r3 #1 — the last quadratic). Exact-dup pre-collapse kills
+# byte-identical clusters, but a NEAR-dup mega-cluster (10^5 templated
+# pages differing only in a timestamp) survives collapse as 10^5 distinct
+# reps that still share every band key — the uncapped bucket self-join
+# would emit c·(c−1)/2 candidates again. 32 keeps the driver-gate corpora
+# on the single-shard fast path (identical output) while bounding a
+# mega-bucket at O(c·32).
+_BUCKET_CAP = 32
+
+
+def _capped_bucket_pairs(
+    keys: DataFrame,
+    id_col: str,
+    key_cols: tuple[str, str],
+    cap: int = _BUCKET_CAP,
+) -> DataFrame:
+    """Bucket self-join with a per-bucket size cap — shared by the MinHash-
+    LSH, SimHash, and RP-LSH candidate generators. Returns distinct
+    (_a, _b) id pairs with _a < _b.
+
+    Rows of a bucket are ranked by id (row_number — deterministic, and
+    mirrored exactly by the DuckDB oracles via `_capped_cands_sql`) and
+    split into shards of ≤ cap. Candidates are (a) all pairs WITHIN a
+    shard (≤ cap·(cap−1)/2 each) plus (b) a representative CHAIN: the min
+    id of each shard paired with the min id of the next shard. The chain
+    is a spanning structure over the bucket, so connected-components
+    clustering (q_dedup_clusters) sees the same components as the
+    uncapped join once the chain pairs pass the downstream verify —
+    components need a spanning structure, not all pairs. Per bucket the
+    output is O(c·cap) instead of O(c²); buckets of ≤ cap rows take the
+    single-shard path, whose output is IDENTICAL to the plain self-join.
+
+    Scale shape: the row_number window shuffles on the same
+    (band, band_key) key the join needs, so the plan gains a sort but no
+    extra exchange class; a mega-bucket's c rows land in one window task,
+    which is linear work (the c² pair blow-up was the hazard, not c).
+    Shard ids are ordered by id, so the chain's _a < _b holds by
+    construction (every id in shard s sorts below every id in s+1)."""
+    b1, b2 = key_cols
+    w = Window.partitionBy(b1, b2).orderBy(id_col)
+    sharded = keys.withColumn(
+        "shard", F.floor((F.row_number().over(w) - 1) / cap).cast("int")
+    )
+    sa = sharded.select(F.col(id_col).alias("_a"), b1, b2, "shard")
+    sb = sharded.select(F.col(id_col).alias("_b"), b1, b2, "shard")
+    within = (
+        sa.join(sb, [b1, b2, "shard"])
+        .filter(F.col("_a") < F.col("_b"))
+        .select("_a", "_b")
+    )
+    reps = sharded.groupBy(b1, b2, "shard").agg(F.min(id_col).alias("rid"))
+    nxt = reps.select(
+        b1, b2, (F.col("shard") - 1).alias("shard"), F.col("rid").alias("_b")
+    )
+    chain = reps.join(nxt, [b1, b2, "shard"]).select(
+        F.col("rid").alias("_a"), "_b"
+    )
+    return within.unionByName(chain).distinct()
+
+
+def _capped_cands_sql(
+    src: str,
+    id_col: str,
+    key_cols: tuple[str, str],
+    a: str,
+    b: str,
+    cap: int = _BUCKET_CAP,
+) -> str:
+    """DuckDB mirror of `_capped_bucket_pairs`: CTE chain ending in
+    `cands({a}, {b})` over the (id, band, band_key) rows of CTE `src` —
+    same deterministic row_number sharding, same within-shard pairs +
+    shard-representative chain."""
+    k1, k2 = key_cols
+    return f"""
+sharded AS (
+  SELECT {id_col}, {k1}, {k2},
+         (ROW_NUMBER() OVER (PARTITION BY {k1}, {k2} ORDER BY {id_col}) - 1)
+           // {cap} AS shard
+  FROM {src}
+),
+shard_reps AS (
+  SELECT {k1}, {k2}, shard, MIN({id_col}) AS rid
+  FROM sharded GROUP BY {k1}, {k2}, shard
+),
+cands AS (
+  SELECT DISTINCT {a}, {b} FROM (
+    SELECT x.{id_col} AS {a}, y.{id_col} AS {b}
+    FROM sharded x JOIN sharded y
+      ON x.{k1} = y.{k1} AND x.{k2} = y.{k2} AND x.shard = y.shard
+    WHERE x.{id_col} < y.{id_col}
+    UNION ALL
+    SELECT x.rid AS {a}, y.rid AS {b}
+    FROM shard_reps x JOIN shard_reps y
+      ON x.{k1} = y.{k1} AND x.{k2} = y.{k2} AND y.shard = x.shard + 1
+  ) u
+)"""
+
 
 def _ngrams_of(arr: Column, n: int) -> Column:
     """Word n-grams over a token array via ITERATED zip_with — the lambda
@@ -894,7 +992,9 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(spark, sf_dir)
 
 
-def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_lsh_candidate_pairs(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
     """LSH banding over the 3-gram MinHash signature, b=4 bands × r=4
     rows: band key = md5 of the band's 4 minhashes concatenated in seed
     order; docs sharing any band key become candidate near-dup pairs
@@ -910,7 +1010,12 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single 10^5-doc boilerplate cluster at web scale. Pairs for the dup
     cluster's members are implied via their representative; exact dups
     themselves are q_dedup_exact's output. tests/test_dedup_scale.py
-    asserts O(c) behavior on a synthetic 1k-member cluster."""
+    asserts O(c) behavior on a synthetic 1k-member cluster.
+
+    The bucket self-join itself is CAPPED at _BUCKET_CAP rows per
+    (band, band_key) via `_capped_bucket_pairs` (round 4) — the guard
+    for NEAR-dup mega-clusters that survive exact-dup collapse but still
+    share every band key."""
     wide = _minhash_wide(spark, sf_dir, reps_only=True)
     # band keys straight off the wide signature row — same md5(concat in
     # seed order) as before, but with NO second shuffle: the previous
@@ -939,14 +1044,10 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bk.band").alias("band"),
         F.col("bk.band_key").alias("band_key"),
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
-    return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return _capped_bucket_pairs(
+        bands, "doc_id", ("band", "band_key"),
+        cap=_BUCKET_CAP if cap is None else cap,
+    ).select(F.col("_a").alias("doc_a"), F.col("_b").alias("doc_b"))
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1053,7 +1154,9 @@ def _simhash_of(tok: DataFrame) -> DataFrame:
     return wide.select("doc_id", *sims)
 
 
-def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_simhash_near_dup(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
     """Hamming-banded SimHash near-dup pairs: candidate pairs share at
     least one identical 16-bit band (pigeonhole: any two 64-bit prints
     within Hamming distance 3 share a clean band; the ≤6 threshold keeps
@@ -1065,7 +1168,9 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact dups are Hamming-0 by construction and belong to
     q_dedup_exact) — the same c·(c−1)/2 bucket-self-join hazard applies
     verbatim; the semi-join happens BEFORE token explode so dup texts
-    never enter the 64-way bit fan-out either."""
+    never enter the 64-way bit fan-out either. The band bucket self-join
+    is capped per (band, band_val) via `_capped_bucket_pairs` (round 4)
+    against near-dup mega-clusters."""
     reps = exact_dup_reps(spark, sf_dir)
     rep_tok = (
         documents(spark, sf_dir)
@@ -1080,14 +1185,10 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.col(f"sim{j}") for j in range(_SIMHASH_BANDS)])
         ).alias("band", "band_val"),
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_val")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_val")
-    cands = (
-        a.join(b, ["band", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cands = _capped_bucket_pairs(
+        bands, "doc_id", ("band", "band_val"),
+        cap=_BUCKET_CAP if cap is None else cap,
+    ).select(F.col("_a").alias("doc_a"), F.col("_b").alias("doc_b"))
     sa = sim.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"sim{j}").alias(f"a{j}") for j in range(_SIMHASH_BANDS)],
@@ -1463,7 +1564,9 @@ def _rp_qemb() -> Column:
     )
 
 
-def q_embedding_rp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_embedding_rp_near_dup(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
     """Global embedding near-dup candidates via random-hyperplane LSH
     banding + exact cosine verify — the candidate-then-verify shape at
     corpus scale, no blocking key required (reference parity: the same
@@ -1482,7 +1585,9 @@ def q_embedding_rp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     random pairs (bit prob ≈ ½) collide in ≥1 band w.p. ≈ 4·2⁻⁸ ≈ 1.6%,
     true near-dups (cosine ≥ .95, bit prob 1−θ/π ≈ .93) w.p. ≈ .97;
     (4) exact cosine ≥ 0.35 verify on the sparse candidate set (same
-    output contract as q_embedding_dup_pairs)."""
+    output contract as q_embedding_dup_pairs). The band bucket self-join
+    is capped per (band, band_key) via `_capped_bucket_pairs` (round 4)
+    against near-identical-embedding mega-clusters."""
     emb = embeddings(spark, sf_dir).select("vec_id", _rp_qemb().alias("q"))
     qh = F.md5(
         F.concat_ws(",", F.transform(F.col("q"), lambda x: x.cast("string")))
@@ -1503,14 +1608,10 @@ def q_embedding_rp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bk.band_key").alias("band_key"),
         )
     )
-    ka = keys.select(F.col("vec_id").alias("vec_a"), "band", "band_key")
-    kb = keys.select(F.col("vec_id").alias("vec_b"), "band", "band_key")
-    cands = (
-        ka.join(kb, ["band", "band_key"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
+    cands = _capped_bucket_pairs(
+        keys, "vec_id", ("band", "band_key"),
+        cap=_BUCKET_CAP if cap is None else cap,
+    ).select(F.col("_a").alias("vec_a"), F.col("_b").alias("vec_b"))
     ea = embeddings(spark, sf_dir).select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
     )
@@ -1563,21 +1664,21 @@ _EN_MARKERS = ["the", "and", "of", "to", "a", "in", "is", "for", "with", "on"]
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: share of tokens that are English marker
     stopwords; predict 'en' above threshold. (doc_id, en_ratio, lang_pred)
-    over ALL docs (no lang filter — that column is what we're predicting)."""
-    toks = documents(spark, sf_dir).select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-    )
-    ratio = toks.groupBy("doc_id").agg(
-        F.round(
-            F.sum(F.when(F.col("term").isin(_EN_MARKERS), 1).otherwise(0))
-            / F.count("*"),
-            6,
-        ).alias("en_ratio")
-    )
-    return ratio.select(
+    over ALL docs (no lang filter — that column is what we're predicting).
+
+    ZERO-shuffle (round 4, VERDICT r3 #3): the signal is within-document,
+    so the marker count is an array intrinsic inside the projection
+    (size(filter(...)) — InSet-optimized) instead of explode → groupBy;
+    the previous shape exchanged ~1 row/doc, this one exchanges nothing.
+    Integer count / integer count is the same double division the
+    explode-form agg computed — bit-identical to the DuckDB oracle."""
+    arr = F.split(F.col("text"), " ")
+    markers = F.size(F.filter(arr, lambda t: t.isin(*_EN_MARKERS)))
+    ratio = F.round(markers / F.size(arr), 6)
+    return documents(spark, sf_dir).select(
         "doc_id",
-        "en_ratio",
-        F.when(F.col("en_ratio") >= 0.03, F.lit("en")).otherwise(F.lit("other")).alias(
+        ratio.alias("en_ratio"),
+        F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("other")).alias(
             "lang_pred"
         ),
     )
@@ -1586,40 +1687,55 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token count, mean token length, type-token ratio,
     and a composite quality score — the standard pre-training corpus
-    filters, as one pass of hash aggs."""
-    toks = documents(spark, sf_dir).select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    filters.
+
+    ZERO-shuffle (round 4, VERDICT r3 #3): every signal is
+    within-document, so all of them are array intrinsics inside the
+    projection — size / array_distinct / a length-sum fold. The previous
+    shape's count_distinct planned as a distinct agg that shipped every
+    distinct (doc_id, token) pair through an exchange (roughly the full
+    token stream — the largest avoidable shuffle in the curation suite);
+    this ships nothing. Arithmetic parity: sum-of-int-lengths / int count
+    and distinct-size / size are the same exact-integer-fed double
+    divisions the agg form computed, ttr stays raw (unrounded) into the
+    composite (CLAUDE.md round-only-final-floats), so values are
+    bit-identical to the unchanged DuckDB oracle."""
+    arr = F.split(F.col("text"), " ")
+    n_tokens = F.size(arr)
+    len_sum = F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
-    per_doc = toks.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_tokens"),
-        F.round(F.avg(F.length("term")), 6).alias("avg_token_len"),
-        # raw (unrounded) ttr: rounding first would make the quality formula
-        # hit exact decimal ties, where Spark/DuckDB round() diverge
-        (F.count_distinct(F.col("term")) / F.count("*")).alias("ttr_raw"),
-    )
+    ttr_raw = F.size(F.array_distinct(arr)) / n_tokens
     quality = F.round(
-        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.5
-        + F.col("ttr_raw") * 0.5,
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5 + ttr_raw * 0.5,
         6,
     )
-    return per_doc.select(
+    return documents(spark, sf_dir).select(
         "doc_id",
-        "n_tokens",
-        "avg_token_len",
-        F.round("ttr_raw", 6).alias("ttr"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(len_sum / n_tokens, 6).alias("avg_token_len"),
+        F.round(ttr_raw, 6).alias("ttr"),
         quality.alias("quality"),
     )
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish subword estimate
-    (ceil(len/4) pieces per word — the standard chars/4 heuristic)."""
-    toks = documents(spark, sf_dir).select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    (ceil(len/4) pieces per word — the standard chars/4 heuristic).
+    ZERO-shuffle (round 4, VERDICT r3 #3): both counts are within-document
+    array intrinsics in the projection — size + a ceil(len/4) fold — vs
+    the previous explode → groupBy that exchanged ~1 row/doc. ceil is
+    exact on the len/4.0 doubles, so the fold sum equals the agg sum."""
+    arr = F.split(F.col("text"), " ")
+    bpe = F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0),
     )
-    return toks.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("ws_tokens"),
-        F.sum(F.ceil(F.length("term") / 4.0)).cast("long").alias("bpe_tokens"),
+    return documents(spark, sf_dir).select(
+        "doc_id",
+        F.size(arr).cast("long").alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
     )
 
 
@@ -1674,8 +1790,13 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse (keep the min-doc_id representative per content hash), and
     near-dup removal (drop the larger id of every ≥0.9-Jaccard LSH
     pair). One declarative plan: each stage is a semi/anti join on
-    doc_id — at 100 TB the joins broadcast the (small) drop/keep sets or
-    shuffle by doc_id, never the text."""
+    doc_id — at 100 TB the joins shuffle by doc_id only, never the text.
+    The drop set carries NO broadcast hint (round 4, VERDICT r3 #2): on a
+    web crawl near-dup drops are 10-50% of the corpus — billions of ids —
+    and a hint is obeyed regardless of size (driver OOM, not a slow
+    plan). AQE still converts the join to broadcast when the set is
+    genuinely small at runtime; the doc_id shuffle anti-join is the safe
+    default."""
     lang_ok = (
         q_lang_id(spark, sf_dir)
         .filter(F.col("lang_pred") == "en")
@@ -1694,7 +1815,7 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         qual.join(lang_ok, "doc_id", "left_semi")
         .join(keep_exact, "doc_id", "left_semi")
-        .join(F.broadcast(drops), "doc_id", "left_anti")
+        .join(drops, "doc_id", "left_anti")
         .select("doc_id", "n_tokens", "quality")
     )
 
@@ -1939,11 +2060,25 @@ def _connected_components(edges: DataFrame) -> DataFrame:
     flattens into per-component stars centered at the minimum; at
     fixpoint every non-root appears exactly once as a source pointing
     at its component min. Per round the frame is localCheckpointed (the
-    lineage would otherwise double) and convergence is the rigorous
-    set-equality check (two exceptAll probes on the checkpointed
-    frames); at true web scale the probes would be replaced by a
-    one-pass (count, order-invariant checksum) agg — same job count,
-    collision-checked instead of exact."""
+    lineage would otherwise double) and convergence is ONE (count,
+    order-invariant checksum) agg job over the new frame (round 4,
+    VERDICT r3 #9 — replacing the two exceptAll probe jobs per round):
+    both frames are distinct sets of (u, v) rows, so equal count + equal
+    sum-of-row-hashes means set equality up to a 64-bit checksum
+    collision on same-size sets — negligible, and the large/small-star
+    contraction is correct under a missed fixpoint anyway (one wasted
+    extra round, never a wrong label, since iteration continues until
+    the cap)."""
+
+    def _stats(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*"),
+            F.sum(F.hash("u", "v").cast("long")),
+            F.sum("u"),
+            F.sum("v"),
+        ).first()
+        return tuple(row)
+
     e = (
         edges.select(
             F.greatest("doc_a", "doc_b").alias("u"),
@@ -1953,6 +2088,7 @@ def _connected_components(edges: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    stats = _stats(e)
     for _ in range(_CC_MAX_ITERS):
         # large-star: over the symmetrized neighborhood of each u, point
         # every neighbor v > u at m = min(N(u) ∪ {u})
@@ -1984,10 +2120,9 @@ def _connected_components(edges: DataFrame) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        converged = (
-            new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty()
-        )
-        e = new_e
+        new_stats = _stats(new_e)
+        converged = new_stats == stats
+        e, stats = new_e, new_stats
         if converged:
             break
     labels = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
@@ -2084,8 +2219,12 @@ def q_corpus_select_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps one per connected component (the standard fuzzy-dedup stance in
     pre-training pipelines). Exact-dup members need no separate keep-set
     here — they are non-representatives of their cluster by
-    construction. Plan: the cluster labels (small: only dup-involved
-    docs) broadcast into one anti-join; text never shuffles."""
+    construction. Plan: one anti-join on the non-representative set; text
+    never shuffles. No broadcast hint (round 4, VERDICT r3 #2): the
+    dup-involved doc set on a web crawl is corpus-proportional, and a
+    hint is obeyed regardless of size — AQE broadcasts when the runtime
+    size is genuinely small, the doc_id shuffle anti-join is the safe
+    default."""
     lang_ok = (
         q_lang_id(spark, sf_dir)
         .filter(F.col("lang_pred") == "en")
@@ -2099,7 +2238,7 @@ def q_corpus_select_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         qual.join(lang_ok, "doc_id", "left_semi")
-        .join(F.broadcast(non_reps), "doc_id", "left_anti")
+        .join(non_reps, "doc_id", "left_anti")
         .select("doc_id", "n_tokens", "quality")
     )
 
@@ -2157,8 +2296,12 @@ sig AS (
 
 # b×r LSH banding over the 3-gram signature (mirror of
 # q_lsh_candidate_pairs: band key = md5 of the band's minhashes in seed
-# order)
-_LSH_CANDS_CTE = f"""
+# order; the bucket self-join is capped via _capped_cands_sql exactly
+# like the Spark side)
+
+
+def _lsh_cands_cte(cap: int = _BUCKET_CAP) -> str:
+    return f"""
 bands AS (
   SELECT doc_id, band,
          md5(STRING_AGG(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS band_key
@@ -2166,12 +2309,12 @@ bands AS (
         FROM sig) s
   GROUP BY doc_id, band
 ),
-cands AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-  WHERE a.doc_id < b.doc_id
-)
+{_capped_cands_sql("bands", "doc_id", ("band", "band_key"),
+                   "doc_a", "doc_b", cap).strip()}
 """
+
+
+_LSH_CANDS_CTE = _lsh_cands_cte()
 
 # exact-dup representative set (min doc_id per distinct text) — the
 # pre-collapse the near-dup candidate oracles mirror (exact_dup_reps)
@@ -2342,14 +2485,11 @@ keys AS (
                   ELSE 0 END) AS band_key
   FROM proj GROUP BY vec_id, band
 ),
-cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM keys a JOIN keys b
-    ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
-),
+{_capped_cands_sql("keys", "vec_id", ("band", "band_key"),
+                   "vec_a", "vec_b").strip()},
 pairs AS (
   SELECT c.vec_a, c.vec_b, ea.embedding AS emb_a, eb.embedding AS emb_b
-  FROM cand c
+  FROM cands c
   JOIN embeddings ea ON ea.vec_id = c.vec_a
   JOIN embeddings eb ON eb.vec_id = c.vec_b
 ),
@@ -2736,27 +2876,32 @@ WITH {_SIMHASH_CTE}
 SELECT doc_id, sim0, sim1, sim2, sim3 FROM sim
 """
 
-ORACLE_SQL["simhash_near_dup"] = f"""
+def _simhash_near_dup_sql(cap: int = _BUCKET_CAP) -> str:
+    """Mirror of q_simhash_near_dup incl. the capped bucket self-join:
+    shard assignment runs over the reps-only band rows, matching the
+    Spark side (which builds bands from reps-only SimHashes)."""
+    return f"""
 WITH {_REPS_CTE_SQL},
 {_SIMHASH_CTE},
-scands AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM per_band a JOIN per_band b
-    ON a.band = b.band AND a.band_val = b.band_val
-  WHERE a.doc_id < b.doc_id
-    AND a.doc_id IN (SELECT doc_id FROM reps)
-    AND b.doc_id IN (SELECT doc_id FROM reps)
-)
+rb AS (
+  SELECT doc_id, band, band_val FROM per_band
+  WHERE doc_id IN (SELECT doc_id FROM reps)
+),
+{_capped_cands_sql("rb", "doc_id", ("band", "band_val"),
+                   "doc_a", "doc_b", cap).strip()}
 SELECT doc_a, doc_b, hamming FROM (
   SELECT c.doc_a, c.doc_b,
          CAST(bit_count(xor(sa.sim0, sb.sim0)) + bit_count(xor(sa.sim1, sb.sim1))
             + bit_count(xor(sa.sim2, sb.sim2)) + bit_count(xor(sa.sim3, sb.sim3))
               AS INT) AS hamming
-  FROM scands c
+  FROM cands c
   JOIN sim sa ON sa.doc_id = c.doc_a
   JOIN sim sb ON sb.doc_id = c.doc_b
 ) h WHERE hamming <= {_SIMHASH_HAMMING_MAX}
 """
+
+
+ORACLE_SQL["simhash_near_dup"] = _simhash_near_dup_sql()
 
 # field-aware scoring oracles: tf_title = tokens at pos < TITLE_LEN
 _FIELD_TF_CTE = f"""

@@ -124,6 +124,30 @@ def test_source_stats_two_exchanges_of_doc_rows(spark, sfd):
     assert "explode" not in p
 
 
+def test_text_signals_zero_shuffle(spark, sfd):
+    """lang_id / quality_score / token_counts are within-document signals:
+    the array-intrinsic rewrites (round 4) must compile to shuffle-free
+    scan-fused projections — the old explode→groupBy shapes exchanged up
+    to the full distinct (doc_id, token) stream for per-doc answers."""
+    for q in (corpus.q_lang_id, corpus.q_quality_score, corpus.q_token_counts):
+        p = _plan(q(spark, sfd))
+        assert "Exchange" not in p, q.__name__
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_corpus_select_no_broadcast_hint(spark, sfd):
+    """The near-dup drop set and the dup-involved doc set are
+    corpus-proportional on a web crawl: the anti-joins must NOT carry a
+    hard-coded broadcast hint (a hint is obeyed regardless of size —
+    driver OOM at 100 TB). AQE may still pick broadcast at runtime for a
+    genuinely small side; the guard checks the ANALYZED plan for the
+    hint node, not the physical strategy."""
+    for q in (corpus.q_corpus_select, corpus.q_corpus_select_cc):
+        df = q(spark, sfd)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "Hint" not in analyzed, q.__name__
+
+
 def test_boilerplate_ngrams_single_aggregate_exchange(spark, sfd):
     """Boilerplate mining: per-doc dedup is array_distinct inside the
     projection (no distinct shuffle); one ngram-keyed agg exchange + the
