@@ -216,6 +216,50 @@ def run_bench(sf_dir: str, cpus: str, scaling: bool) -> dict:
             if rnd:  # keep only the latest index on disk
                 shutil.rmtree(f"{work}/index_r{rnd - 1}", ignore_errors=True)
 
+        # query-UX surface (VERDICT r3 #10): autocomplete, spelling
+        # correction (banded scan AND SymSpell artifact), KWIC snippets,
+        # batch workload execution — same best-of-N interleaved
+        # discipline, over the last round's index. The spell artifact and
+        # the positional index are one-time BUILD costs (recorded under
+        # their own keys, not mixed into query latency).
+        from search_engine_spark.operators.query import (
+            correct_term, search_many, snippets, suggest_terms,
+        )
+
+        last_paths = ib.IndexPaths(f"{work}/index_r{N_ROUNDS - 1}")
+        t0 = time.monotonic()
+        ib.build_spell_index(spark, last_paths)
+        record("ux_spell_build", time.monotonic() - t0)
+        pos_paths = ib.IndexPaths(f"{work}/index_pos")
+        t0 = time.monotonic()
+        ib.build_index(
+            spark, pages, pos_paths,
+            n_salts=8, salt_threshold=2000, n_barrels=32,
+            with_positions=True,
+        )
+        record("engine_build_positions", time.monotonic() - t0)
+        ux_idx = SearchIndex(spark, last_paths)
+        pos_idx = SearchIndex(spark, pos_paths)
+        workload = dict(
+            enumerate(q for q, _, _ in ENGINE_QUERIES.values())
+        )
+        for _ in range(N_ROUNDS):
+            t0 = time.monotonic()
+            suggest_terms(ux_idx, "we", k=10).collect()
+            record("ux_suggest", time.monotonic() - t0)
+            t0 = time.monotonic()
+            correct_term(ux_idx, "westarn", k=10, use_spell=False).collect()
+            record("ux_correct_scan", time.monotonic() - t0)
+            t0 = time.monotonic()
+            correct_term(ux_idx, "westarn", k=10).collect()
+            record("ux_correct_spell", time.monotonic() - t0)
+            t0 = time.monotonic()
+            search_many(ux_idx, workload, k=10).collect()
+            record("ux_search_many", time.monotonic() - t0)
+            t0 = time.monotonic()
+            snippets(pos_idx, "best western", pages, k=10).collect()
+            record("ux_snippets", time.monotonic() - t0)
+
         timings.update({k: round(v, 3) for k, v in best.items()})
         extra["build_docs_per_sec"] = round(
             n_pages / best["engine_build"], 1

@@ -190,6 +190,29 @@ def _block_starts(n: int, block: int = BLOCK) -> np.ndarray:
     return np.arange(0, n, block, dtype=np.int64)
 
 
+def decode_docids_blocks(doc_deltas: bytes, db_lens: np.ndarray) -> np.ndarray:
+    """Decode ONLY the doc-id stream of a blob row — the tf/dl/field
+    streams are never touched. Used by the freshness-window stats pass
+    (query.search_uncompacted): exact live df needs the base doc ids (to
+    subtract delta-superseded docs) but none of the frequency payload.
+    Same per-block layout as decode_posting_blocks with keep=None: each
+    block restarts with an absolute (biased) first key, then gaps."""
+    db_lens = np.asarray(db_lens, dtype=np.int64)
+    nb = len(db_lens)
+    if nb == 0:
+        return np.empty(0, dtype=np.int64)
+    vals = varint_decode(doc_deltas)
+    counts = np.full(nb, BLOCK, dtype=np.int64)
+    counts[-1] = len(vals) - BLOCK * (nb - 1)
+    cs = np.cumsum(vals, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    base = vals[starts]
+    cs_start = cs[starts]
+    expand = np.repeat(np.arange(nb), counts)
+    u = base[expand] + (cs - cs_start[expand])
+    return (u - _BIAS).view(np.int64)
+
+
 def encode_posting_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,

@@ -653,6 +653,14 @@ class IndexPaths:
     def epoch(self) -> str:
         return f"{self.root}/_epoch"
 
+    @property
+    def spell(self) -> str:
+        return f"{self.root}/spell"
+
+    @property
+    def spell_meta(self) -> str:
+        return f"{self.root}/_spell_meta.json"
+
 
 def read_epoch(paths: IndexPaths) -> int:
     """Index rewrite counter: 0 for a fresh build (no file), bumped by
@@ -675,6 +683,98 @@ def bump_epoch(paths: IndexPaths) -> int:
 
     os.replace(tmp, paths.epoch)
     return cur
+
+
+SPELL_MAX_DIST = 2  # deletion-neighborhood depth of the spell artifact
+
+
+def spell_deletions(word: str, d: int) -> set[str]:
+    """All strings reachable from ``word`` by deleting up to ``d``
+    characters (including word itself) — the SymSpell key set. A word of
+    length L yields 1 + L + L·(L−1)/2 keys at d=2; the set is generated
+    breadth-first so duplicates collapse level by level."""
+    out = {word}
+    frontier = {word}
+    for _ in range(d):
+        nxt = set()
+        for w in frontier:
+            for i in range(len(w)):
+                nxt.add(w[:i] + w[i + 1 :])
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def build_spell_index(
+    spark: SparkSession, paths: IndexPaths, max_dist: int = SPELL_MAX_DIST
+) -> int:
+    """SymSpell deletion-neighborhood spelling-correction artifact
+    (PLANS.md's documented upgrade from the length-banded lexicon scan;
+    VERDICT r3 #7): one row per (delkey, term) where delkey ∈
+    spell_deletions(term, max_dist), carrying (term_id, df) so the
+    correction query never touches the lexicon. Query time generates the
+    MISSPELLING's deletion set driver-side (≤ ~500 keys at d=2) and
+    probes this table with a pushed-down IN filter — the SymSpell
+    guarantee (lev(w, t) ≤ d ⇒ the deletion neighborhoods intersect)
+    makes the probe lossless; the thresholded-levenshtein verify drops
+    the delkey-collision false positives.
+
+    Scale shape: the table is term-count × ~56 rows at d=2 (a 10^9-term
+    web lexicon → ~5.6·10^10 short rows), hash-repartitioned and SORTED
+    by delkey inside each file so the IN probe prunes at parquet
+    row-group stats — the per-query read is a few hundred point ranges,
+    vs the previous full length-band lexicon scan per OOV token.
+
+    Derived data, rebuildable: _spell_meta.json records (max_dist,
+    epoch); correct_term uses the table only when the recorded epoch
+    matches the open index (a compaction invalidates it — rebuild after
+    compact, or the query transparently falls back to the band scan).
+    Returns the number of (delkey, term) rows written."""
+    import json
+    import os
+
+    lex = spark.read.parquet(paths.lexicon).select("term", "term_id", "df")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys: list[str] = []
+            terms: list[str] = []
+            tids: list[int] = []
+            dfs: list[int] = []
+            for term, tid, df in zip(
+                pdf["term"], pdf["term_id"], pdf["df"]
+            ):
+                for kx in spell_deletions(term, max_dist):
+                    keys.append(kx)
+                    terms.append(term)
+                    tids.append(int(tid))
+                    dfs.append(int(df))
+            yield pd.DataFrame(
+                {
+                    "delkey": keys,
+                    "term": terms,
+                    "term_id": tids,
+                    "df": dfs,
+                }
+            )
+
+    spell = lex.mapInPandas(
+        gen, schema="delkey string, term string, term_id long, df long"
+    )
+    (
+        spell.repartition("delkey")
+        .sortWithinPartitions("delkey")
+        .write.mode("overwrite")
+        .parquet(paths.spell)
+    )
+    n = spark.read.parquet(paths.spell).count()
+    meta = {"max_dist": max_dist, "epoch": read_epoch(paths), "rows": n}
+    tmp = f"{paths.spell_meta}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, paths.spell_meta)
+    return n
 
 
 def build_index(

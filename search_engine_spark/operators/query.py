@@ -238,9 +238,13 @@ def _decode_score_df(
     other_max: dict[int, float],
     ranks: dict[int, int] | None = None,
     field_weights: tuple[float, float] | None = None,
+    stats: tuple[float, float, float] | None = None,
 ) -> DataFrame:
     """mapInPandas: blob rows -> (doc_id, rank, score) with block-max
     skipping. other_max[t] = sum of max_score over the OTHER query terms.
+    ``stats`` = (avgdl, avgdl1, avgdlb) overrides the index's base-snapshot
+    corpus averages — the freshness window (search_uncompacted) scores and
+    bounds under LIVE union statistics; None keeps the base stats.
     ``ranks`` maps term_id -> the term's position in SORTED-BY-STRING
     query-term order — a build-independent key for the deterministic
     per-doc float sum (term_ids are NOT stable across incremental builds:
@@ -256,12 +260,17 @@ def _decode_score_df(
     each field tf and decreasing in each field length, so
     bm25f(max_tf1, max_tf, min_dl1, min_dlb) bounds every posting in the
     block (body tf ≤ tf, so block_max_tf bounds it)."""
-    avgdl = index.avgdl
     # guard zero per-field averages to 1.0 (field absent corpus-wide ⇒
     # its tf is identically 0; the guard prevents NaN, the same guard the
     # oracle and the SQL apply)
-    avgdl1 = index.avgdl1 or 1.0
-    avgdlb = index.avgdlb or 1.0
+    if stats is not None:
+        avgdl, avgdl1, avgdlb = stats
+        avgdl1 = avgdl1 or 1.0
+        avgdlb = avgdlb or 1.0
+    else:
+        avgdl = index.avgdl
+        avgdl1 = index.avgdl1 or 1.0
+        avgdlb = index.avgdlb or 1.0
     ranks = ranks or {}
     fw = field_weights
     # column pruning BELOW the Arrow boundary: mapInPandas ships every
@@ -648,37 +657,48 @@ def search_uncompacted(
     mode: str = "OR",
     field_weights: tuple[float, float] | None = None,
     doc_ids: DataFrame | None = None,
+    use_wand: bool = True,
 ) -> DataFrame:
     """BM25 term search over the UNION corpus (base ∪ un-compacted ingest
     deltas) — the term-side twin of search_phrase's union snapshot,
     closing the freshness asymmetry where term queries served exactly the
     base snapshot until compact().
 
-    Exactness: df per term is counted live over the union posting rows,
-    N/avgdl (and the per-field averages for BM25F) come from
-    uncompacted_snapshot's exact-int fold, and every posting is scored by
-    the SAME canonical numpy kernel the compacted decode uses — so
-    results are bit-equal to compact() + search() (tests/test_streaming).
+    Exactness: df per term is counted live — base df from the blob
+    metadata (Σ n_docs) minus the delta-superseded docs present in the
+    term's base list (a doc-id-only decode pass, tf/dl streams untouched)
+    plus the latest-wins delta rows; N/avgdl (and the per-field averages
+    for BM25F) come from uncompacted_snapshot's exact-int fold; every
+    posting is scored by the SAME canonical numpy kernel the compacted
+    decode uses — so results are bit-equal to compact() + search()
+    (tests/test_streaming).
 
-    Cost model (deliberate): the freshness window trades WAND block
-    skipping for exactness — the driver theta sketches and lexicon term
-    bounds were computed under BASE stats, and a changed N/avgdl/df moves
-    every bound, so pruning with them could clip a true top-k doc. Base
-    postings stay barrel+term pruned (the dominant saving) and decode
-    exhaustively; delta rows are small by construction; compact() restores
-    the fully-pruned path. Latest-version-wins: base rows of re-ingested
-    or tombstoned docs are anti-joined out on the (broadcast, tiny) delta
+    Delta-aware WAND (round 4, VERDICT r3 #6): the base-stats theta
+    sketches and lexicon term bounds are UNUSABLE here (a changed
+    N/avgdl/df moves every bound), so this path recomputes everything
+    under LIVE union stats driver-side: per-term score bounds from the
+    blob metadata extrema ∪ delta extrema (raw max_tf/min_dl are
+    stats-independent, the score bound is evaluated with live idf/avgdl —
+    valid by BM25 monotonicity), theta from the kth-best live score of
+    the rarest term's union rows (the standard safe lower bound), pruning
+    relaxed by the 6-dp rounding quantum exactly like the compacted
+    decode. Skipped blocks are never decompressed. A metadata doc_ids
+    filter applies the same semi-join inside the theta pass (an
+    unfiltered theta could over-prune — search()'s caveat).
+
+    Cost model: three tiny driver jobs (metadata agg over ≤ a few blob
+    rows/term, the superseded-overlap count via the id-only decode, the
+    delta per-term stats) plus the rarest-term theta pass buy block
+    skipping on the dominant base decode; delta rows are small by
+    construction and always score. compact() restores the sketch-served
+    zero-job path. Latest-version-wins: base scores of re-ingested or
+    tombstoned docs are anti-joined out on the (broadcast, tiny) delta
     doc set, exactly like the positional path.
 
     Corner: a term whose postings are ALL tombstoned but not yet
     compacted still binds here (df 0 after the anti-join, contributes no
     rows); in AND mode it empties the result until compact() drops it
-    from the lexicon — the conservative reading of an in-flux corpus.
-
-    doc_ids: optional metadata filter (search()'s contract) — broadcast
-    semi-join BELOW the per-doc aggregation; since this path never
-    prunes with WAND sketches, the filtered-theta caveat of search()
-    doesn't arise here."""
+    from the lexicon — the conservative reading of an in-flux corpus."""
     index.check_epoch()
     spark = index.spark
     from search_engine_spark.streaming import incremental as inc
@@ -720,11 +740,32 @@ def search_uncompacted(
             "(dls1) — rebuild or compact this index with the current "
             "version"
         )
-    base = (
-        inc.decode_postings_rows(probe)
-        .join(F.broadcast(snap["delta_doc_ids"]), "doc_id", "left_anti")
-        .select(*cols)
-    )
+    n_docs, avgdl = snap["n_docs"], snap["avgdl"]
+    live_stats = (avgdl, snap["avgdl1"] or 1.0, snap["avgdlb"] or 1.0)
+    fw = field_weights
+
+    # ---- live per-term stats, driver-side (jobs over pruned tiny data):
+    # base df + raw bound extrema from blob METADATA (no payload decode)
+    meta = {
+        int(r["term_id"]): (int(r["bdf"]), int(r["mt"]), int(r["md"]))
+        for r in probe.groupBy("term_id")
+        .agg(
+            F.sum("n_docs").alias("bdf"),
+            F.max(F.array_max("block_max_tf")).alias("mt"),
+            F.min(F.array_min("block_min_dl")).alias("md"),
+        )
+        .collect()
+    }
+    # delta-superseded docs present in each term's base list (exact df
+    # correction): doc-id-only decode — the payload streams stay in parquet
+    overlap = {
+        int(r["term_id"]): int(r["cnt"])
+        for r in inc.decode_docid_rows(probe)
+        .join(F.broadcast(snap["delta_doc_ids"]), "doc_id", "left_semi")
+        .groupBy("term_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
     deltas = inc._read_deltas_with_seq(
         spark, index.paths, inc.delta_dir(index.paths)
     )
@@ -732,62 +773,135 @@ def search_uncompacted(
         inc._latest_per_doc(deltas)
         .filter(F.col("term_id").isin(term_ids))
         .select(*cols)
+        .localCheckpoint(eager=False)
     )
-    # localCheckpoint: the df aggregate below and the scoring pass both
-    # consume this subtree (base-barrel decode + delta fold + anti-join)
-    # — without it the whole thing executes twice per query
-    union_rows = base.unionByName(delta_rows).localCheckpoint(eager=False)
-    # live union df per term: the union rows ARE the term's posting list
-    # (unique per (term, doc) — base is, delta is latest-wins, overlap is
-    # anti-joined), so COUNT is exact document frequency
-    dfs = union_rows.groupBy("term_id").agg(F.count("*").alias("df"))
-    rows_in = union_rows.join(F.broadcast(dfs), "term_id")
-    n_docs, avgdl = snap["n_docs"], snap["avgdl"]
-    avgdl1 = snap["avgdl1"] or 1.0
-    avgdlb = snap["avgdlb"] or 1.0
-    fw = field_weights
+    dstats = {
+        int(r["term_id"]): (int(r["ddf"]), int(r["mt"]), int(r["md"]))
+        for r in delta_rows.groupBy("term_id")
+        .agg(
+            F.count("*").alias("ddf"),
+            F.max("tf").alias("mt"),
+            F.min("dl").alias("md"),
+        )
+        .collect()
+    }
+    live_df = {
+        tid: meta.get(tid, (0, 0, 0))[0]
+        - overlap.get(tid, 0)
+        + dstats.get(tid, (0, 0, 0))[0]
+        for tid in term_ids
+    }
+    idfs = {tid: idf_value(live_df[tid], n_docs) for tid in term_ids}
+
     rank_map = dict(ranks)
-    score_cols = ["term_id", "doc_id", "tf", "dl", "df"] + (
-        ["tf1", "dl1"] if fw is not None else []
-    )
 
-    def score_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            # one idf per distinct term (math.log — the engine/oracle
-            # scalar), broadcast to rows
-            idf_by_tid = {
-                int(t): idf_value(int(d), n_docs)
-                for t, d in pdf[["term_id", "df"]].drop_duplicates()
-                .itertuples(index=False)
-            }
-            idf = pdf["term_id"].map(idf_by_tid).to_numpy(dtype=np.float64)
-            tf = pdf["tf"].to_numpy(dtype=np.float64)
-            dl = pdf["dl"].to_numpy(dtype=np.float64)
-            if fw is not None:
-                w_t, w_b = fw
-                t1 = pdf["tf1"].to_numpy(dtype=np.float64)
-                d1 = pdf["dl1"].to_numpy(dtype=np.float64)
-                score = bm25f_score(
-                    t1, tf - t1, d1, dl - d1, idf, w_t, w_b,
-                    avgdl1, avgdlb, K1, B,
+    def _score_delta(rows: DataFrame, tids: list[int]) -> DataFrame:
+        """Latest-wins delta rows -> (doc_id, rank, score) under live
+        stats, same numpy kernels as the base decode."""
+        live_avgdl, live_avgdl1, live_avgdlb = live_stats
+        score_cols = ["term_id", "doc_id", "tf", "dl"] + (
+            ["tf1", "dl1"] if fw is not None else []
+        )
+        idf_map = {t: idfs[t] for t in tids}
+
+        def score_rows(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                idf = pdf["term_id"].map(idf_map).to_numpy(dtype=np.float64)
+                tf = pdf["tf"].to_numpy(dtype=np.float64)
+                dl = pdf["dl"].to_numpy(dtype=np.float64)
+                if fw is not None:
+                    w_t, w_b = fw
+                    t1 = pdf["tf1"].to_numpy(dtype=np.float64)
+                    d1 = pdf["dl1"].to_numpy(dtype=np.float64)
+                    score = bm25f_score(
+                        t1, tf - t1, d1, dl - d1, idf, w_t, w_b,
+                        live_avgdl1, live_avgdlb, K1, B,
+                    )
+                else:
+                    score = bm25_score(tf, dl, idf, live_avgdl, K1, B)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].to_numpy(),
+                        "rank": pdf["term_id"].map(rank_map).to_numpy(
+                            dtype=np.int64
+                        ),
+                        "score": score,
+                    }
                 )
-            else:
-                score = bm25_score(tf, dl, idf, avgdl, K1, B)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy(),
-                    "rank": pdf["term_id"].map(rank_map).to_numpy(
-                        dtype=np.int32
-                    ),
-                    "score": score,
-                }
-            )
 
-    scored = rows_in.select(*score_cols).mapInPandas(
-        score_rows, schema="doc_id long, rank int, score double"
-    )
+        return (
+            rows.filter(F.col("term_id").isin(tids))
+            .select(*score_cols)
+            .mapInPandas(
+                score_rows, schema="doc_id long, rank long, score double"
+            )
+        )
+
+    def _scored_union(
+        tids: list[int], theta: float, other_max: dict[int, float]
+    ) -> DataFrame:
+        base = _decode_score_df(
+            index,
+            probe.filter(F.col("term_id").isin(tids)),
+            idfs, theta, other_max, ranks,
+            field_weights=fw, stats=live_stats,
+        ).join(F.broadcast(snap["delta_doc_ids"]), "doc_id", "left_anti")
+        return base.unionByName(_score_delta(delta_rows, tids))
+
+    theta = 0.0
+    other_max: dict[int, float] = {}
+    if use_wand and len(term_ids) > 1 and mode == "OR":
+        # per-term upper bound under LIVE stats: raw extrema over base
+        # metadata ∪ delta rows, scored with live idf/avgdl
+        maxes = {}
+        for tid in term_ids:
+            mt, mds = 0, []
+            if tid in meta:
+                _, bmt, bmd = meta[tid]
+                mt = max(mt, bmt)
+                mds.append(bmd)
+            if tid in dstats:
+                _, dmt, dmd = dstats[tid]
+                mt = max(mt, dmt)
+                mds.append(dmd)
+            md = min(mds) if mds else 1
+            if mt <= 0:
+                maxes[tid] = 0.0
+            elif fw is not None:
+                maxes[tid] = _weighted_term_bound(float(mt), idfs[tid], fw)
+            else:
+                maxes[tid] = float(
+                    bm25_score(
+                        np.array([float(mt)]), np.array([float(md)]),
+                        idfs[tid], avgdl, K1, B,
+                    )[0]
+                )
+        other_max = {
+            tid: sum(v for t2, v in maxes.items() if t2 != tid)
+            for tid in term_ids
+        }
+        # theta: kth-best LIVE score among the rarest term's union rows —
+        # the safe lower bound on the kth top-k total (the filtered
+        # variant applies the same semi-join the final top-k does)
+        rarest = min(term_ids, key=lambda t: (live_df[t], t))
+        theta_rows = _scored_union([rarest], 0.0, {})
+        if doc_ids is not None:
+            theta_rows = theta_rows.join(
+                F.broadcast(doc_ids.select("doc_id")), "doc_id", "left_semi"
+            )
+        top = (
+            theta_rows.select("score")
+            .orderBy(F.desc("score"))
+            .limit(k)
+            .collect()
+        )
+        theta = float(top[-1]["score"]) if len(top) == k else 0.0
+
+    scored = _scored_union(term_ids, theta, other_max)
     if doc_ids is not None:
         scored = scored.join(
             F.broadcast(doc_ids.select("doc_id")), "doc_id", "left_semi"
@@ -1004,25 +1118,40 @@ def suggest_terms(index: SearchIndex, prefix: str, k: int = 10) -> DataFrame:
 
 
 def correct_term(
-    index: SearchIndex, word: str, max_dist: int = 2, k: int = 10
+    index: SearchIndex, word: str, max_dist: int = 2, k: int = 10,
+    use_spell: bool = True,
 ) -> DataFrame:
     """Spelling correction: lexicon terms within ``max_dist`` edits,
     ranked (distance asc, df desc, term asc) — the did-you-mean read the
     reference silently drops out-of-lexicon tokens for (app.py:398-401).
     -> (term, term_id, df, dist).
 
-    Plan: a length-banded scan (|len(term) − len(word)| ≤ max_dist — the
-    levenshtein lower bound, so the band is lossless) with Spark's
-    THRESHOLDED levenshtein intrinsic (returns −1 and stops early once
-    the running distance exceeds max_dist) feeding TakeOrderedAndProject.
-    The scan is embarrassingly parallel over the lexicon — no shuffle
-    beyond the top-k collect. At a 10^9-term lexicon the SymSpell
-    deletion-neighborhood index would replace the band scan; the band +
-    threshold form is the right single-pass shape below that.
+    Fast path (round 4, VERDICT r3 #7): when the SymSpell
+    deletion-neighborhood artifact exists (index_build.build_spell_index)
+    and its recorded (max_dist, epoch) covers this query, the
+    misspelling's own deletion set (≤ ~500 keys at d=2, generated
+    driver-side) probes the spell table with a pushed-down IN filter —
+    the table is delkey-sorted per file, so the probe reads a few hundred
+    parquet row-group point ranges instead of scanning the lexicon. The
+    SymSpell guarantee (lev(w, t) ≤ d ⇒ deletion neighborhoods intersect)
+    makes the probe lossless; delkey-collision false positives are
+    dropped by the same thresholded-levenshtein verify the scan path
+    uses, so BOTH paths return identical rows (tested).
+
+    Fallback: a length-banded lexicon scan (|len(term) − len(word)| ≤
+    max_dist — the levenshtein lower bound, so the band is lossless) with
+    Spark's THRESHOLDED levenshtein intrinsic (returns −1 and stops early
+    once the running distance exceeds max_dist) feeding
+    TakeOrderedAndProject. Used when the artifact is absent, was built
+    for a smaller max_dist, or is stale (built under an older epoch —
+    compaction invalidates it).
 
     The word is only LOWERCASED: it is by hypothesis misspelled, so the
     stopword filter could delete it and the rule lemmatizer could rewrite
     the typo before correction sees it."""
+    import json
+    import os
+
     index.check_epoch()
     w = word.strip().lower()
     spark = index.spark
@@ -1030,11 +1159,33 @@ def correct_term(
     if not w or " " in w:
         return spark.createDataFrame([], empty_schema)
     dist = F.levenshtein(F.col("term"), F.lit(w), max_dist)
-    return (
-        index.lexicon.filter(
+
+    cands = None
+    if use_spell and os.path.exists(index.paths.spell_meta):
+        with open(index.paths.spell_meta) as f:
+            meta = json.load(f)
+        if (
+            meta.get("max_dist", 0) >= max_dist
+            and meta.get("epoch") == index._open_epoch
+            and os.path.exists(index.paths.spell)
+        ):
+            from search_engine_spark.operators.index_build import (
+                spell_deletions,
+            )
+
+            keys = sorted(spell_deletions(w, max_dist))
+            cands = (
+                spark.read.parquet(index.paths.spell)
+                .filter(F.col("delkey").isin(keys))
+                .select("term", "term_id", "df")
+                .distinct()
+            )
+    if cands is None:
+        cands = index.lexicon.filter(
             F.length("term").between(len(w) - max_dist, len(w) + max_dist)
         )
-        .select(
+    return (
+        cands.select(
             "term",
             "term_id",
             F.col("df").cast("long").alias("df"),

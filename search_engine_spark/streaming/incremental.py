@@ -14,6 +14,12 @@ delta log + partition-level compaction, the shape that works at
          app.py:928-944 — incremental ids are NOT re-sorted)
       3. postings_delta/batch=N    uncompressed (term_id, doc_id, tf,
          dl) rows partitioned by barrel                    (overwrite)
+      3c. COMMIT RECORD: one atomic rename of _commits/<id>.json makes
+         every table family of the batch visible AT ONCE — all readers
+         union committed batches only, so a crash between any two steps
+         leaves the half-written batch invisible and the snapshot
+         consistent (kill-anywhere: tests/test_crash_ingest.py). The
+         record's seq is also the latest-wins order across batches.
       4. (nothing served changes: the SERVED stats/lexicon/barrels stay
          the base snapshot — deltas are invisible until compact())
 
@@ -96,6 +102,17 @@ def journal_path(paths: ib.IndexPaths) -> str:
 _FAULT_AFTER_OPS: int | None = None
 _FAULT_BEFORE_JOURNAL: bool = False
 
+# test-only ingest fault injection: crash apply_incremental_batch right
+# after the named step ("doc_stats", "tombstones", "lexicon", "postings",
+# "positions") — the batch must stay INVISIBLE (no commit record) and a
+# replay must complete it (tests/test_crash_ingest.py)
+_INGEST_FAULT_AT: str | None = None
+
+
+def _ingest_fault(point: str) -> None:
+    if _INGEST_FAULT_AT == point:
+        raise RuntimeError(f"injected ingest crash after step: {point}")
+
 
 def _execute_ops(ops: list[dict]) -> None:
     """Execute the journaled swap operations IN ORDER. Every op is
@@ -167,30 +184,60 @@ def recover_pending(paths: ib.IndexPaths) -> bool:
     return True
 
 
+def _commits_dir(paths: ib.IndexPaths) -> str:
+    return f"{doc_stats_delta_dir(paths)}/_commits"
+
+
 def _seq_path(paths: ib.IndexPaths, bid: str) -> str:
+    return f"{_commits_dir(paths)}/{bid}.json"
+
+
+def _legacy_seq_path(paths: ib.IndexPaths, bid: str) -> str:
+    # pre-round-4 location, INSIDE the batch dir — kept readable so an
+    # old delta log stays committed after the upgrade (a replay's
+    # mode=overwrite used to wipe this file, which both un-committed the
+    # batch and re-assigned its seq; the _commits/ dir fixes both)
     return f"{doc_stats_delta_dir(paths)}/batch={bid}/_seq.json"
 
 
-def _assign_batch_seq(paths: ib.IndexPaths, bid: str) -> int:
-    """Monotonic per-batch sequence number for latest-wins conflict
-    resolution when the SAME doc is re-ingested across uncompacted
-    batches. A replay of the same batch_id REUSES its existing seq (the
-    batch's position in the order is a fact of the first delivery);
-    underscore-prefixed files are invisible to Spark's parquet reader."""
+def _read_seq(paths: ib.IndexPaths, bid: str) -> int | None:
     import json
 
-    p = _seq_path(paths, bid)
-    if os.path.exists(p):
-        with open(p) as f:
-            return int(json.load(f)["seq"])
+    for p in (_seq_path(paths, bid), _legacy_seq_path(paths, bid)):
+        if os.path.exists(p):
+            with open(p) as f:
+                return int(json.load(f)["seq"])
+    return None
+
+
+def _assign_batch_seq(paths: ib.IndexPaths, bid: str) -> int:
+    """Per-batch COMMIT RECORD: the atomic os.replace of this one file is
+    what makes the whole batch (doc_stats + tombstones + lexicon +
+    postings + positions deltas) visible — every delta-log reader unions
+    only batches with a commit record, so a crash anywhere inside ingest
+    leaves the half-written batch invisible and the served snapshot
+    consistent (the cross-table analogue of compact()'s journal rename;
+    tests/test_crash_ingest.py kills at every step).
+
+    The recorded seq doubles as the latest-wins order when the SAME doc
+    is re-ingested across uncompacted batches. A replay of the same
+    batch_id REUSES its existing seq (the batch's position in the order
+    is a fact of the first delivery). Records live under _commits/
+    (underscore-prefixed → invisible to Spark's parquet reader), OUTSIDE
+    the batch dirs, so a replay's mode=overwrite can never wipe one."""
+    import json
+
+    existing = _read_seq(paths, bid)
+    if existing is not None:
+        return existing
     mx = 0
-    root = doc_stats_delta_dir(paths)
-    for d in _batch_subdirs(root):
-        sp = f"{d}/_seq.json"
-        if os.path.exists(sp):
-            with open(sp) as f:
-                mx = max(mx, int(json.load(f)["seq"]))
+    for d in _batch_subdirs(doc_stats_delta_dir(paths)):
+        s = _read_seq(paths, os.path.basename(d).split("=", 1)[1])
+        if s is not None:
+            mx = max(mx, s)
     seq = mx + 1
+    os.makedirs(_commits_dir(paths), exist_ok=True)
+    p = _seq_path(paths, bid)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"seq": seq, "batch": bid}, f)
@@ -198,29 +245,34 @@ def _assign_batch_seq(paths: ib.IndexPaths, bid: str) -> int:
     return seq
 
 
+def _committed_subdirs(
+    paths: ib.IndexPaths, root: str, exclude: str | None = None
+) -> list[str]:
+    """batch=* dirs under ``root`` whose batch has a COMMIT RECORD — the
+    only dirs any reader (serving, stats, compaction) may see. A dir
+    without one is a crashed ingest's garbage: invisible until its
+    replay rewrites and commits it."""
+    return [
+        d
+        for d in _batch_subdirs(root, exclude)
+        if _read_seq(paths, os.path.basename(d).split("=", 1)[1]) is not None
+    ]
+
+
 def _read_deltas_with_seq(
     spark: SparkSession, paths: ib.IndexPaths, root: str
 ) -> DataFrame | None:
-    """Union the batch=* dirs under ``root`` with each batch's seq as a
-    batch_seq column. Batches predating seq files (pre-upgrade delta
-    logs) get NEGATIVE fallback seqs in lexicographic order — strictly
-    below every assigned seq (≥ 1), so a post-upgrade re-ingest of the
-    same doc always wins latest-wins resolution against a pre-upgrade
-    batch (which is by definition older)."""
-    import json
-
-    dirs = sorted(_batch_subdirs(root))
+    """Union the COMMITTED batch=* dirs under ``root`` with each batch's
+    seq as a batch_seq column. Uncommitted dirs (crashed ingests) are
+    invisible by construction — visibility is the commit record itself
+    (_assign_batch_seq)."""
+    dirs = _committed_subdirs(paths, root)
     if not dirs:
         return None
     out = None
-    for i, d in enumerate(dirs):
+    for d in dirs:
         bid = os.path.basename(d).split("=", 1)[1]
-        sp = _seq_path(paths, bid)
-        if os.path.exists(sp):
-            with open(sp) as f:
-                seq = int(json.load(f)["seq"])
-        else:
-            seq = i - len(dirs)  # negative, preserves relative order
+        seq = _read_seq(paths, bid)
         df = spark.read.parquet(d).withColumn("batch_seq", F.lit(seq))
         out = df if out is None else out.unionByName(df)
     return out
@@ -255,15 +307,14 @@ def read_lexicon(
     a replayed ingest rebuild ITS OWN delta from scratch without seeing
     the half-written previous attempt."""
     lex = spark.read.parquet(paths.lexicon)
-    for d in _batch_subdirs(lexicon_delta_dir(paths), exclude_batch):
+    for d in _committed_subdirs(paths, lexicon_delta_dir(paths), exclude_batch):
         lex = lex.unionByName(spark.read.parquet(d))
     return lex
 
 
 def read_doc_stats(spark: SparkSession, paths: ib.IndexPaths) -> DataFrame:
     ds = spark.read.parquet(paths.doc_stats)
-    deltas = _batch_subdirs(doc_stats_delta_dir(paths))
-    for d in deltas:
+    for d in _committed_subdirs(paths, doc_stats_delta_dir(paths)):
         ds = ds.unionByName(spark.read.parquet(d))
     return ds
 
@@ -322,9 +373,13 @@ def check_postings_log(paths: ib.IndexPaths) -> None:
     guard, so every delta-log consumer shares one invariant check
     (query.search_uncompacted calls this)."""
     ds_b = {
-        os.path.basename(d) for d in _batch_subdirs(doc_stats_delta_dir(paths))
+        os.path.basename(d)
+        for d in _committed_subdirs(paths, doc_stats_delta_dir(paths))
     }
-    pd_b = {os.path.basename(d) for d in _batch_subdirs(delta_dir(paths))}
+    pd_b = {
+        os.path.basename(d)
+        for d in _committed_subdirs(paths, delta_dir(paths))
+    }
     if ds_b != pd_b:
         raise ValueError(
             "postings delta log is torn (batch sets differ between "
@@ -357,14 +412,14 @@ def uncompacted_snapshot(spark: SparkSession, paths: ib.IndexPaths) -> dict | No
     Raises when the delta log is torn (a crash between ingest steps left
     doc_stats batches without matching positional batches) — compact()
     repairs; serving would silently miss those docs."""
-    ds_dirs = _batch_subdirs(doc_stats_delta_dir(paths))
+    ds_dirs = _committed_subdirs(paths, doc_stats_delta_dir(paths))
     if not ds_dirs:
         return None
     # the torn-log guard only applies to POSITIONAL indexes (term-only
     # indexes never write positions deltas; search_uncompacted serves
     # them from the postings delta log alone)
     has_positions = os.path.exists(paths.positions)
-    pos_dirs = _batch_subdirs(positions_delta_dir(paths))
+    pos_dirs = _committed_subdirs(paths, positions_delta_dir(paths))
     ds_b = {os.path.basename(d) for d in ds_dirs}
     pos_b = {os.path.basename(d) for d in pos_dirs}
     if has_positions and ds_b != pos_b:
@@ -459,13 +514,17 @@ def apply_incremental_batch(
     forward.cache()
     n_new = docs.count()
 
-    # 1. doc_stats batch delta (overwrite -> replay-safe), then the
-    # batch's latest-wins sequence number
+    # 1. doc_stats batch delta (overwrite -> replay-safe). NOTHING the
+    # batch writes is visible until the commit record lands at the END of
+    # this function (_assign_batch_seq) — every delta-log reader unions
+    # committed batches only, so a crash between any two steps leaves the
+    # served snapshot exactly the pre-batch state (the cross-table
+    # atomic-visibility guarantee; VERDICT r3 #4).
     batch_ds = ib.build_doc_stats(docs)
     batch_ds.write.mode("overwrite").parquet(
         f"{doc_stats_delta_dir(paths)}/batch={bid}"
     )
-    _assign_batch_seq(paths, bid)
+    _ingest_fault("doc_stats")
 
     # 1b. tombstones: incoming docs whose doc_id exists in BASE doc_stats
     # with a DIFFERENT content fingerprint — the old version's postings
@@ -499,6 +558,7 @@ def apply_incremental_batch(
     n_changed = changed.count()
     if n_changed:
         changed.write.mode("overwrite").parquet(tomb_batch_dir)
+    _ingest_fault("tombstones")
 
     # 2. lexicon extension: new terms -> max_id+1.. (app.py:928-944),
     # written to THIS batch's delta dir. The anti-join excludes the
@@ -529,7 +589,13 @@ def apply_incremental_batch(
     new_lex.write.mode("overwrite").parquet(
         f"{lexicon_delta_dir(paths)}/batch={bid}"
     )
-    lexicon = read_lexicon(spark, paths)
+    _ingest_fault("lexicon")
+    # bind THIS batch's postings against base ∪ committed batches ∪ the
+    # batch's own (not-yet-committed) extension — read explicitly since
+    # read_lexicon only serves committed batches
+    lexicon = read_lexicon(spark, paths, exclude_batch=bid).unionByName(
+        spark.read.parquet(f"{lexicon_delta_dir(paths)}/batch={bid}")
+    )
 
     # 3. delta postings for this batch (overwrite -> replay-safe),
     # barrel-partitioned so compaction prunes
@@ -548,6 +614,7 @@ def apply_incremental_batch(
     delta.write.mode("overwrite").partitionBy("barrel").parquet(
         f"{delta_dir(paths)}/batch={bid}"
     )
+    _ingest_fault("postings")
 
     # 3b. positional delta (same replay-safe shape, same compressed
     # delta+varint layout as the base table) when the index keeps
@@ -559,6 +626,13 @@ def apply_incremental_batch(
             .partitionBy("barrel")
             .parquet(f"{positions_delta_dir(paths)}/batch={bid}")
         )
+    _ingest_fault("positions")
+
+    # 3c. COMMIT: one atomic rename of the batch's commit record makes
+    # every table family of this batch visible at once (doc_stats +
+    # tombstones + lexicon + postings + positions deltas) — before this
+    # point the batch does not exist to any reader or to compact()
+    _assign_batch_seq(paths, bid)
 
     # 4. report the would-be post-compaction stats (informational ONLY —
     # the served paths.stats is NOT touched: rewriting it here would make
@@ -662,6 +736,37 @@ def decode_postings_rows(postings: DataFrame) -> DataFrame:
     )
 
 
+def decode_docid_rows(postings: DataFrame) -> DataFrame:
+    """Doc-id-only decode: blob rows -> (term_id, doc_id), the tf/dl/field
+    streams never leave the parquet scan (column-pruned below the Arrow
+    boundary). The freshness-window stats pass uses this to compute exact
+    live df — base postings minus delta-superseded docs — without paying
+    the full payload decode (compression.decode_docids_blocks)."""
+    import numpy as np
+    import pandas as pd
+
+    from search_engine_spark.functions.compression import decode_docids_blocks
+
+    postings = postings.select("term_id", "db_lens", "doc_deltas")
+
+    def decode(batches):
+        for pdf in batches:
+            tids, docs_ = [], []
+            for row in pdf.itertuples(index=False):
+                d = decode_docids_blocks(row.doc_deltas, row.db_lens)
+                tids.append(np.full(len(d), int(row.term_id), dtype=np.int64))
+                docs_.append(d)
+            if tids:
+                yield pd.DataFrame(
+                    {
+                        "term_id": np.concatenate(tids),
+                        "doc_id": np.concatenate(docs_),
+                    }
+                )
+
+    return postings.mapInPandas(decode, schema="term_id long, doc_id long")
+
+
 def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     """Fold the delta log into the compressed barrels (steps 5-7 above).
 
@@ -683,12 +788,12 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     recover_pending(paths)  # roll forward an interrupted previous compact
     ddir = delta_dir(paths)
     tdir = tombstones_dir(paths)
-    # tombstones WITHOUT postings deltas are possible (crash window after
-    # ingest step 1b wrote tombstones but before step 3 wrote the batch's
-    # postings delta): the purge must still run, or the tombstoned docs'
-    # stale postings survive until some later batch happens to trigger a
-    # compaction — so the early return checks BOTH dirs
-    has_tomb = os.path.exists(tdir) and bool(_batch_subdirs(tdir))
+    # only COMMITTED batches exist for any reader (the per-batch commit
+    # record is the visibility point — _assign_batch_seq): an uncommitted
+    # tombstone dir is a crashed ingest whose new version never landed,
+    # and purging by it would delete docs without replacement
+    tomb_dirs = _committed_subdirs(paths, tdir)
+    has_tomb = bool(tomb_dirs)
     if not os.path.exists(ddir) and not has_tomb:
         return {"compacted_barrels": 0}
     stats = ib.read_stats(spark, paths)
@@ -706,7 +811,7 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
 
     tomb = None
     if has_tomb:
-        tomb = spark.read.parquet(tdir).select("doc_id").distinct()
+        tomb = spark.read.parquet(*tomb_dirs).select("doc_id").distinct()
         tomb.cache()
         full_merge = tomb.count() > 0
     else:
@@ -892,7 +997,7 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     pdd = positions_delta_dir(paths)
     pos_staging = None
     pos_barrels: list[int] = []
-    if os.path.exists(paths.positions) and _batch_subdirs(pdd):
+    if os.path.exists(paths.positions) and _committed_subdirs(paths, pdd):
         if "pos_blob" not in spark.read.parquet(paths.positions).columns:
             raise ValueError(
                 "positional index uses the pre-v2 array layout; rebuild "
@@ -982,7 +1087,9 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
         )
     elif ds_deltas_seq is not None:
         # fast path: parquet part files are self-contained — pure moves
-        for bdir in _batch_subdirs(dsd):
+        # (committed batches only; an uncommitted dir is crashed-ingest
+        # garbage that the final delta-log truncation clears)
+        for bdir in _committed_subdirs(paths, dsd):
             tag = os.path.basename(bdir).replace("=", "_")
             for fn in sorted(os.listdir(bdir)):
                 if fn.endswith(".parquet"):

@@ -688,6 +688,52 @@ def test_term_search_uncompacted_equals_fresh(spark, tmp_path):
     check(SearchIndex(spark, paths), "post-compact")
 
 
+def test_uncompacted_wand_equals_exhaustive(spark, tmp_path):
+    """Delta-aware WAND (round 4, VERDICT r3 #6): pruning with
+    live-union-stats bounds must return EXACTLY the exhaustive decode's
+    top-k on an uncompacted snapshot — docs, scores, and order — for
+    multi-term OR (the pruned mode), including the filtered variant
+    (theta computed on the filtered rows)."""
+    import pyspark.sql.functions as F
+
+    from search_engine_spark.operators.query import search_uncompacted
+    from search_engine_spark.streaming.incremental import (
+        apply_incremental_batch,
+    )
+
+    base = generate_pages_df(spark, 300, partitions=4)
+    full = generate_pages_df(spark, 380, partitions=4)
+    paths = ib.IndexPaths(str(tmp_path / "widx"))
+    ib.build_index(
+        spark, base, paths, n_salts=2, salt_threshold=60, n_barrels=4,
+        id_partitions=4,
+    )
+    batch = spark.createDataFrame(
+        full.toPandas().iloc[300:],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    apply_incremental_batch(spark, batch, paths, batch_id="w1")
+    inc = SearchIndex(spark, paths)
+    allowed = spark.read.parquet(paths.doc_stats).filter(
+        F.col("doc_id") % 2 == 0
+    ).select("doc_id")
+    for q, fw, flt in [
+        ("best good well", None, None),
+        ("hotel room western", None, None),
+        ("hotel room", (2.0, 1.0), None),
+        ("best good well", None, allowed),
+    ]:
+        pruned = _topk_list(
+            search_uncompacted(inc, q, k=10, field_weights=fw, doc_ids=flt,
+                               use_wand=True)
+        )
+        exhaustive = _topk_list(
+            search_uncompacted(inc, q, k=10, field_weights=fw, doc_ids=flt,
+                               use_wand=False)
+        )
+        assert pruned == exhaustive and pruned, (q, fw)
+
+
 def test_term_search_uncompacted_changed_reingest(spark, tmp_path):
     """Latest-wins over a CHANGED re-ingest before compact(): the old
     version's postings are invisible, delta-lexicon-only terms bind, and

@@ -96,6 +96,81 @@ def test_correct_term_rejects_phrases_and_blanks(spark, spark_index):
     assert correct_term(spark_index, "  ").collect() == []
 
 
+# --- SymSpell deletion-neighborhood artifact (round 4, VERDICT r3 #7) ----
+
+
+@pytest.fixture(scope="module")
+def spell_index(spark, spark_index):
+    """Build the spell artifact over the shared session index (additive —
+    a derived table next to the lexicon; the other tests' behavior is
+    unchanged because both correction paths return identical rows)."""
+    n = ib.build_spell_index(spark, spark_index.paths, max_dist=2)
+    assert n > 0
+    return spark_index
+
+
+def test_spell_deletions_shape(spark):
+    ks = ib.spell_deletions("abcd", 2)
+    assert "abcd" in ks and "bcd" in ks and "cd" in ks and "ad" in ks
+    # 1 + 4 + C(4,2) distinct two-deletions of a 4-unique-char word
+    assert len(ks) == 1 + 4 + 6
+    assert ib.spell_deletions("", 2) == {""}
+
+
+def test_spell_path_equals_scan_path(spark, spell_index):
+    """The SymSpell probe must return IDENTICAL rows to the banded
+    lexicon scan for typos, exact terms, and no-match words — the
+    losslessness claim (lev ≤ d ⇒ deletion neighborhoods intersect),
+    with the levenshtein verify killing delkey-collision false
+    positives."""
+    for word in ("westarn", "western", "breakfst", "goood", "zzzzzzzzzz"):
+        fast = [
+            (r["term"], int(r["term_id"]), int(r["df"]), int(r["dist"]))
+            for r in correct_term(
+                spell_index, word, max_dist=2, k=10, use_spell=True
+            ).collect()
+        ]
+        scan = [
+            (r["term"], int(r["term_id"]), int(r["df"]), int(r["dist"]))
+            for r in correct_term(
+                spell_index, word, max_dist=2, k=10, use_spell=False
+            ).collect()
+        ]
+        assert fast == scan, word
+    # typo'd query resolves through the fast path end-to-end
+    assert [
+        r["term"] for r in correct_term(spell_index, "westarn", k=1).collect()
+    ] == ["western"]
+
+
+def test_spell_path_skips_lexicon_scan(spark, spell_index):
+    """Plan probe: with the artifact present the correction plan reads
+    the spell table (delkey IN pushdown), not the lexicon directory."""
+    df = correct_term(spell_index, "westarn", max_dist=2, k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "spell" in plan
+    assert "lexicon" not in plan
+    assert "delkey" in plan  # the IN probe reached the scan
+
+
+def test_spell_smaller_max_dist_still_served(spark, spell_index):
+    """A d=1 query against the d=2 artifact stays lossless (the deletion
+    neighborhoods at depth 1 are subsets of the stored depth-2 keys)."""
+    fast = [
+        (r["term"], int(r["dist"]))
+        for r in correct_term(
+            spell_index, "westarn", max_dist=1, k=10, use_spell=True
+        ).collect()
+    ]
+    scan = [
+        (r["term"], int(r["dist"]))
+        for r in correct_term(
+            spell_index, "westarn", max_dist=1, k=10, use_spell=False
+        ).collect()
+    ]
+    assert fast == scan and fast[0] == ("western", 1)
+
+
 @pytest.fixture(scope="module")
 def pos_setup(spark, tmp_path_factory):
     pages = generate_pages_df(spark, 300, partitions=4)
