@@ -312,6 +312,31 @@ _IRREGULAR_LEMMAS = {
     "lying": "lie", "dying": "die", "tying": "tie",
     "created": "create", "creating": "create",  # VVC tail defeats the
     # e-restore rule (Porter also yields "creat") — table-pinned
+    # round-4 extension (VERDICT r3 #8 — spaCy still not installable in
+    # this env, so the gap is narrowed from the PUBLIC standard English
+    # irregular-verb inventory instead; identical-to-lemma forms like
+    # hit/cut/put are omitted as no-ops, and the known noun-clash caveat
+    # of table entries — "rose", "saw", "left" — applies to e.g. "drew",
+    # "stole", "tore" the same way: the reference's spaCy would
+    # disambiguate by POS, this table cannot)
+    "beaten": "beat", "bent": "bend", "bound": "bind", "bit": "bite",
+    "bitten": "bite", "bled": "bleed", "blew": "blow", "blown": "blow",
+    "bred": "breed", "burnt": "burn", "crept": "creep", "dealt": "deal",
+    "dug": "dig", "drew": "draw", "drawn": "draw", "dreamt": "dream",
+    "fed": "feed", "fought": "fight", "fled": "flee", "froze": "freeze",
+    "frozen": "freeze", "hung": "hang", "laid": "lay", "lent": "lend",
+    "lit": "light", "rode": "ride", "ridden": "ride", "rang": "ring",
+    "rung": "ring", "shook": "shake", "shaken": "shake", "shone": "shine",
+    "shot": "shoot", "shrank": "shrink", "shrunk": "shrink",
+    "slept": "sleep", "slid": "slide", "sped": "speed", "spun": "spin",
+    "sprang": "spring", "sprung": "spring", "stole": "steal",
+    "stolen": "steal", "stuck": "stick", "stung": "sting",
+    "struck": "strike", "swore": "swear", "sworn": "swear",
+    "swept": "sweep", "swung": "swing", "tore": "tear", "torn": "tear",
+    "wept": "weep", "wound": "wind",
+    # "won" -> "win" is deliberately ABSENT: "won" is in the NLTK
+    # stoplist (the "won't" fragment), so the case-sensitive stopword
+    # stage removes it before lemmatization could ever fire
 }
 _IRREGULAR_RE = re.compile(
     r"(?<!\S)("

@@ -40,8 +40,9 @@ def test_contractions_long_tail():
     before punctuation/stopword stages (reference tokenizer.py:55-56
     runs `contractions.fix` first for the same reason)."""
     # "i'd've" -> "i would have": "i"/"have" are stopwords, "would"
-    # survives (not in the curated stopword list)
-    assert tokenize("i'd've slept") == ["would", "slept"]
+    # survives (not in the curated stopword list); "slept" -> "sleep"
+    # via the round-4 irregular-table extension
+    assert tokenize("i'd've slept") == ["would", "sleep"]
     # y'all're -> "you all are"; you/all/are are all stopwords
     assert tokenize("y'all're welcome") == ["welcome"]
     # slang without apostrophes expands too ("what are you" are all
@@ -134,6 +135,44 @@ def test_lemma_vs_noun_surface_kept():
     ]
     for tok in kept:
         assert tokenize(tok) == [tok], tok
+
+
+def test_lemma_round4_irregular_extension():
+    """Round-4 table extension from the public standard irregular-verb
+    inventory (VERDICT r3 #8; spaCy still absent from the env, so the
+    goldens pin the vendored rules, not the en_core_web_sm model):
+    forms the suffix rules cannot reach (vowel change / -t past) and
+    lemmas the -eed guard must then leave alone."""
+    cases = {
+        "fought": "fight", "caught": "catch", "dug": "dig",
+        "drew": "draw", "drawn": "draw", "froze": "freeze",
+        "frozen": "freeze", "fed": "feed", "bled": "bleed",
+        "bred": "breed", "sped": "speed", "slept": "sleep",
+        "swept": "sweep", "wept": "weep", "crept": "creep",
+        "dealt": "deal", "dreamt": "dream", "burnt": "burn",
+        "hung": "hang", "rang": "ring", "rung": "ring",
+        "shook": "shake", "shaken": "shake", "shone": "shine",
+        "shot": "shoot", "shrank": "shrink", "slid": "slide",
+        "spun": "spin", "sprang": "spring", "stole": "steal",
+        "stolen": "steal", "stuck": "stick", "stung": "sting",
+        "struck": "strike", "swore": "swear", "sworn": "swear",
+        "swung": "swing", "tore": "tear", "torn": "tear",
+        "wound": "wind", "laid": "lay", "lent": "lend",
+        "lit": "light", "rode": "ride", "ridden": "ride",
+        "bent": "bend", "bound": "bind", "bitten": "bite",
+        "blew": "blow", "blown": "blow", "beaten": "beat",
+        "fled": "flee",
+    }
+    for raw, want in cases.items():
+        assert tokenize(raw) == [want], raw
+    # "won" would map to "win" but is an NLTK stopword (the "won't"
+    # fragment) — removed before lemmatization ever sees it
+    assert tokenize("won") == []
+    # the -eed guard keeps the new lemmas stable under a second pass
+    # (lemmatize is applied once, but the guard is what makes feed/bleed/
+    # breed/speed safe as REPLACEMENT text inside the same string)
+    for lemma in ["feed", "bleed", "breed", "speed"]:
+        assert tokenize(lemma) == [lemma], lemma
 
 
 def test_lemma_capitalized_auxiliary():
