@@ -98,6 +98,10 @@ def _utc(fn: Callable[[SparkSession, str], DataFrame]):
 #     shared counts move if any shingle does) + max_keys (string MIN/MAX
 #     agg); md5-derived minima are minhash_signatures' machinery
 _DEFERRED_TAIL = [
+    # domain_cap ⊂ quality_score (the identical per-doc quality
+    # expression — a divergence moves every rank) + window_user_events
+    # (the per-partition row_number window shape)
+    "domain_cap",
     "doc_stats",
     "corpus_stats",
     "term_stats",

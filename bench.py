@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "split_assign",
     "stratified_sample",
+    "domain_cap",
     "quality_score",
     "repetition_signals",
     "boilerplate_ngrams",

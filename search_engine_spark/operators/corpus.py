@@ -2209,6 +2209,43 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOMAIN_CAP = 15  # max docs kept per source/domain
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep the top-_DOMAIN_CAP docs per source
+    by quality — the web-crawl curation move that stops a single
+    boilerplate-heavy domain from dominating the training mix (the
+    domain-level companion of q_stratified_sample's language rebalance).
+
+    Determinism discipline: the window orders by the 6-dp ROUNDED
+    quality (doc_id tiebreak) — ordering by the raw float would let two
+    docs whose qualities round equal straddle the cap differently across
+    engines. Plan shape: the per-doc quality is the same zero-shuffle
+    array-intrinsic projection as q_quality_score, so the whole query is
+    ONE exchange (the window's partition-by-source shuffle of ≤1 narrow
+    row/doc) + an in-partition sort — at 100 TB this is the floor for an
+    exact per-domain top-N; text never shuffles."""
+    arr = F.split(F.col("text"), " ")
+    n_tokens = F.size(arr)
+    ttr_raw = F.size(F.array_distinct(arr)) / n_tokens
+    quality = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5 + ttr_raw * 0.5,
+        6,
+    )
+    per_doc = documents(spark, sf_dir).select(
+        "doc_id", "source", quality.alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _DOMAIN_CAP)
+        .select("doc_id", "source", "quality", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def q_corpus_select_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-policy corpus selection: keep one representative (the
     component-min doc_id) per dedup CLUSTER, plus every uninvolved doc
@@ -2860,6 +2897,27 @@ FROM (
 ) b
 """
 
+ORACLE_SQL["domain_cap"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+perdoc AS (
+  SELECT doc_id, source,
+         ROUND(LEAST(COUNT(*) / 100.0, 1.0) * 0.5
+               + (COUNT(DISTINCT term) * 1.0 / COUNT(*)) * 0.5, 6) AS quality
+  FROM toks GROUP BY doc_id, source
+),
+ranked AS (
+  SELECT doc_id, source, quality,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY quality DESC, doc_id ASC) AS INT)
+           AS rank
+  FROM perdoc
+)
+SELECT doc_id, source, quality, rank FROM ranked WHERE rank <= {_DOMAIN_CAP}
+"""
+
 ORACLE_SQL["stratified_sample"] = """
 SELECT doc_id, lang
 FROM (
@@ -3268,6 +3326,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,
+    "domain_cap": q_domain_cap,
     "multimodal_meta": q_multimodal_meta,
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "repetition_signals": q_repetition_signals,

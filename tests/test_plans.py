@@ -135,6 +135,15 @@ def test_text_signals_zero_shuffle(spark, sfd):
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_domain_cap_single_exchange(spark, sfd):
+    """Per-domain top-N: the per-doc quality is a zero-shuffle projection,
+    so the whole query is ONE exchange (the window's source shuffle of ≤1
+    narrow row/doc) — text never shuffles."""
+    p = _plan(corpus.q_domain_cap(spark, sfd))
+    assert p.count("Exchange") == 1, p.count("Exchange")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_corpus_select_no_broadcast_hint(spark, sfd):
     """The near-dup drop set and the dup-involved doc set are
     corpus-proportional on a web crawl: the anti-joins must NOT carry a
