@@ -102,6 +102,10 @@ _DEFERRED_TAIL = [
     # expression — a divergence moves every rank) + window_user_events
     # (the per-partition row_number window shape)
     "domain_cap",
+    # passage_dedup ⊂ dedup_exact (md5-groupBy count shape) +
+    # minhash_signatures (windowed token-slice construction) — its own
+    # oracle row is still checked by the tail artifact each round
+    "passage_dedup",
     "doc_stats",
     "corpus_stats",
     "term_stats",

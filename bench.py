@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "split_assign",
     "stratified_sample",
     "domain_cap",
+    "passage_dedup",
     "quality_score",
     "repetition_signals",
     "boilerplate_ngrams",

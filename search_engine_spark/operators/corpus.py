@@ -2209,6 +2209,54 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PASSAGE_W = 30  # tokens per passage window
+_PASSAGE_S = 15  # window stride
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    fixed-length token windows (W=30, stride 15, raw whitespace tokens —
+    boilerplate lives in exactly the tokens cleaning would strip) that
+    recur across DISTINCT documents. Doc-level dedup misses these: two
+    long articles quoting the same press-release paragraph are unique
+    docs with a duplicated passage. -> (passage_hash, n_docs,
+    n_occurrences, first_doc_id) for windows in ≥2 docs.
+
+    Plan shape: windows are built INSIDE the projection (sequence +
+    slice + md5 — docs shorter than W emit nothing), so the scan ships
+    one (doc_id, md5) row per window; n_occurrences/first_doc_id absorb
+    map-side, and the exact n_docs is Spark's two-phase distinct agg —
+    (h, doc_id) then (h), each ≤1 small row per window, the floor for an
+    exact cross-doc count. Text never shuffles. The stride trades recall
+    for volume exactly like the paper's suffix-array threshold: a
+    duplicated run of ≥ W+S−1 tokens is guaranteed to produce an aligned
+    duplicated window pair for docs sharing the run at the same offsets
+    mod S; at web scale W/S move the window-row volume linearly."""
+    arr = F.split(F.col("text"), " ")
+    win = F.when(
+        F.size(arr) >= _PASSAGE_W,
+        F.transform(
+            F.sequence(
+                F.lit(1), F.size(arr) - (_PASSAGE_W - 1), F.lit(_PASSAGE_S)
+            ),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i, _PASSAGE_W))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exp = documents(spark, sf_dir).select(
+        "doc_id", F.explode(win).alias("passage_hash")
+    )
+    return (
+        exp.groupBy("passage_hash")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 _DOMAIN_CAP = 15  # max docs kept per source/domain
 
 
@@ -2897,6 +2945,21 @@ FROM (
 ) b
 """
 
+ORACLE_SQL["passage_dedup"] = f"""
+WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+win AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(a, i, i + {_PASSAGE_W - 1}), ' '))
+           AS passage_hash
+  FROM arr, unnest(range(1, len(a) - {_PASSAGE_W} + 2, {_PASSAGE_S})) AS t(i)
+  WHERE len(a) >= {_PASSAGE_W}
+)
+SELECT passage_hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       MIN(doc_id) AS first_doc_id
+FROM win GROUP BY passage_hash HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
 ORACLE_SQL["domain_cap"] = f"""
 WITH toks AS (
   SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
@@ -3327,6 +3390,7 @@ QUERIES = {
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,
     "domain_cap": q_domain_cap,
+    "passage_dedup": q_passage_dedup,
     "multimodal_meta": q_multimodal_meta,
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "repetition_signals": q_repetition_signals,

@@ -238,6 +238,47 @@ def test_decontaminate_flags_leaked_docs(spark, decon_dir):
 # --- _ngrams_of executable spec -------------------------------------------
 
 
+def test_passage_dedup_planted(spark, tmp_path):
+    """Passage-level substring dedup: two LONG unique docs sharing one
+    45-token quoted run (>= W+S-1 = 44, the guaranteed-detection
+    threshold) must surface a shared passage; the unique doc and a
+    short doc (< W tokens) must not. Doc-level dedup sees nothing here —
+    all four texts are distinct."""
+    import pandas as pd
+
+    quote = [f"quoted{i}" for i in range(45)]
+    a = [f"alpha{i}" for i in range(40)] + quote + [f"tailA{i}" for i in range(20)]
+    b = [f"beta{i}" for i in range(25)] + quote + [f"tailB{i}" for i in range(35)]
+    u = [f"unique{i}" for i in range(90)]
+    rows = [
+        {"doc_id": 1, "text": " ".join(a), "lang": "en"},
+        {"doc_id": 2, "text": " ".join(b), "lang": "en"},
+        {"doc_id": 3, "text": " ".join(u), "lang": "en"},
+        {"doc_id": 4, "text": "tiny doc below window", "lang": "en"},
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["source"] = "src1"
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = str(tmp_path / "passage")
+    import os
+
+    os.makedirs(d)
+    pdf.to_parquet(f"{d}/documents.parquet", index=False)
+    out = corpus.q_passage_dedup(spark, d).collect()
+    assert out, "the planted 45-token shared run must surface"
+    # every duplicated passage involves exactly docs 1 and 2
+    assert all(r["n_docs"] == 2 and r["first_doc_id"] == 1 for r in out)
+    # exhaustive cross-check: brute-force window sets of docs 1 and 2
+    def wins(toks):
+        W, S = corpus._PASSAGE_W, corpus._PASSAGE_S
+        return {
+            " ".join(toks[i : i + W])
+            for i in range(0, len(toks) - W + 1, S)
+        }
+    shared = wins(a) & wins(b)
+    assert len(out) == len(shared)
+
+
 def test_ngrams_of_matches_python_spec(spark):
     """The iterated-zip_with n-gram constructor has a subtle contract
     (zip_with null-pads the shorter side; concat_ws silently skips nulls;
