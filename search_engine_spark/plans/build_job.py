@@ -95,6 +95,7 @@ def resumable_build(
     id_partitions: int = 32,
     fail_after_groups: int | None = None,
     with_positions: bool = False,
+    with_spell: bool = False,
 ) -> dict:
     os.makedirs(out.root, exist_ok=True)
     manifest = Manifest(f"{out.root}/_build_manifest.json")
@@ -214,6 +215,20 @@ def resumable_build(
             }
         )
 
+    # -- step: spell (optional; SymSpell deletion-neighborhood artifact
+    # for query.correct_term — derived data keyed to the build epoch) ---------
+    if with_spell and not manifest.done("spell"):
+        t0 = time.monotonic()
+        rows = ib.build_spell_index(spark, out)
+        manifest.commit(
+            {
+                "step": "spell", "run_id": run_id, "rows": rows,
+                "bytes": _dir_bytes(out.spell),
+                "wall_ms": int((time.monotonic() - t0) * 1000),
+                "input_files": lineage,
+            }
+        )
+
     # -- step: stats (last: marks the index complete) ------------------------
     if not manifest.done("stats"):
         ib.write_scalar_parquet(
@@ -245,6 +260,7 @@ def main(argv: Iterable[str] | None = None) -> None:
     p.add_argument("--n-salts", type=int, default=8)
     p.add_argument("--salt-threshold", type=int, default=50_000)
     p.add_argument("--with-positions", action="store_true")
+    p.add_argument("--with-spell", action="store_true")
     args = p.parse_args(list(argv) if argv is not None else None)
     spark = get_spark("index-build")
     pages = spark.read.parquet(args.pages)
@@ -252,7 +268,7 @@ def main(argv: Iterable[str] | None = None) -> None:
         spark, pages, ib.IndexPaths(args.out), args.run_id,
         n_groups=args.n_groups, n_barrels=args.n_barrels,
         n_salts=args.n_salts, salt_threshold=args.salt_threshold,
-        with_positions=args.with_positions,
+        with_positions=args.with_positions, with_spell=args.with_spell,
     )
     print(json.dumps({k: v for k, v in summary.items() if k != "manifest"}))
 
