@@ -69,6 +69,32 @@ def test_resume_after_interrupt(spark, tmp_path):
     assert search_topk(idx, "best western") == search_topk(ref_idx, "best western")
 
 
+def test_resume_skips_committed_spell_step(spark, tmp_path):
+    """--with-spell adds a manifest step like any other: a rerun of a
+    completed build keeps the spell step's ORIGINAL run_id (no rebuild),
+    and correct_term serves through the artifact."""
+    from search_engine_spark.operators.query import correct_term
+
+    pages = generate_pages_df(spark, 200, partitions=4)
+    paths = ib.IndexPaths(str(tmp_path / "spellidx"))
+    resumable_build(
+        spark, pages, paths, run_id="s1", with_spell=True, **BUILD_KW
+    )
+    summary = resumable_build(
+        spark, pages, paths, run_id="s2", with_spell=True, **BUILD_KW
+    )
+    by_step = {e["step"]: e for e in summary["manifest"]}
+    assert by_step["spell"]["run_id"] == "s1"
+    assert by_step["spell"]["rows"] > 0
+    idx = SearchIndex(spark, paths)
+    df = correct_term(idx, "westarn", k=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the delkey IN probe proves the spell artifact serves the query (the
+    # directory name can fall past the plan string's Location truncation)
+    assert "delkey" in plan and "lexicon" not in plan
+    assert [r["term"] for r in df.collect()] == ["western"]
+
+
 def test_build_empty_and_non_english_corpus(spark, tmp_path):
     """Build robustness: an all-non-English (or empty) corpus must produce
     a valid empty index, and queries on it return [] (not crash)."""
