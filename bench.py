@@ -229,17 +229,23 @@ def run_bench(sf_dir: str, cpus: str, scaling: bool) -> dict:
         )
 
         last_paths = ib.IndexPaths(f"{work}/index_r{N_ROUNDS - 1}")
-        t0 = time.monotonic()
-        ib.build_spell_index(spark, last_paths)
-        record("ux_spell_build", time.monotonic() - t0)
         pos_paths = ib.IndexPaths(f"{work}/index_pos")
-        t0 = time.monotonic()
-        ib.build_index(
-            spark, pages, pos_paths,
-            n_salts=8, salt_threshold=2000, n_barrels=32,
-            with_positions=True,
-        )
-        record("engine_build_positions", time.monotonic() - t0)
+        # the two one-time builds obey the same best-of-N rule as every
+        # other committed number (CLAUDE.md: no single-run exceptions) —
+        # interleaved with each other so one throttle window can't own
+        # both minima
+        for _ in range(N_ROUNDS):
+            t0 = time.monotonic()
+            ib.build_spell_index(spark, last_paths)
+            record("ux_spell_build", time.monotonic() - t0)
+            shutil.rmtree(pos_paths.root, ignore_errors=True)
+            t0 = time.monotonic()
+            ib.build_index(
+                spark, pages, pos_paths,
+                n_salts=8, salt_threshold=2000, n_barrels=32,
+                with_positions=True,
+            )
+            record("engine_build_positions", time.monotonic() - t0)
         ux_idx = SearchIndex(spark, last_paths)
         pos_idx = SearchIndex(spark, pos_paths)
         workload = dict(

@@ -390,22 +390,55 @@ def _lemma_suffix(tok: str) -> str:
     return stem  # worked -> work, wanted -> want
 
 
+def _lemma_tok(tok: str) -> str:
+    """One token through the vendored lemma rules: irregular-table dict
+    lookup, else the -ing/-ed suffix rule when the token matches
+    _LEMMA_SUFFIX_RE's candidate shape (pure ASCII lowercase alpha,
+    ≥2-char prefix before the suffix). Equivalent to the two regex
+    passes (property-tested against them as executable spec): a table
+    REPLACEMENT never needs the second pass because every table value
+    that ends in -ing/-ed is a fixpoint of _lemma_suffix (the -eed guard
+    covers feed/bleed/breed/speed; vowel-less/short stems cover
+    spring/swing/sting) — also asserted by the property test."""
+    rep = _IRREGULAR_LEMMAS.get(tok)
+    if rep is not None:
+        return rep
+    if (
+        len(tok) >= (5 if tok.endswith("ing") else 4)
+        and tok.endswith(("ing", "ed"))
+        and tok.isascii()
+        and tok.isalpha()
+        and tok.islower()
+    ):
+        return _lemma_suffix(tok)
+    return tok
+
+
 def lemmatize_text(text: str) -> str:
     """Apply the vendored lemma rules to a lowercased space-joined token
     string (1:1 per token — token counts, positions and field boundaries
-    are unchanged)."""
+    are unchanged). Single token-map pass with dict lookup — Python's re
+    has no trie, so the ~150-branch irregular ALTERNATION this replaces
+    re-tried every branch at every token boundary (CLAUDE.md rule;
+    measured 2×: 165 → 82 ms over 3k extracted pages, same outputs).
+    The regex pair (_IRREGULAR_RE + _LEMMA_SUFFIX_RE) is retained as the
+    executable spec the property test checks this against."""
+    return " ".join(_lemma_tok(t) for t in text.split(" "))
+
+
+def lemmatize_spec(text: str) -> str:
+    """The ORIGINAL two-regex-pass definition — kept as the executable
+    specification for tests only (tests/test_tokenizer.py property-tests
+    lemmatize_text against it)."""
     text = _IRREGULAR_RE.sub(lambda m: _IRREGULAR_LEMMAS[m.group(1)], text)
     return _LEMMA_SUFFIX_RE.sub(lambda m: _lemma_suffix(m.group(1)), text)
 
 
 def lemmatize_series(s: pd.Series) -> pd.Series:
-    """Vectorized lemmatize_text (same regexes, same rule function)."""
-    s = s.str.replace(
-        _IRREGULAR_RE, lambda m: _IRREGULAR_LEMMAS[m.group(1)], regex=True
-    )
-    return s.str.replace(
-        _LEMMA_SUFFIX_RE, lambda m: _lemma_suffix(m.group(1)), regex=True
-    )
+    """lemmatize_text over a Series (same token-map pass — the per-row
+    Python map beats the two pandas regex replaces 2× on real pages; see
+    lemmatize_text)."""
+    return s.map(lemmatize_text)
 
 
 def expand_contractions(text: str) -> str:

@@ -788,13 +788,25 @@ def _capped_bucket_pairs(
     mirrored exactly by the DuckDB oracles via `_capped_cands_sql`) and
     split into shards of ≤ cap. Candidates are (a) all pairs WITHIN a
     shard (≤ cap·(cap−1)/2 each) plus (b) a representative CHAIN: the min
-    id of each shard paired with the min id of the next shard. The chain
-    is a spanning structure over the bucket, so connected-components
-    clustering (q_dedup_clusters) sees the same components as the
-    uncapped join once the chain pairs pass the downstream verify —
-    components need a spanning structure, not all pairs. Per bucket the
-    output is O(c·cap) instead of O(c²); buckets of ≤ cap rows take the
-    single-shard path, whose output is IDENTICAL to the plain self-join.
+    id of each shard paired with the min id of the next shard. Per bucket
+    the output is O(c·cap) instead of O(c²); buckets of ≤ cap rows take
+    the single-shard path, whose output is IDENTICAL to the plain
+    self-join.
+
+    Recall contract (stated precisely): buckets of ≤ cap rows lose
+    NOTHING. In an over-cap HOMOGENEOUS bucket (a near-dup mega-cluster —
+    the case the cap exists for) every within-shard and chain pair passes
+    the downstream verify, so the chain is a verified spanning structure
+    and q_dedup_clusters components are unchanged (tested on a planted
+    300-doc cluster). In an over-cap HETEROGENEOUS bucket (a true pair
+    mixed with enough band-collision false positives to cross the cap), a
+    pair split across shards can be missed in THAT band — but bucket
+    membership and id-rank differ per band, so each of the other bands
+    the pair collides in (b−1 more S-curve draws) is an independent
+    chance to emit it; heterogeneous buckets over 32 rows are band
+    collisions of rare mass (random pairs collide per band at ~s^r).
+    This is the deliberate trade against the O(c²) blow-up, same as the
+    sampling degradation VERDICT r3 proposed.
 
     Scale shape: the row_number window shuffles on the same
     (band, band_key) key the join needs, so the plan gains a sort but no
@@ -1661,6 +1673,40 @@ def q_embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame
 _EN_MARKERS = ["the", "and", "of", "to", "a", "in", "is", "for", "with", "on"]
 
 
+def _quality_expr() -> Column:
+    """THE per-doc quality composite, defined once: length term (capped
+    at 100 tokens) + type-token ratio, equally weighted, rounded as the
+    FINAL float. Shared by q_quality_score, q_domain_cap and (unrounded
+    inline twin) q_source_stats — a divergence between call sites would
+    silently move every domain_cap rank while quality_score parity still
+    passed. ttr stays raw into the composite (round-only-final-floats)."""
+    arr = F.split(F.col("text"), " ")
+    n_tokens = F.size(arr)
+    ttr_raw = F.size(F.array_distinct(arr)) / n_tokens
+    return F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5 + ttr_raw * 0.5,
+        6,
+    )
+
+
+def _quality_perdoc_sql(extra_col: str | None = None) -> str:
+    """The oracle-side twin of _quality_expr as a per-doc SELECT over a
+    `toks`(doc_id[, extra], term) CTE — ONE definition shared by the
+    quality_score and domain_cap oracles (same single-definition
+    discipline as the Spark side)."""
+    sel = f"{extra_col}, " if extra_col else ""
+    grp = f"doc_id{', ' + extra_col if extra_col else ''}"
+    return (
+        f"SELECT {sel}doc_id, COUNT(*) AS n_tokens,\n"
+        "       ROUND(AVG(LENGTH(term)), 6) AS avg_token_len,\n"
+        "       COUNT(DISTINCT term) * 1.0 / COUNT(*) AS ttr_raw,\n"
+        "       ROUND(LEAST(COUNT(*) / 100.0, 1.0) * 0.5\n"
+        "             + (COUNT(DISTINCT term) * 1.0 / COUNT(*)) * 0.5, 6)\n"
+        "         AS quality\n"
+        f"  FROM toks GROUP BY {grp}"
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: share of tokens that are English marker
     stopwords; predict 'en' above threshold. (doc_id, en_ratio, lang_pred)
@@ -1671,16 +1717,23 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (size(filter(...)) — InSet-optimized) instead of explode → groupBy;
     the previous shape exchanged ~1 row/doc, this one exchanges nothing.
     Integer count / integer count is the same double division the
-    explode-form agg computed — bit-identical to the DuckDB oracle."""
+    explode-form agg computed — bit-identical to the DuckDB oracle. The
+    isNotNull filter keeps the old explode semantics for NULL-text rows
+    (explode(NULL) emitted no group; a projection would emit a NULL row
+    the oracle's unnest never produces)."""
     arr = F.split(F.col("text"), " ")
     markers = F.size(F.filter(arr, lambda t: t.isin(*_EN_MARKERS)))
     ratio = F.round(markers / F.size(arr), 6)
-    return documents(spark, sf_dir).select(
-        "doc_id",
-        ratio.alias("en_ratio"),
-        F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("other")).alias(
-            "lang_pred"
-        ),
+    return (
+        documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            ratio.alias("en_ratio"),
+            F.when(ratio >= 0.03, F.lit("en"))
+            .otherwise(F.lit("other"))
+            .alias("lang_pred"),
+        )
     )
 
 
@@ -1699,23 +1752,24 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     and distinct-size / size are the same exact-integer-fed double
     divisions the agg form computed, ttr stays raw (unrounded) into the
     composite (CLAUDE.md round-only-final-floats), so values are
-    bit-identical to the unchanged DuckDB oracle."""
+    bit-identical to the unchanged DuckDB oracle. The isNotNull filter
+    keeps the old explode semantics for NULL-text rows (no output row —
+    matching the oracle's unnest)."""
     arr = F.split(F.col("text"), " ")
     n_tokens = F.size(arr)
     len_sum = F.aggregate(
         arr, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
-    ttr_raw = F.size(F.array_distinct(arr)) / n_tokens
-    quality = F.round(
-        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5 + ttr_raw * 0.5,
-        6,
-    )
-    return documents(spark, sf_dir).select(
-        "doc_id",
-        n_tokens.cast("long").alias("n_tokens"),
-        F.round(len_sum / n_tokens, 6).alias("avg_token_len"),
-        F.round(ttr_raw, 6).alias("ttr"),
-        quality.alias("quality"),
+    return (
+        documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            n_tokens.cast("long").alias("n_tokens"),
+            F.round(len_sum / n_tokens, 6).alias("avg_token_len"),
+            F.round(F.size(F.array_distinct(arr)) / n_tokens, 6).alias("ttr"),
+            _quality_expr().alias("quality"),
+        )
     )
 
 
@@ -1725,17 +1779,22 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ZERO-shuffle (round 4, VERDICT r3 #3): both counts are within-document
     array intrinsics in the projection — size + a ceil(len/4) fold — vs
     the previous explode → groupBy that exchanged ~1 row/doc. ceil is
-    exact on the len/4.0 doubles, so the fold sum equals the agg sum."""
+    exact on the len/4.0 doubles, so the fold sum equals the agg sum.
+    isNotNull keeps the old explode semantics for NULL-text rows."""
     arr = F.split(F.col("text"), " ")
     bpe = F.aggregate(
         arr,
         F.lit(0).cast("long"),
         lambda acc, t: acc + F.ceil(F.length(t) / 4.0),
     )
-    return documents(spark, sf_dir).select(
-        "doc_id",
-        F.size(arr).cast("long").alias("ws_tokens"),
-        bpe.alias("bpe_tokens"),
+    return (
+        documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(arr).cast("long").alias("ws_tokens"),
+            bpe.alias("bpe_tokens"),
+        )
     )
 
 
@@ -2274,15 +2333,10 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE exchange (the window's partition-by-source shuffle of ≤1 narrow
     row/doc) + an in-partition sort — at 100 TB this is the floor for an
     exact per-domain top-N; text never shuffles."""
-    arr = F.split(F.col("text"), " ")
-    n_tokens = F.size(arr)
-    ttr_raw = F.size(F.array_distinct(arr)) / n_tokens
-    quality = F.round(
-        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5 + ttr_raw * 0.5,
-        6,
-    )
-    per_doc = documents(spark, sf_dir).select(
-        "doc_id", "source", quality.alias("quality")
+    per_doc = (
+        documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", _quality_expr().alias("quality"))
     )
     w = Window.partitionBy("source").orderBy(
         F.desc("quality"), F.asc("doc_id")
@@ -2711,18 +2765,14 @@ SELECT doc_id, en_ratio,
        CASE WHEN en_ratio >= 0.03 THEN 'en' ELSE 'other' END AS lang_pred
 FROM ratio
 """,
-    "quality_score": """
+    "quality_score": f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 ),
 per_doc AS (
-  SELECT doc_id, COUNT(*) AS n_tokens,
-         ROUND(AVG(LENGTH(term)), 6) AS avg_token_len,
-         COUNT(DISTINCT term) * 1.0 / COUNT(*) AS ttr_raw
-  FROM toks GROUP BY doc_id
+  {_quality_perdoc_sql()}
 )
-SELECT doc_id, n_tokens, avg_token_len, ROUND(ttr_raw, 6) AS ttr,
-       ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5 + ttr_raw * 0.5, 6) AS quality
+SELECT doc_id, n_tokens, avg_token_len, ROUND(ttr_raw, 6) AS ttr, quality
 FROM per_doc
 """,
     "token_counts": """
@@ -2966,10 +3016,7 @@ WITH toks AS (
   FROM documents
 ),
 perdoc AS (
-  SELECT doc_id, source,
-         ROUND(LEAST(COUNT(*) / 100.0, 1.0) * 0.5
-               + (COUNT(DISTINCT term) * 1.0 / COUNT(*)) * 0.5, 6) AS quality
-  FROM toks GROUP BY doc_id, source
+  {_quality_perdoc_sql("source")}
 ),
 ranked AS (
   SELECT doc_id, source, quality,

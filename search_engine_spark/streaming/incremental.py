@@ -192,6 +192,13 @@ def _seq_path(paths: ib.IndexPaths, bid: str) -> str:
     return f"{_commits_dir(paths)}/{bid}.json"
 
 
+def _pending_path(paths: ib.IndexPaths, bid: str) -> str:
+    # written BEFORE any of the batch's data dirs: distinguishes a crashed
+    # NEW-protocol ingest (pending, invisible) from a LEGACY pre-upgrade
+    # batch dir (no record at all — complete by definition, visible)
+    return f"{_commits_dir(paths)}/{bid}.pending"
+
+
 def _legacy_seq_path(paths: ib.IndexPaths, bid: str) -> str:
     # pre-round-4 location, INSIDE the batch dir — kept readable so an
     # old delta log stays committed after the upgrade (a replay's
@@ -242,37 +249,75 @@ def _assign_batch_seq(paths: ib.IndexPaths, bid: str) -> int:
     with open(tmp, "w") as f:
         json.dump({"seq": seq, "batch": bid}, f)
     os.replace(tmp, p)
+    # the pending marker has served its purpose (idempotent cleanup)
+    try:
+        os.remove(_pending_path(paths, bid))
+    except FileNotFoundError:
+        pass
     return seq
+
+
+def _mark_pending(paths: ib.IndexPaths, bid: str) -> None:
+    """Atomic 'ingest in flight' marker, written BEFORE any data dir —
+    see _pending_path. A no-op for an already-committed batch."""
+    import json
+
+    if _read_seq(paths, bid) is not None:
+        return
+    os.makedirs(_commits_dir(paths), exist_ok=True)
+    p = _pending_path(paths, bid)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"batch": bid}, f)
+    os.replace(tmp, p)
+
+
+def _visible_batches(
+    paths: ib.IndexPaths, root: str, exclude: str | None = None
+) -> list[tuple[str, int]]:
+    """(dir, seq) for every batch a reader may see under ``root``:
+    COMMITTED batches (commit record exists) with their recorded seq,
+    plus LEGACY pre-upgrade dirs — no record AND no pending marker,
+    i.e. written before the commit-record protocol existed, complete by
+    definition — with NEGATIVE fallback seqs in lexicographic order
+    (strictly below every assigned seq ≥ 1, so post-upgrade re-ingests
+    win latest-wins). A dir with a pending marker and no record is a
+    crashed/in-flight NEW-protocol ingest: invisible."""
+    legacy: list[str] = []
+    out: list[tuple[str, int]] = []
+    for d in _batch_subdirs(root, exclude):
+        bid = os.path.basename(d).split("=", 1)[1]
+        s = _read_seq(paths, bid)
+        if s is not None:
+            out.append((d, s))
+        elif not os.path.exists(_pending_path(paths, bid)):
+            legacy.append(d)
+    for i, d in enumerate(sorted(legacy)):
+        out.append((d, i - len(legacy)))
+    return out
 
 
 def _committed_subdirs(
     paths: ib.IndexPaths, root: str, exclude: str | None = None
 ) -> list[str]:
-    """batch=* dirs under ``root`` whose batch has a COMMIT RECORD — the
-    only dirs any reader (serving, stats, compaction) may see. A dir
-    without one is a crashed ingest's garbage: invisible until its
-    replay rewrites and commits it."""
-    return [
-        d
-        for d in _batch_subdirs(root, exclude)
-        if _read_seq(paths, os.path.basename(d).split("=", 1)[1]) is not None
-    ]
+    """batch=* dirs under ``root`` visible to readers (serving, stats,
+    compaction) — committed + legacy; see _visible_batches."""
+    return [d for d, _ in _visible_batches(paths, root, exclude)]
 
 
 def _read_deltas_with_seq(
     spark: SparkSession, paths: ib.IndexPaths, root: str
 ) -> DataFrame | None:
-    """Union the COMMITTED batch=* dirs under ``root`` with each batch's
-    seq as a batch_seq column. Uncommitted dirs (crashed ingests) are
+    """Union the VISIBLE batch=* dirs under ``root`` with each batch's
+    seq as a batch_seq column. Crashed/in-flight NEW-protocol dirs are
     invisible by construction — visibility is the commit record itself
-    (_assign_batch_seq)."""
-    dirs = _committed_subdirs(paths, root)
-    if not dirs:
+    (_assign_batch_seq); legacy pre-upgrade dirs ride with negative
+    fallback seqs (_visible_batches)."""
+    batches = _visible_batches(paths, root)
+    if not batches:
         return None
     out = None
-    for d in dirs:
-        bid = os.path.basename(d).split("=", 1)[1]
-        seq = _read_seq(paths, bid)
+    for d, seq in batches:
         df = spark.read.parquet(d).withColumn("batch_seq", F.lit(seq))
         out = df if out is None else out.unionByName(df)
     return out
@@ -475,14 +520,20 @@ def apply_incremental_batch(
     """Ingest one micro-batch of new pages (steps 1-4 above). Runs inside
     Structured Streaming foreachBatch (jobs.ingest_stream) or standalone.
 
-    IDEMPOTENT per batch_id: foreachBatch is at-least-once, so every
-    artifact of a batch lands in its own batch=<id> directory with
-    mode=overwrite — a replay rewrites the same directories instead of
-    double-appending (doc counts, df/cf and posting lists stay exact).
-    batch_id is REQUIRED and must be unique per logical batch (reusing an
-    id overwrites that batch's deltas); ingest_stream derives it from
-    (checkpoint-path hash, micro-batch id). compact() folds all batch
-    dirs into the base tables and clears them.
+    IDEMPOTENT per batch_id: foreachBatch is at-least-once. A replay of
+    an ALREADY-COMMITTED batch is a NO-OP (round 4): the batch's
+    artifacts are complete by definition, and rewriting them would
+    re-open a torn window — its lexicon delta would re-derive term ids
+    against a max_id other batches have since moved, so a crash between
+    the lexicon and postings rewrites would leave a COMMITTED batch whose
+    postings use ids its lexicon no longer maps. A replay of a CRASHED
+    (uncommitted) batch rewrites every directory from scratch with
+    mode=overwrite and then commits (doc counts, df/cf and posting lists
+    stay exact). batch_id is REQUIRED and must be unique per logical
+    batch — re-using a committed id with DIFFERENT data is ignored, not
+    applied; ingest_stream derives it from (checkpoint-path hash,
+    micro-batch id). compact() folds all committed batch dirs into the
+    base tables and clears them.
 
     Re-ingest semantics (tombstone compaction): an IDENTICAL page
     (matching doc_stats fp) re-collapses at compaction via the
@@ -499,6 +550,30 @@ def apply_incremental_batch(
     uncompacted_snapshot()."""
     recover_pending(paths)  # roll forward an interrupted previous compact
     bid = str(batch_id)
+    if _read_seq(paths, bid) is not None:
+        # committed replay: serve the recorded effects, touch nothing
+        try:
+            os.remove(_pending_path(paths, bid))  # leftover crash window
+        except FileNotFoundError:
+            pass
+        n_new = spark.read.parquet(
+            f"{doc_stats_delta_dir(paths)}/batch={bid}"
+        ).count()
+        tdir_b = f"{tombstones_dir(paths)}/batch={bid}"
+        n_changed = (
+            spark.read.parquet(tdir_b).count()
+            if os.path.exists(tdir_b)
+            else 0
+        )
+        snap = uncompacted_snapshot(spark, paths)
+        return {
+            "new_docs": int(n_new),
+            "n_docs": snap["n_docs"],
+            "avgdl": snap["avgdl"],
+            "tombstoned": int(n_changed),
+            "replayed_noop": True,
+        }
+    _mark_pending(paths, bid)
     stats = ib.read_stats(spark, paths)
     n_barrels = int(stats["n_barrels"])
 

@@ -128,6 +128,83 @@ def test_replay_after_crash_completes_batch(spark, setup):
         )
 
 
+def test_committed_replay_is_noop(spark, setup):
+    """A replay of an ALREADY-COMMITTED batch must touch nothing:
+    rewriting would re-derive the batch's lexicon term ids against a
+    moved max_id, and a crash between the lexicon and postings rewrites
+    would leave a COMMITTED batch whose postings use ids its lexicon no
+    longer maps (code-review finding r4). The skip keeps every artifact
+    byte-identical."""
+    import os
+
+    paths, batch, _, _ = setup
+    inc.apply_incremental_batch(spark, batch, paths, "noop1")
+
+    def fingerprint():
+        out = {}
+        for root in (
+            inc.doc_stats_delta_dir(paths),
+            inc.lexicon_delta_dir(paths),
+            inc.delta_dir(paths),
+        ):
+            base = f"{root}/batch=noop1"
+            for dirpath, _, files in os.walk(base):
+                for fn in files:
+                    p = os.path.join(dirpath, fn)
+                    out[p] = (os.path.getsize(p), os.path.getmtime(p))
+        return out
+
+    before = fingerprint()
+    assert before
+    idx = SearchIndex(spark, paths)
+    res_before = {
+        q: _topk(search_uncompacted(idx, q, k=10)) for q in QUERIES
+    }
+    r = inc.apply_incremental_batch(spark, batch, paths, "noop1")
+    assert r.get("replayed_noop") is True
+    assert fingerprint() == before  # nothing rewritten
+    for q in QUERIES:
+        assert _topk(search_uncompacted(idx, q, k=10)) == res_before[q]
+
+
+def test_legacy_seqless_batch_stays_visible(spark, setup):
+    """Pre-upgrade delta logs have NO commit record and NO pending
+    marker — they were complete by definition and must stay VISIBLE
+    (served + folded by compact), not be classified as crashed garbage
+    and deleted (code-review finding r4). Simulated by stripping a
+    committed batch's records."""
+    import os
+
+    paths, batch, _, _ = setup
+    inc.apply_incremental_batch(spark, batch, paths, "leg1")
+    idx = SearchIndex(spark, paths)
+    served = {q: _topk(search_uncompacted(idx, q, k=10)) for q in QUERIES}
+    # strip every record: the dir now looks like a pre-upgrade batch
+    for p in (
+        inc._seq_path(paths, "leg1"),
+        inc._pending_path(paths, "leg1"),
+        inc._legacy_seq_path(paths, "leg1"),
+    ):
+        if os.path.exists(p):
+            os.remove(p)
+    assert inc._read_seq(paths, "leg1") is None
+    vis = dict(
+        inc._visible_batches(paths, inc.doc_stats_delta_dir(paths))
+    )
+    leg_dir = f"{inc.doc_stats_delta_dir(paths)}/batch=leg1"
+    assert leg_dir in vis and vis[leg_dir] < 0  # negative fallback seq
+    for q in QUERIES:
+        assert _topk(search_uncompacted(idx, q, k=10)) == served[q]
+    # legacy in-dir seq file (the pre-round-4 layout) is also honored
+    import json
+
+    with open(inc._legacy_seq_path(paths, "leg1"), "w") as f:
+        json.dump({"seq": 7, "batch": "leg1"}, f)
+    assert inc._read_seq(paths, "leg1") == 7
+    for q in QUERIES:
+        assert _topk(search_uncompacted(idx, q, k=10)) == served[q]
+
+
 def test_replay_reuses_seq_after_commit(spark, setup, tmp_path):
     """A replay of an ALREADY COMMITTED batch keeps its original seq —
     the batch's latest-wins position is a fact of the first delivery.

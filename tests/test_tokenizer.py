@@ -175,6 +175,43 @@ def test_lemma_round4_irregular_extension():
         assert tokenize(lemma) == [lemma], lemma
 
 
+def test_lemma_tokenmap_matches_regex_spec():
+    """The token-map lemmatizer must equal the ORIGINAL two-regex-pass
+    definition (kept as `lemmatize_spec`) on adversarial inputs: every
+    irregular key and value, suffix-rule edge shapes, non-ASCII/digit/
+    apostrophe tokens the [a-z] regex must skip, and 500 random
+    multi-token lines."""
+    import random
+
+    from search_engine_spark.functions.text import (
+        _IRREGULAR_LEMMAS,
+        lemmatize_spec,
+        lemmatize_text,
+    )
+
+    # every table value must be a FIXPOINT of the full pipeline — the
+    # token-map skips the second pass on replacements, which is only
+    # sound if pass 2 would leave them unchanged
+    for v in set(_IRREGULAR_LEMMAS.values()):
+        assert lemmatize_spec(v) == v, v
+    vocab = (
+        list(_IRREGULAR_LEMMAS)[:40]
+        + list(set(_IRREGULAR_LEMMAS.values()))[:20]
+        + [
+            "running", "stopped", "making", "king", "ting", "aed", "eed",
+            "speed", "naïved", "naïving", "x9ed", "don'ted", "ING", "Fed",
+            "studied", "carrying", "thing", "string", "", "a", "ab",
+            "abed", "bring", "swing", "created",
+        ]
+    )
+    rng = random.Random(99)
+    for _ in range(500):
+        line = " ".join(
+            rng.choice(vocab) for _ in range(rng.randint(0, 12))
+        )
+        assert lemmatize_text(line) == lemmatize_spec(line), line
+
+
 def test_lemma_capitalized_auxiliary():
     """'Was' survives the case-sensitive stopword stage, lowercases, and
     then lemmatizes to 'be' — the same chain the reference's spaCy stage
