@@ -1210,6 +1210,13 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     os.replace(tmp, jp)  # <- the commit point
     _execute_ops(ops)
     os.remove(jp)
+    # refresh the SymSpell artifact when the index maintains one: the
+    # compacted lexicon is a new epoch, so the old artifact would
+    # silently fall back to the band scan (correct_term's epoch gate).
+    # Derived data rebuilt AFTER the committed swap — a crash here just
+    # leaves the stale artifact, which the gate already handles.
+    if os.path.exists(paths.spell_meta):
+        ib.build_spell_index(spark, paths)
     return {
         "compacted_barrels": len(affected_barrels),
         "epoch": epoch,

@@ -153,6 +153,48 @@ def test_spell_path_skips_lexicon_scan(spark, spell_index):
     assert "delkey" in plan  # the IN probe reached the scan
 
 
+def test_spell_refreshed_by_compaction(spark, tmp_path):
+    """compact() rebuilds the spell artifact (the epoch bump would
+    otherwise silently demote correct_term to the band scan), and the
+    refreshed table serves NEW terms ingested by the folded batches."""
+    from search_engine_spark.operators.query import correct_term
+    from search_engine_spark.streaming.incremental import (
+        apply_incremental_batch,
+        compact,
+    )
+
+    base = generate_pages_df(spark, 200, partitions=4)
+    paths = ib.IndexPaths(str(tmp_path / "spellcompact"))
+    ib.build_index(
+        spark, base, paths, n_salts=2, salt_threshold=60, n_barrels=4,
+        id_partitions=4,
+    )
+    ib.build_spell_index(spark, paths)
+    import pandas as pd
+
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["http://x.example/zzz1"],
+                "warc_ts": [pd.Timestamp("2024-01-01")],
+                "html": [
+                    b"<html><head><title>t</title></head><body><p>"
+                    b"zebrafish zebrafish content</p></body></html>"
+                ],
+                "text": [""],
+                "lang": ["en"],
+            }
+        )
+    )
+    apply_incremental_batch(spark, batch, paths, "sp1")
+    compact(spark, paths)
+    idx = SearchIndex(spark, paths)
+    df = correct_term(idx, "zebrafiah", k=1)  # 1 edit from the NEW term
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "delkey" in plan and "lexicon" not in plan  # fast path alive
+    assert [r["term"] for r in df.collect()] == ["zebrafish"]
+
+
 def test_spell_smaller_max_dist_still_served(spark, spell_index):
     """A d=1 query against the d=2 artifact stays lossless (the deletion
     neighborhoods at depth 1 are subsets of the stored depth-2 keys)."""
