@@ -106,6 +106,10 @@ _DEFERRED_TAIL = [
     # minhash_signatures (windowed token-slice construction) — its own
     # oracle row is still checked by the tail artifact each round
     "passage_dedup",
+    # pq_adc_topk ⊂ kmeans_centroids/kmeans_ivf_topk (the identical
+    # round-before-rank Lloyd machinery, per subspace) — tail artifact
+    # checks its own oracle row each round
+    "pq_adc_topk",
     "doc_stats",
     "corpus_stats",
     "term_stats",

@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "embedding_cosine_topk",
     "embedding_rp_near_dup",
     "kmeans_centroids",
+    "pq_adc_topk",
     "dedup_clusters",
     "split_assign",
     "stratified_sample",

@@ -1471,6 +1471,99 @@ def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 4  # subspaces
+_PQ_SUBDIM = 16  # 64-dim embeddings table (TESTDATA.md) / _PQ_M
+_PQ_K = 4  # centroids per subspace codebook
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI'11): train a K-means
+    codebook PER 16-dim SUBSPACE (one Lloyd round, deterministic init =
+    vectors 1..K's subvectors), encode every vector as 4 centroid codes,
+    then answer the query by Asymmetric Distance Computation — the
+    query's 4×K distance table (a broadcast of 16 scalars) is summed per
+    vector over its codes. -> top-k by approximate L2 (ascending,
+    vec_id tiebreak), query vector excluded.
+
+    This is the 100 TB memory story the IVF queries lack: a 64-dim
+    float32 vector (256 B) becomes 4 byte-codes; the ADC scan reads ONLY
+    the code table — at web scale the full-precision embeddings stay in
+    cold storage and candidate rerank is a tiny point-lookup join.
+    Everything is declarative (posexplode + hash aggs + broadcast joins);
+    cross-engine determinism uses the established k-means discipline:
+    distances/means rounded to 6 dp before every argmin (ROW_NUMBER twin
+    in the oracle), code ties break on centroid id, final ADC rounded.
+    pts/codes are localCheckpointed — the downstream branches would
+    otherwise re-run the Lloyd subtree once each."""
+    emb = embeddings(spark, sf_dir).select("vec_id", "embedding")
+    pts = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "vec_id",
+            "dim",
+            F.floor(F.col("dim") / _PQ_SUBDIM).cast("int").alias("s"),
+            F.col("x").cast("double").alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # init: codebook entry c of subspace s = vector (c+1)'s subvector
+    cents = pts.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= _PQ_K)
+    ).select(
+        (F.col("vec_id") - 1).cast("int").alias("c"),
+        "s",
+        "dim",
+        F.round("x", 6).alias("m"),
+    )
+
+    def _assign(cent: DataFrame) -> DataFrame:
+        # cent pruned to (c, dim, m): its s duplicates pts.s (dim → s is
+        # a function), and keeping both makes the s reference ambiguous
+        d2 = (
+            pts.join(F.broadcast(cent.select("c", "dim", "m")), "dim")
+            .withColumn("sq", (F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
+            .groupBy("vec_id", F.col("s").alias("sub"), "c")
+            .agg(F.round(F.sum("sq"), 6).alias("d2"))
+        )
+        return (
+            d2.groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("d2", "c")).alias("best"))
+            .select(
+                "vec_id",
+                F.col("sub").alias("s"),
+                F.col("best.c").alias("c"),
+            )
+        )
+
+    # one Lloyd round: assign under init, recompute the codebook
+    a1 = _assign(cents)
+    cents = (
+        pts.join(a1, ["vec_id", "s"])
+        .groupBy("c", "s", "dim")
+        .agg(F.round(F.sum("x") / F.count("*"), 6).alias("m"))
+    )
+    # encode EVERY vector under the trained codebook
+    codes = _assign(cents).localCheckpoint(eager=True)
+    # query-side ADC table: 4×K rounded subspace distances, broadcast
+    qpts = pts.filter(F.col("vec_id") == 0).select(
+        "dim", F.col("x").alias("qv")
+    )
+    dtab = (
+        cents.join(F.broadcast(qpts), "dim")
+        .withColumn("sq", (F.col("qv") - F.col("m")) * (F.col("qv") - F.col("m")))
+        .groupBy("s", "c")
+        .agg(F.round(F.sum("sq"), 6).alias("d"))
+    )
+    return (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(dtab), ["s", "c"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(TOPK)
+    )
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs, BLOCKED BY CELL (label):
     the scalable shape — an equi-join on the blocking key instead of an
@@ -2854,6 +2947,60 @@ SELECT CAST(s.c AS INT) AS cluster, s.n_vectors, n.centroid_norm
 FROM sizes s JOIN norms n USING (c)
 """
 
+# PQ-ADC oracle (mirror of q_pq_adc_topk): one Lloyd round per 16-dim
+# subspace, ROW_NUMBER tie-break == Spark's min(struct(d2, c)), encode
+# under the trained codebook, ADC = per-subspace distance-table sum
+ORACLE_SQL["pq_adc_topk"] = f"""
+WITH pts AS (
+  SELECT vec_id, i - 1 AS dim, CAST((i - 1) // {_PQ_SUBDIM} AS INT) AS s,
+         CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+cent0 AS (
+  SELECT CAST(vec_id - 1 AS INT) AS c, s, dim, ROUND(x, 6) AS m
+  FROM pts WHERE vec_id BETWEEN 1 AND {_PQ_K}
+),
+d2_1 AS (
+  SELECT p.vec_id, c.c, p.s, ROUND(SUM((p.x - c.m) * (p.x - c.m)), 6) AS d2
+  FROM pts p JOIN cent0 c USING (dim) GROUP BY p.vec_id, c.c, p.s
+),
+a_1 AS (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+    FROM d2_1
+  ) r WHERE rn = 1
+),
+cent_1 AS (
+  SELECT a.c, p.s, p.dim, ROUND(SUM(p.x) / COUNT(*), 6) AS m
+  FROM pts p JOIN a_1 a ON a.vec_id = p.vec_id AND a.s = p.s
+  GROUP BY a.c, p.s, p.dim
+),
+d2_e AS (
+  SELECT p.vec_id, c.c, p.s, ROUND(SUM((p.x - c.m) * (p.x - c.m)), 6) AS d2
+  FROM pts p JOIN cent_1 c USING (dim) GROUP BY p.vec_id, c.c, p.s
+),
+codes AS (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+    FROM d2_e
+  ) r WHERE rn = 1
+),
+qd AS (
+  SELECT dim, x AS qv FROM pts WHERE vec_id = 0
+),
+dtab AS (
+  SELECT c.s, c.c, ROUND(SUM((q.qv - c.m) * (q.qv - c.m)), 6) AS d
+  FROM cent_1 c JOIN qd q USING (dim) GROUP BY c.s, c.c
+)
+SELECT k.vec_id, ROUND(SUM(d.d), 6) AS adc
+FROM codes k JOIN dtab d ON d.s = k.s AND d.c = k.c
+WHERE k.vec_id <> 0
+GROUP BY k.vec_id
+ORDER BY adc ASC, k.vec_id ASC LIMIT {TOPK}
+"""
+
 ORACLE_SQL["kmeans_ivf_topk"] = f"""
 WITH {_KM_CTES},
 q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
@@ -3426,6 +3573,7 @@ QUERIES = {
     "embedding_centroid_by_label": q_embedding_centroid_by_label,
     "kmeans_centroids": q_kmeans_centroids,
     "kmeans_ivf_topk": q_kmeans_ivf_topk,
+    "pq_adc_topk": q_pq_adc_topk,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,

@@ -102,3 +102,47 @@ def test_rp_near_dup_recall_on_planted_pairs(spark, rp_fixture_dir):
     }
     hit = planted & found
     assert len(hit) >= 0.8 * len(planted), (sorted(planted - found), found)
+
+
+def test_pq_adc_reasonable_vs_exact(spark):
+    """PQ-ADC sanity on the driver corpus: the 4×16-dim / K=4 codebook is
+    deliberately coarse (deterministic, oracle-mirrored), so assert
+    structural properties rather than tight recall — top-k is exactly k,
+    query excluded, distances ascending, and the ADC ranking genuinely
+    points toward the query: the exact-L2 ranks of the ADC top-10 must
+    be strongly better than chance (measured: median exact-rank ≈ 100 of
+    499 vs 250 random; best ≈ 29). Bit-exact ADC arithmetic itself is the
+    DuckDB parity row's job (oracle:`pq_adc_topk`); a 256-cell codebook
+    cannot promise exact-top-10 overlap and this test doesn't claim it."""
+    import pyspark.sql.functions as F
+
+    rows = corpus.q_pq_adc_topk(spark, SF).collect()
+    assert len(rows) == 10
+    assert all(r["vec_id"] != 0 for r in rows)
+    dists = [r["adc"] for r in rows]
+    assert dists == sorted(dists)
+    emb = corpus.embeddings(spark, SF)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding", "q_emb",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", d2.alias("d2"))
+        .orderBy(F.asc("d2"), F.asc("vec_id"))
+        .collect()
+    )
+    ranks = {r["vec_id"]: i for i, r in enumerate(exact)}
+    n = len(exact)
+    pq_ranks = sorted(ranks[r["vec_id"]] for r in rows)
+    assert pq_ranks[len(pq_ranks) // 2] < 0.35 * n, pq_ranks  # median ≪ chance
+    assert pq_ranks[0] < 0.15 * n, pq_ranks  # best member near the true top
