@@ -110,6 +110,9 @@ _DEFERRED_TAIL = [
     # round-before-rank Lloyd machinery, per subspace) — tail artifact
     # checks its own oracle row each round
     "pq_adc_topk",
+    # unigram_logprob ⊂ term_tf (per-(doc, term) tf) + lexicon (corpus
+    # cf) + bm25_topk_or (ordered per-doc float fold) — tail-checked
+    "unigram_logprob",
     "doc_stats",
     "corpus_stats",
     "term_stats",

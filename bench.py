@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "domain_cap",
     "passage_dedup",
+    "unigram_logprob",
     "quality_score",
     "repetition_signals",
     "boilerplate_ngrams",

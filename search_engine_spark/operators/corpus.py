@@ -1891,6 +1891,61 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency proxy (the CCNet/Wikipedia-LM perplexity filter,
+    reduced to its order-0 form both engines can compute exactly): per-doc
+    mean log p(token) under the corpus unigram distribution — gibberish
+    and boilerplate-free word salad score far below natural text, so
+    pipelines bucket by this signal before the expensive model-based
+    perplexity pass. -> (doc_id, n_tokens, mean_logprob).
+
+    Determinism: p = cf_token / cf_total is one exact-integer-fed double
+    division, LN is the shared libm double, per-(doc, term) tf·ln(p)
+    partials sum in SORTED TERM order via the array fold the BM25
+    queries standardized (deterministic across builds/partitionings),
+    and only the FINAL mean is rounded.
+
+    Plan shape: the unigram table is a (term, cf) aggregate (map-side
+    partials absorb the Zipf head) joined back to the per-(doc, term) tf
+    rows; at 100 TB the term table is lexicon-sized — a plain shuffle
+    join on term (broadcast only if genuinely small), then one doc-keyed
+    agg of ≤1 row per (doc, term). The corpus total enters as a 1-row
+    broadcast cross join — no driver-side action."""
+    toks = documents(spark, sf_dir).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    cf = toks.groupBy("term").agg(F.count("*").alias("cf"))
+    tot = toks.agg(F.count("*").alias("t"))
+    lp = F.log(F.col("cf") / F.col("t"))
+    per_term = (
+        tf.join(cf, "term")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "term", (F.col("tf") * lp).alias("part"), "tf")
+    )
+    summed = (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("term", "part"))
+            ).alias("parts"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.aggregate(
+                    "parts", F.lit(0.0), lambda acc, x: acc + x["part"]
+                )
+                / F.col("n_tokens"),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )
+    return summed
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min-hash of 3-word shingles (winnowing-lite) —
     one stable 32-hex fingerprint per doc for fast dedup lookups."""
@@ -2876,6 +2931,19 @@ SELECT doc_id, COUNT(*) AS ws_tokens,
        CAST(SUM(CEIL(LENGTH(term) / 4.0)) AS BIGINT) AS bpe_tokens
 FROM toks GROUP BY doc_id
 """,
+    "unigram_logprob": """
+WITH toks2 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf2 AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks2 GROUP BY doc_id, term),
+cf2 AS (SELECT term, COUNT(*) AS cf FROM toks2 GROUP BY term),
+tot AS (SELECT COUNT(*) AS t FROM toks2)
+SELECT tf2.doc_id, CAST(SUM(tf2.tf) AS BIGINT) AS n_tokens,
+       ROUND(SUM(tf2.tf * LN(cf2.cf * 1.0 / tot.t)) / SUM(tf2.tf), 6)
+         AS mean_logprob
+FROM tf2 JOIN cf2 USING (term) CROSS JOIN tot
+GROUP BY tf2.doc_id
+""",
     "doc_fingerprint": """
 WITH sh3 AS (
   SELECT DISTINCT doc_id,
@@ -3578,6 +3646,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
+    "unigram_logprob": q_unigram_logprob,
     "corpus_select": q_corpus_select,
     "corpus_select_cc": q_corpus_select_cc,
     "source_detail": q_source_detail,
