@@ -113,6 +113,14 @@ _DEFERRED_TAIL = [
     # unigram_logprob ⊂ term_tf (per-(doc, term) tf) + lexicon (corpus
     # cf) + bm25_topk_or (ordered per-doc float fold) — tail-checked
     "unigram_logprob",
+    # ivf_adc_topk ⊂ kmeans_ivf_topk (the identical cell-routing CTEs)
+    # + pq_adc_topk (the identical PQ encode/ADC chain) — the
+    # composition's own oracle row is checked by the tail artifact
+    "ivf_adc_topk",
+    # engine_pq_adc_topk ⊂ pq_adc_topk (same oracle SQL; the packed
+    # numpy kernel is additionally bit-equality-tested against the
+    # declarative form in tests/test_embedding_scale.py) — tail-checked
+    "engine_pq_adc_topk",
     "doc_stats",
     "corpus_stats",
     "term_stats",

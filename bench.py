@@ -20,6 +20,17 @@ N_ROUNDS=3 interleaved rounds — round 1 runs every query once, then round
 one round instead of silently becoming the committed number (the r02
 bench was a single-window run that disagreed with BASELINE.md by ~1.5×).
 
+SELF-ADJUDICATING ARTIFACT (round 5, VERDICT r4 #1): the emitted JSON
+carries the evidence needed to attribute a cross-round delta to the VM
+window instead of the code — `walls` (every query's RAW per-round walls,
+not just the minimum; inter-round spread IS the window noise) and
+`cpu_probe_pre` / `cpu_probe_post` (tools/cpu_probe.py hw ceiling
+measured INSIDE the same window, before and after the timed section). A
+reader can now check "is the spread ≥ the delta?" and "was the hw
+ceiling below nominal?" from the artifact alone — round 4's committed
+19.84 s pipeline number (vs 6.37 s in a clean window) was unadjudicable
+because none of that context was recorded.
+
 Also included: the 1M-doc training-data pipeline smoke
 (`pipeline_corpus_select`) — `q_corpus_select` (lang-ID + quality +
 exact-dedup + LSH near-dedup as ONE plan) over a deterministic synthetic
@@ -133,6 +144,8 @@ BENCH_QUERIES = [
     "embedding_rp_near_dup",
     "kmeans_centroids",
     "pq_adc_topk",
+    "ivf_adc_topk",
+    "engine_pq_adc_topk",
     "dedup_clusters",
     "split_assign",
     "stratified_sample",
@@ -161,6 +174,27 @@ ENGINE_QUERIES = {
 }
 
 
+def _cpu_probe(levels: tuple[int, ...] = (4, 16)) -> dict:
+    """Same-window hardware-ceiling probe (tools/cpu_probe.py): an
+    embarrassingly parallel pure-Python burn at each process count. The
+    result rides inside the bench JSON so a slow window is visible IN the
+    artifact (hw_efficiency_4_16 ≈ 1.0 nominal; ~0.77 was measured during
+    round 4's contested window). Never breaks the one-JSON-line contract."""
+    import subprocess
+
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "cpu_probe.py"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, script, *[str(x) for x in levels]],
+            capture_output=True, text=True, timeout=600,
+        )
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception as e:
+        return {"error": str(e)[:200]}
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -179,7 +213,7 @@ def run_bench(sf_dir: str, cpus: str, scaling: bool) -> dict:
     n_pages = max(2000, int(PAGES_PER_SF * sf))
     work = tempfile.mkdtemp(prefix="se_bench_")
     timings: dict[str, float] = {}
-    extra: dict[str, float] = {}
+    extra: dict = {}
     try:
         spark = get_spark("bench", master=f"local[{cpus}]")
         # corpus generation (not part of the measured build)
@@ -191,9 +225,14 @@ def run_bench(sf_dir: str, cpus: str, scaling: bool) -> dict:
 
         qs = entrymod.queries()
         best: dict[str, float] = {}
+        walls: dict[str, list[float]] = {}
 
         def record(name: str, dt: float) -> None:
             best[name] = min(best.get(name, float("inf")), dt)
+            walls.setdefault(name, []).append(round(dt, 3))
+
+        # hardware ceiling INSIDE this window, before the timed section
+        extra["cpu_probe_pre"] = _cpu_probe()
 
         # best-of-N interleaved rounds: build, engine queries, operator
         # suite — each round runs EVERYTHING once, so a throttle window
@@ -291,17 +330,21 @@ def run_bench(sf_dir: str, cpus: str, scaling: bool) -> dict:
 
             pipe_dir = f"{work}/pipe"
             synth_documents(spark, pipe_docs, pipe_dir)
-            pipe_best = None
             for _ in range(N_ROUNDS):
                 t0 = time.monotonic()
                 corpus_ops.q_corpus_select(spark, pipe_dir).write.format(
                     "noop"
                 ).mode("overwrite").save()
-                wall = time.monotonic() - t0
-                pipe_best = wall if pipe_best is None else min(pipe_best, wall)
-            timings["pipeline_corpus_select"] = round(pipe_best, 3)
+                record("pipeline_corpus_select", time.monotonic() - t0)
+            timings["pipeline_corpus_select"] = round(
+                best["pipeline_corpus_select"], 3
+            )
             extra["pipeline_docs"] = pipe_docs
         spark.stop()
+        # same-window ceiling AFTER the timed section (a throttle that
+        # started mid-run shows up as pre/post divergence)
+        extra["cpu_probe_post"] = _cpu_probe()
+        extra["walls"] = walls
 
         if scaling:
             n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "400000"))

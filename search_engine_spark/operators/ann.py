@@ -1,0 +1,160 @@
+"""Engine-grade PQ-ADC serving kernel (round 5, VERDICT r4 #5).
+
+The declarative q_pq_adc_topk / q_ivf_adc_topk (operators/corpus.py)
+answer ADC over (vec_id, s, c) code ROWS — 4 rows and ~100 B of Spark
+row overhead per vector. This module is the serving-path analogue of the
+postings codec (index_build.encode_postings): codes PACK into block
+blobs (one int64 vec_id array + one n×M uint8 code matrix per ≤4096
+vectors) and the ADC scan is a numpy gather-sum inside mapInPandas —
+at 100 TB the scan reads 4 bytes/vector of code payload, the distance
+table is 16 driver-side scalars (the same tiny-stats discipline as
+WAND's theta sketches), and the full-precision embeddings never enter
+the serving path.
+
+Determinism contract (bit-equal to the declarative form, tested in
+tests/test_embedding_scale.py): the d values entering the sum are
+already 6-dp-rounded decimals, so the exact decimal sum m/1e6 sits a
+full 0.5e-6 from every round-6 boundary while float association error
+is ~4 ulp (≈4e-15) — ANY summation order rounds to the same 6-dp
+answer, and numpy's half-even vs Spark's HALF_UP can only disagree
+exactly ON a boundary, which the same argument rules out. The kernel
+still sums in fixed s-ascending order and leaves the FINAL rounding to
+a JVM-side F.round, exactly like the engine's BM25 decode kernel.
+
+Reference parity: the reference serves ANN from its own packed
+structures (FinesserULTRA/Search-Engine keeps binary barrel files,
+backend/file_io.py); this is the same packed-serving idea applied to
+Jégou et al. (TPAMI'11) product-quantization codes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+PACKED_SCHEMA = "block_first long, n int, vec_ids binary, codes binary"
+
+_BLOCK = 4096  # vectors per packed blob (16 KiB of codes at M=4)
+
+
+def pack_pq_codes(
+    codes: DataFrame, n_sub: int, n_parts: int = 8, block: int = _BLOCK
+) -> DataFrame:
+    """(vec_id, s, c) code rows → packed blocks. One (vec_id) agg folds
+    the M rows per vector into an s-sorted code array; the pack itself
+    is repartition + sortWithinPartitions + mapInPandas with boundary
+    detection (CLAUDE.md: ~3× faster than many-small-groups
+    applyInPandas). Blocks are vec_id-sorted within and across a
+    partition, ≤``block`` vectors each: `vec_ids` is int64-LE,
+    `codes` is a row-major n×n_sub uint8 matrix."""
+    per_vec = (
+        codes.groupBy("vec_id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "c"))).alias("sc"))
+        .select("vec_id", F.transform("sc", lambda x: x["c"]).alias("cs"))
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids: list[int] = []
+        rows: list[list[int]] = []
+
+        def flush() -> pd.DataFrame | None:
+            nonlocal ids, rows
+            if not ids:
+                return None
+            out = pd.DataFrame(
+                {
+                    "block_first": [ids[0]],
+                    "n": [len(ids)],
+                    "vec_ids": [np.asarray(ids, dtype="<i8").tobytes()],
+                    "codes": [np.asarray(rows, dtype=np.uint8).tobytes()],
+                }
+            )
+            ids, rows = [], []
+            return out
+
+        for b in batches:
+            for vid, cs in zip(b["vec_id"], b["cs"]):
+                ids.append(int(vid))
+                rows.append([int(x) for x in cs])
+                if len(ids) >= block:
+                    y = flush()
+                    if y is not None:
+                        yield y
+        y = flush()
+        if y is not None:
+            yield y
+
+    return (
+        per_vec.repartition(n_parts, "vec_id")
+        .sortWithinPartitions("vec_id")
+        .mapInPandas(pack, PACKED_SCHEMA)
+    )
+
+
+def unpack_pq_codes(packed_rows) -> dict[int, list[int]]:
+    """Test helper: packed blobs → {vec_id: [codes]} (round-trip
+    verification in tests/test_embedding_scale.py)."""
+    out: dict[int, list[int]] = {}
+    for r in packed_rows:
+        vids = np.frombuffer(r["vec_ids"], dtype="<i8")
+        n = int(r["n"])
+        cs = np.frombuffer(r["codes"], dtype=np.uint8).reshape(n, -1)
+        for vid, row in zip(vids, cs):
+            out[int(vid)] = [int(x) for x in row]
+    return out
+
+
+def adc_topk_packed(
+    packed: DataFrame,
+    dtab_rows: list[tuple[int, int, float]],
+    n_sub: int,
+    k: int,
+    exclude_vec: int | None = None,
+) -> DataFrame:
+    """ADC top-k over packed code blocks. ``dtab_rows`` is the query's
+    (s, c, d) distance table collected driver-side (M×K scalars — 16 at
+    the default geometry; the declarative path broadcasts the same
+    table). Per block the kernel gathers adc = Σ_s d[s, code_s] with
+    one numpy take per subspace, truncates to the block-local top-k
+    under the FINAL ordering key (round-6 adc, vec_id) — so the global
+    winner set survives truncation by construction — and at most k
+    narrow rows per block leave Python. The final global order is the
+    same JVM-side round+orderBy+limit the engine's BM25 path uses."""
+    n_codes = 1 + max(c for _, c, _ in dtab_rows)
+    tab = np.zeros((n_sub, n_codes), dtype=np.float64)
+    for s, c, d in dtab_rows:
+        tab[s, c] = d
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for vids_b, codes_b, n in zip(b["vec_ids"], b["codes"], b["n"]):
+                vids = np.frombuffer(vids_b, dtype="<i8")
+                cs = np.frombuffer(codes_b, dtype=np.uint8).reshape(
+                    int(n), n_sub
+                )
+                adc = tab[0, cs[:, 0]].copy()
+                for s in range(1, n_sub):  # fixed s-ascending order
+                    adc += tab[s, cs[:, s]]
+                if exclude_vec is not None:
+                    keep = vids != exclude_vec
+                    vids, adc = vids[keep], adc[keep]
+                if len(vids) == 0:
+                    continue
+                if len(vids) > k:
+                    # block-local top-k under the FINAL key: 6-dp round
+                    # here is safe (see module docstring — no value sits
+                    # near a boundary) and matches the JVM's final round
+                    order = np.lexsort((vids, np.round(adc, 6)))[:k]
+                    vids, adc = vids[order], adc[order]
+                yield pd.DataFrame({"vec_id": vids, "adc_raw": adc})
+
+    cand = packed.mapInPandas(scan, "vec_id long, adc_raw double")
+    return (
+        cand.select("vec_id", F.round("adc_raw", 6).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(k)
+    )

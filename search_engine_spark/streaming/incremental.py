@@ -550,8 +550,21 @@ def apply_incremental_batch(
     uncompacted_snapshot()."""
     recover_pending(paths)  # roll forward an interrupted previous compact
     bid = str(batch_id)
-    if _read_seq(paths, bid) is not None:
-        # committed replay: serve the recorded effects, touch nothing
+    # A complete LEGACY pre-upgrade batch (dir present, no commit record,
+    # no pending marker) is as replay-final as a committed one: it is
+    # already visible with a NEGATIVE fallback seq (_visible_batches), so
+    # re-ingesting it would both re-open the torn-lexicon window AND
+    # assign it a fresh max+1 seq — promoting it ABOVE post-upgrade
+    # batches in latest-wins resolution, the inverse of its legacy
+    # ordering (ADVICE r4). Treat the redelivery as a no-op too.
+    legacy_complete = (
+        _read_seq(paths, bid) is None
+        and not os.path.exists(_pending_path(paths, bid))
+        and os.path.exists(f"{doc_stats_delta_dir(paths)}/batch={bid}")
+    )
+    if _read_seq(paths, bid) is not None or legacy_complete:
+        # committed (or complete legacy) replay: serve the recorded
+        # effects, touch nothing
         try:
             os.remove(_pending_path(paths, bid))  # leftover crash window
         except FileNotFoundError:
@@ -1214,9 +1227,16 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     # compacted lexicon is a new epoch, so the old artifact would
     # silently fall back to the band scan (correct_term's epoch gate).
     # Derived data rebuilt AFTER the committed swap — a crash here just
-    # leaves the stale artifact, which the gate already handles.
+    # leaves the stale artifact, which the gate already handles. The
+    # rebuild PRESERVES the recorded max_dist: rebuilding at the default
+    # would silently downgrade an artifact built deeper (ADVICE r4),
+    # permanently demoting deeper correct_term queries to the band scan.
     if os.path.exists(paths.spell_meta):
-        ib.build_spell_index(spark, paths)
+        with open(paths.spell_meta) as f:
+            recorded = int(
+                json.load(f).get("max_dist", ib.SPELL_MAX_DIST)
+            )
+        ib.build_spell_index(spark, paths, max_dist=recorded)
     return {
         "compacted_barrels": len(affected_barrels),
         "epoch": epoch,

@@ -205,6 +205,39 @@ def test_legacy_seqless_batch_stays_visible(spark, setup):
         assert _topk(search_uncompacted(idx, q, k=10)) == served[q]
 
 
+def test_legacy_complete_replay_is_noop(spark, setup):
+    """Redelivering a COMPLETE legacy pre-upgrade batch (dir present, no
+    commit record, no pending marker) must be a NO-OP (ADVICE r4):
+    re-ingesting it would assign a fresh max+1 seq, promoting the legacy
+    batch ABOVE post-upgrade batches in latest-wins resolution — the
+    inverse of the negative fallback ordering _visible_batches gives
+    unreplayed legacy batches."""
+    import os
+
+    paths, batch, _, _ = setup
+    inc.apply_incremental_batch(spark, batch, paths, "legre")
+    inc.apply_incremental_batch(spark, batch, paths, "legre2")  # newer
+    for p in (
+        inc._seq_path(paths, "legre"),
+        inc._pending_path(paths, "legre"),
+        inc._legacy_seq_path(paths, "legre"),
+    ):
+        if os.path.exists(p):
+            os.remove(p)
+    assert inc._read_seq(paths, "legre") is None  # now looks pre-upgrade
+    idx = SearchIndex(spark, paths)
+    served = {q: _topk(search_uncompacted(idx, q, k=10)) for q in QUERIES}
+    r = inc.apply_incremental_batch(spark, batch, paths, "legre")
+    assert r.get("replayed_noop") is True
+    # no promotion: still record-less, still a NEGATIVE fallback seq
+    assert inc._read_seq(paths, "legre") is None
+    vis = dict(inc._visible_batches(paths, inc.doc_stats_delta_dir(paths)))
+    leg_dir = f"{inc.doc_stats_delta_dir(paths)}/batch=legre"
+    assert leg_dir in vis and vis[leg_dir] < 0
+    for q in QUERIES:
+        assert _topk(search_uncompacted(idx, q, k=10)) == served[q]
+
+
 def test_replay_reuses_seq_after_commit(spark, setup, tmp_path):
     """A replay of an ALREADY COMMITTED batch keeps its original seq —
     the batch's latest-wins position is a fact of the first delivery.

@@ -157,6 +157,17 @@ def test_corpus_select_no_broadcast_hint(spark, sfd):
         assert "Hint" not in analyzed, q.__name__
 
 
+def test_unigram_logprob_no_third_tokenize_scan(spark, sfd):
+    """The corpus total is SUM(cf) over the localCheckpointed (term, cf)
+    table (round 5, VERDICT r4 #3): the SERVED plan re-tokenizes documents
+    exactly once (the tf branch) and reads the checkpointed aggregate for
+    both the per-term join and the 1-row total — the round-4 shape paid a
+    third full scan+split of the corpus for one scalar."""
+    p = _plan(corpus.q_unigram_logprob(spark, sfd))
+    assert p.count("Scan parquet") == 1, p.count("Scan parquet")
+    assert "Scan ExistingRDD" in p  # the checkpointed (term, cf) table
+
+
 def test_boilerplate_ngrams_single_aggregate_exchange(spark, sfd):
     """Boilerplate mining: per-doc dedup is array_distinct inside the
     projection (no distinct shuffle); one ngram-keyed agg exchange + the

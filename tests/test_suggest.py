@@ -155,8 +155,11 @@ def test_spell_path_skips_lexicon_scan(spark, spell_index):
 
 def test_spell_refreshed_by_compaction(spark, tmp_path):
     """compact() rebuilds the spell artifact (the epoch bump would
-    otherwise silently demote correct_term to the band scan), and the
-    refreshed table serves NEW terms ingested by the folded batches."""
+    otherwise silently demote correct_term to the band scan), the
+    refreshed table serves NEW terms ingested by the folded batches, and
+    the rebuild PRESERVES the recorded max_dist (ADVICE r4: a default
+    rebuild would silently downgrade a depth-3 artifact to depth 2,
+    permanently demoting deeper queries to the band scan)."""
     from search_engine_spark.operators.query import correct_term
     from search_engine_spark.streaming.incremental import (
         apply_incremental_batch,
@@ -169,7 +172,7 @@ def test_spell_refreshed_by_compaction(spark, tmp_path):
         spark, base, paths, n_salts=2, salt_threshold=60, n_barrels=4,
         id_partitions=4,
     )
-    ib.build_spell_index(spark, paths)
+    ib.build_spell_index(spark, paths, max_dist=3)
     import pandas as pd
 
     batch = spark.createDataFrame(
@@ -193,6 +196,17 @@ def test_spell_refreshed_by_compaction(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "delkey" in plan and "lexicon" not in plan  # fast path alive
     assert [r["term"] for r in df.collect()] == ["zebrafish"]
+    # depth preserved: the rebuilt meta still records max_dist=3 and a
+    # d=3 query stays on the artifact (a default rebuild would record 2
+    # and the epoch gate would demote this query to the band scan)
+    import json
+
+    with open(paths.spell_meta) as f:
+        assert int(json.load(f)["max_dist"]) == 3
+    df3 = correct_term(idx, "zebrafiah", max_dist=3, k=1)
+    plan3 = df3._jdf.queryExecution().executedPlan().toString()
+    assert "delkey" in plan3 and "lexicon" not in plan3
+    assert [r["term"] for r in df3.collect()] == ["zebrafish"]
 
 
 def test_spell_smaller_max_dist_still_served(spark, spell_index):
