@@ -309,6 +309,58 @@ def run_bench(sf_dir: str, cpus: str, scaling: bool) -> dict:
             snippets(pos_idx, "best western", pages, k=10).collect()
             record("ux_snippets", time.monotonic() - t0)
 
+        # compaction cost shape (round 5, VERDICT r4 #4): wall vs number
+        # of folded batches at a fixed total ingest (160 pages into a
+        # 2k-page base), plus the one-tiny-batch case — the
+        # affected-barrel split should make the wall track the deltas'
+        # barrel footprint, not the base size (the byte-identity proof
+        # lives in tests/test_streaming.py). Builds/ingests are setup,
+        # not measured; best-of-N interleaved like everything else.
+        from search_engine_spark.sources.pages import generate_pages_df
+        from search_engine_spark.streaming import incremental as inc_mod
+
+        compact_base = generate_pages_df(spark, 2000, partitions=32)
+        ingest_pd = (
+            generate_pages_df(spark, 2160, partitions=32)
+            .toPandas()
+            .iloc[2000:]
+        )
+        batch_schema = (
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string"
+        )
+        compact_cfgs = [
+            ("compact_small_batch", 1, 10),  # one ~10-page batch
+            ("compact_batches_1", 1, 160),
+            ("compact_batches_4", 4, 160),
+            ("compact_batches_16", 16, 160),
+        ]
+        for _ in range(N_ROUNDS):
+            for name, nb, total_pages in compact_cfgs:
+                cpaths = ib.IndexPaths(f"{work}/cidx")
+                shutil.rmtree(cpaths.root, ignore_errors=True)
+                ib.build_index(
+                    spark, compact_base, cpaths,
+                    n_salts=8, salt_threshold=2000, n_barrels=32,
+                )
+                rows = ingest_pd.iloc[:total_pages]
+                step = max(1, total_pages // nb)
+                for i in range(nb):
+                    sl = (
+                        rows.iloc[i * step:(i + 1) * step]
+                        if i < nb - 1
+                        else rows.iloc[i * step:]
+                    )
+                    inc_mod.apply_incremental_batch(
+                        spark,
+                        spark.createDataFrame(sl, batch_schema),
+                        cpaths,
+                        f"b{i}",
+                    )
+                t0 = time.monotonic()
+                inc_mod.compact(spark, cpaths)
+                record(name, time.monotonic() - t0)
+
         timings.update({k: round(v, 3) for k, v in best.items()})
         extra["build_docs_per_sec"] = round(
             n_pages / best["engine_build"], 1
