@@ -3,16 +3,20 @@ image/audio/video as opaque ``binary`` columns + typed metadata structs,
 with decode / feature-extract / resize / frame-sample as Arrow-batched
 ``mapInPandas`` stages.
 
-The actual codec calls (PIL/libav/ffmpeg) are NOT available in this
-environment, so the decode kernel is STUBBED two ways, both behind the
-same Spark plumbing (schema, partitioning, UDF signature, batch shape —
-all real and tested in tests/test_multimodal.py):
+Decode paths (round 5, VERDICT r4 #7 narrowed the stub):
 
-  * ``decode_strict``   — raises NotImplementedError (production stub:
-    swap in the real codec per modality)
-  * ``decode_fake``     — deterministic synthetic decode (header parse +
-    content-hash-seeded feature vector), so the distributed pipeline is
-    end-to-end testable today
+  * REAL pure-numpy decoders for the uncompressed public containers —
+    PPM P6 images (``decode_ppm``), uncompressed 24-bit BI_RGB BMP
+    (``decode_bmp``), 16-bit PCM WAV (``decode_wav``) — with matching
+    encoders so tests round-trip synthetic media end-to-end, plus a
+    nearest-neighbor ``resize_nearest`` and real per-modality feature
+    extraction (``media_features``), parity-tested driver-vs-executor.
+  * ``decode_strict`` now DISPATCHES to those decoders and raises
+    NotImplementedError only for genuinely compressed formats
+    (PNG/JPEG/WebM — their codecs aren't in this environment).
+  * ``decode_fake`` — deterministic synthetic decode (header parse +
+    content-hash-seeded feature vector) for pipeline tests that don't
+    care about pixel semantics.
 
 Design notes for 100 TB of media:
 - blobs stay in the executor: every stage is mapInPandas (Arrow transfer,
@@ -50,6 +54,8 @@ _MAGIC = {
     b"\xff\xd8\xff": "image/jpeg",
     b"RIFF": "audio/wav",
     b"\x1aE\xdf\xa3": "video/webm",
+    b"P6": "image/x-portable-pixmap",
+    b"BM": "image/bmp",
 }
 
 
@@ -63,13 +69,202 @@ def sniff_modality(payload: bytes) -> str:
     return "application/octet-stream"
 
 
-def decode_strict(payload: bytes) -> np.ndarray:
-    """Production decode stub: swap in the real per-modality codec
-    (PIL.Image.open / soundfile / PyAV). Raises until then."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use decode_fake for the deterministic test path"
+# ---------------------------------------------------------------------------
+# Real pure-numpy codecs for the uncompressed public containers
+# (round 5, VERDICT r4 #7): PPM P6 / 24-bit BI_RGB BMP / 16-bit PCM WAV.
+# Encoders exist so tests can synthesize valid media and round-trip it.
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6, maxval 255)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8. Handles the format's token
+    grammar: ASCII width/height/maxval separated by whitespace, with
+    '#' comments, then ONE whitespace byte before the raster."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, toks = 2, []
+    while len(toks) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        toks.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = toks
+    if maxval != 255:
+        raise NotImplementedError("only maxval 255 PPM supported")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos)
+    return raster.reshape(h, w, 3).copy()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit BI_RGB BMP (bottom-up
+    rows, BGR byte order, rows padded to 4 bytes)."""
+    import struct
+
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += img[y, :, ::-1].tobytes()  # RGB → BGR
+        body += b"\x00" * pad
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40
+    )
+    return header + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP → (h, w, 3) uint8 RGB. Supports
+    the common BITMAPINFOHEADER layout, bottom-up or top-down rows."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    size, w, h, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=offset
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    img = rows[:, :, ::-1]  # BGR → RGB
+    return (img if top_down else img[::-1]).copy()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """(n, channels) int16 → RIFF/WAVE with one 16-bit PCM data chunk."""
+    import struct
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    assert samples.dtype == np.int16
+    n_ch = samples.shape[1]
+    data = samples.tobytes()  # interleaved little-endian
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate, sample_rate * n_ch * 2, n_ch * 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE 16-bit PCM → ((n, channels) int16, sample_rate).
+    Walks the chunk list (fmt may not be adjacent to data)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAVE file")
+    pos, n_ch, rate, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        clen = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt_tag, n_ch, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if fmt_tag != 1:
+                raise NotImplementedError("only PCM WAV supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are 2-byte aligned
+    if data is None or bits != 16:
+        raise NotImplementedError("only 16-bit PCM WAV supported")
+    arr = np.frombuffer(data, dtype="<i2")
+    return arr.reshape(-1, n_ch).copy(), int(rate)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (the resize stage of the decode →
+    normalize → featurize pipeline) — pure index arithmetic, identical
+    on every executor."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[ys][:, xs]
+
+
+def media_features(payload: bytes) -> np.ndarray:
+    """REAL per-modality features, FEATURE_DIM float32:
+
+    - images (PPM/BMP): 2×2 nearest-resized per-channel means (12) +
+      [h/4096, w/4096, global mean/255, global std/255]
+    - audio (PCM WAV): 16 equal-window RMS energies of the mono mix,
+      normalized by int16 full scale
+
+    Deterministic numpy-only arithmetic — the executor pipeline is
+    parity-tested against a driver-side recompute."""
+    mime = sniff_modality(payload)
+    if mime in ("image/x-portable-pixmap", "image/bmp"):
+        img = (
+            decode_ppm(payload)
+            if mime == "image/x-portable-pixmap"
+            else decode_bmp(payload)
+        )
+        small = resize_nearest(img, 2, 2).astype(np.float64) / 255.0
+        f = np.asarray(img, dtype=np.float64) / 255.0
+        extra = [
+            img.shape[0] / 4096.0,
+            img.shape[1] / 4096.0,
+            float(f.mean()),
+            float(f.std()),
+        ]
+        return np.concatenate(
+            [small.reshape(-1), np.asarray(extra)]
+        ).astype(np.float32)
+    if mime == "audio/wav":
+        samples, _rate = decode_wav(payload)
+        mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+        n = len(mono)
+        win = max(1, -(-n // FEATURE_DIM))  # ceil
+        out = np.zeros(FEATURE_DIM)
+        for i in range(FEATURE_DIM):
+            seg = mono[i * win : (i + 1) * win]
+            out[i] = np.sqrt((seg * seg).mean()) if len(seg) else 0.0
+        return out.astype(np.float32)
+    raise NotImplementedError(
+        f"no codec for {mime} in this environment (compressed formats "
+        "need PIL/libav); PPM/BMP/WAV decode natively"
+    )
+
+
+def decode_strict(payload: bytes) -> np.ndarray:
+    """Production decode path: REAL for the uncompressed containers
+    (PPM/BMP/WAV → media_features); NotImplementedError only for
+    genuinely compressed formats (PNG/JPEG/WebM — swap in
+    PIL.Image.open / soundfile / PyAV per modality)."""
+    return media_features(payload)
 
 
 def decode_fake(payload: bytes) -> np.ndarray:
@@ -147,7 +342,9 @@ def make_assets(spark, n: int, partitions: int = 4) -> DataFrame:
     magic headers) — counter-based like sources/pages.py."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        magics = list(_MAGIC.keys())
+        # the four OPAQUE-format magics only (fake bodies): the natively
+        # decodable formats come from make_real_assets with valid bodies
+        magics = [b"\x89PNG", b"\xff\xd8\xff", b"RIFF", b"\x1aE\xdf\xa3"]
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             payloads = []
@@ -159,6 +356,49 @@ def make_assets(spark, n: int, partitions: int = 4) -> DataFrame:
                 )
                 payloads.append(magic + body)
                 modalities.append(sniff_modality(magic + body))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "modality": modalities,
+                    "payload": payloads,
+                }
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(
+        gen, schema="asset_id long, modality string, payload binary"
+    )
+
+
+def make_real_assets(spark, n: int, partitions: int = 4) -> DataFrame:
+    """Synthetic REAL media table — deterministic PPM/BMP/WAV payloads
+    the native codecs decode (seeded per asset_id, so any executor
+    regenerates identical bytes)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            payloads, modalities = [], []
+            for i in ids:
+                i = int(i)
+                rng = np.random.default_rng(i)
+                if i % 3 == 0:
+                    img = rng.integers(
+                        0, 256, size=(8 + i % 5, 6 + i % 7, 3),
+                        dtype=np.uint8,
+                    )
+                    payloads.append(encode_ppm(img))
+                elif i % 3 == 1:
+                    img = rng.integers(
+                        0, 256, size=(5 + i % 4, 9 + i % 3, 3),
+                        dtype=np.uint8,
+                    )
+                    payloads.append(encode_bmp(img))
+                else:
+                    s = (
+                        rng.normal(size=(300 + i % 50, 2)) * 8000
+                    ).astype(np.int16)
+                    payloads.append(encode_wav(s))
+                modalities.append(sniff_modality(payloads[-1]))
             yield pd.DataFrame(
                 {
                     "asset_id": ids,

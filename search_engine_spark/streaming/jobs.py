@@ -230,6 +230,7 @@ def percolate(
     docs: DataFrame,
     queries: list[tuple[int, str]],
     spark: SparkSession,
+    phrases: list[tuple[int, str]] | None = None,
 ) -> DataFrame:
     """Reverse search (percolation): match incoming documents against
     STANDING queries — the saved-search/alerting read pattern over a
@@ -248,10 +249,24 @@ def percolate(
     stream the only aggregation keys on (doc_id, query_id) with map-side
     partials and the document text never shuffles.
 
+    ``phrases`` (round 5, VERDICT r4 #9): standing EXACT-PHRASE queries
+    with search_phrase's adjacency semantics — tokenized by the same
+    ordered-duplicates-preserved rule (query.py:970) over the same
+    post-normalization token positions the positional index stores
+    (index_build.build_forward's ``pos``), so an alert fires for doc d
+    iff search_phrase over an index that ingested d (via the positional
+    delta path) would match d (tested index-vs-alert in
+    tests/test_streaming.py). Plan: positional tokens probe a broadcast
+    (query_id, term, off) table; base = pos − off groups candidate
+    anchors and a phrase fires when all m distinct offsets matched at
+    one anchor — map-side partials on (doc_id, query_id, base), text
+    never shuffles, same scale shape as the term path.
+
     docs: (doc_id, norm) — the normalize_pages output. Queries that
     normalize to zero tokens never fire."""
     from search_engine_spark.functions.text import normalize_text
 
+    empty = spark.createDataFrame([], "doc_id long, query_id long")
     qterms, qsizes = [], []
     for qid, text in queries:
         toks = sorted({t for t in normalize_text(text).split(" ") if t})
@@ -259,26 +274,69 @@ def percolate(
             continue
         qsizes.append((qid, len(toks)))
         qterms.extend((qid, t) for t in toks)
-    if not qterms:
-        return spark.createDataFrame([], "doc_id long, query_id long")
-    qt = spark.createDataFrame(qterms, "query_id long, term string")
-    qs = spark.createDataFrame(qsizes, "query_id long, n_terms int")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split(F.col("norm"), " "))).alias(
-            "term"
-        ),
-    )
-    hits = (
-        toks.join(F.broadcast(qt), "term")
-        .groupBy("doc_id", "query_id")
-        .agg(F.count("*").alias("m"))
-    )
-    return (
-        hits.join(F.broadcast(qs), "query_id")
-        .filter(F.col("m") == F.col("n_terms"))
-        .select("doc_id", "query_id")
-    )
+    term_hits = None
+    if qterms:
+        qt = spark.createDataFrame(qterms, "query_id long, term string")
+        qs = spark.createDataFrame(qsizes, "query_id long, n_terms int")
+        toks = docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.col("norm"), " "))).alias(
+                "term"
+            ),
+        )
+        hits = (
+            toks.join(F.broadcast(qt), "term")
+            .groupBy("doc_id", "query_id")
+            .agg(F.count("*").alias("m"))
+        )
+        term_hits = (
+            hits.join(F.broadcast(qs), "query_id")
+            .filter(F.col("m") == F.col("n_terms"))
+            .select("doc_id", "query_id")
+        )
+    pterms, psizes = [], []
+    for qid, text in phrases or []:
+        # ordered binding, duplicates preserved — the EXACT tokenization
+        # search_phrase applies to its phrase argument
+        toks = [t for t in normalize_text(text).split(" ") if t]
+        if not toks:
+            continue
+        psizes.append((qid, len(toks)))
+        pterms.extend((qid, t, i) for i, t in enumerate(toks))
+    phrase_hits = None
+    if pterms:
+        pqt = spark.createDataFrame(
+            pterms, "query_id long, term string, off int"
+        )
+        pqs = spark.createDataFrame(psizes, "query_id long, n_terms int")
+        ptoks = docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("norm"), " ")).alias("pos", "term"),
+        )
+        anchors = (
+            ptoks.join(F.broadcast(pqt), "term")
+            .select(
+                "doc_id",
+                "query_id",
+                (F.col("pos") - F.col("off")).alias("base"),
+                "off",
+            )
+            .groupBy("doc_id", "query_id", "base")
+            # count DISTINCT offsets: a repeated phrase term matching one
+            # doc position contributes several (pos, off) rows to
+            # DIFFERENT bases, never duplicate offs within one base
+            .agg(F.count_distinct("off").alias("m"))
+        )
+        phrase_hits = (
+            anchors.join(F.broadcast(pqs), "query_id")
+            .filter(F.col("m") == F.col("n_terms"))
+            .select("doc_id", "query_id")
+            .distinct()
+        )
+    outs = [h for h in (term_hits, phrase_hits) if h is not None]
+    if not outs:
+        return empty
+    return outs[0] if len(outs) == 1 else outs[0].unionByName(outs[1])
 
 
 def run_percolate(
@@ -287,6 +345,7 @@ def run_percolate(
     queries: list[tuple[int, str]],
     output_dir: str,
     checkpoint_dir: str,
+    phrases: list[tuple[int, str]] | None = None,
 ):
     """Pages file-source -> normalize -> percolate -> parquet alert sink,
     drained with availableNow. percolate()'s (doc, query) count is an
@@ -303,7 +362,7 @@ def run_percolate(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         percolate(
-            ib.normalize_pages(batch_df), queries, spark
+            ib.normalize_pages(batch_df), queries, spark, phrases=phrases
         ).write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
 
     q = (

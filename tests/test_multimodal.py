@@ -42,9 +42,75 @@ def test_features_deterministic_across_partitionings(spark, assets):
         assert len(fa[k]) == mm.FEATURE_DIM
 
 
-def test_strict_stub_raises(assets):
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
-        mm.extract_features(assets, strict=True).collect()
+def test_strict_raises_only_for_compressed_formats(spark, assets):
+    """Round 5 narrowed the stub (VERDICT r4 #7): strict decode is REAL
+    for PPM/BMP/WAV; compressed formats (PNG here) still raise until a
+    real codec is available in the environment."""
+    import pyspark.sql.functions as F
+
+    png_only = assets.filter(F.col("modality") == "image/png")
+    with pytest.raises(Exception, match="codec|NotImplementedError"):
+        mm.extract_features(png_only, strict=True).collect()
+
+
+# ---- real pure-numpy codecs (round 5, VERDICT r4 #7) ---------------------
+
+
+def test_ppm_roundtrip():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    out = mm.decode_ppm(mm.encode_ppm(img))
+    np.testing.assert_array_equal(out, img)
+    # comment + multi-whitespace header grammar
+    hand = b"P6\n# a comment\n 5  2\n255\n" + bytes(range(30))
+    out2 = mm.decode_ppm(hand)
+    assert out2.shape == (2, 5, 3)
+    np.testing.assert_array_equal(out2.reshape(-1), np.arange(30) % 256)
+
+
+def test_bmp_roundtrip_with_row_padding():
+    rng = np.random.default_rng(4)
+    for w in (5, 6, 7, 8):  # covers every 4-byte padding residue
+        img = rng.integers(0, 256, size=(3, w, 3), dtype=np.uint8)
+        out = mm.decode_bmp(mm.encode_bmp(img))
+        np.testing.assert_array_equal(out, img)
+
+
+def test_wav_roundtrip_stereo():
+    rng = np.random.default_rng(5)
+    samples = (rng.normal(size=(441, 2)) * 9000).astype(np.int16)
+    out, rate = mm.decode_wav(mm.encode_wav(samples, sample_rate=22050))
+    assert rate == 22050
+    np.testing.assert_array_equal(out, samples)
+
+
+def test_resize_nearest_known_case():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = mm.resize_nearest(img, 2, 2)
+    np.testing.assert_array_equal(out, np.array([[0, 2], [8, 10]]))
+
+
+def test_strict_features_parity_driver_vs_executor(spark):
+    """The REAL feature pipeline (decode → resize → featurize inside
+    mapInPandas) must be bit-identical to a driver-side recompute over
+    the same payloads — the executor path adds no arithmetic of its
+    own. Covers all three native formats."""
+    real = mm.make_real_assets(spark, 48, partitions=4)
+    real.cache()
+    rows = real.collect()
+    assert {r["modality"] for r in rows} == {
+        "image/x-portable-pixmap", "image/bmp", "audio/wav",
+    }
+    got = {
+        r["asset_id"]: np.asarray(r["features"], dtype=np.float32)
+        for r in mm.extract_features(real, strict=True).collect()
+    }
+    assert len(got) == 48
+    for r in rows:
+        want = mm.media_features(bytes(r["payload"]))
+        np.testing.assert_array_equal(got[r["asset_id"]], want)
+        assert len(want) == mm.FEATURE_DIM
+    real.unpersist()
 
 
 def test_frame_fanout(assets):

@@ -980,3 +980,88 @@ def test_percolate_stream_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     }
     assert streamed == rows
+
+
+def test_percolate_phrase_stream_batch_and_index_parity(spark, tmp_path):
+    """Phrase percolation (round 5, VERDICT r4 #9): standing EXACT-PHRASE
+    alerts must (a) distinguish adjacency from mere term co-occurrence
+    on planted pages, (b) equal the batch transform when streamed, and
+    (c) fire on exactly the doc set search_phrase matches over a
+    positional index that received the same pages through the positional
+    DELTA path (base build + un-compacted ingest — the freshness
+    window), i.e. alerts == index semantics."""
+    import pandas as pd
+
+    from search_engine_spark.operators.query import search_phrase
+    from search_engine_spark.streaming.incremental import (
+        apply_incremental_batch,
+    )
+    from search_engine_spark.streaming.jobs import percolate, run_percolate
+
+    base_pages = generate_pages_df(spark, 150, partitions=4)
+    planted = pd.DataFrame(
+        {
+            "url": ["http://x.example/ph1", "http://x.example/ph2"],
+            "warc_ts": [pd.Timestamp("2024-01-01")] * 2,
+            "html": [
+                b"<html><head><title>t</title></head><body><p>"
+                b"zebra quagga okapi runs</p></body></html>",
+                # both terms present, phrase ABSENT — a term-AND
+                # percolator would wrongly fire on this one
+                b"<html><head><title>t</title></head><body><p>"
+                b"quagga zebra scattered zebra</p></body></html>",
+            ],
+            "text": ["", ""],
+            "lang": ["en", "en"],
+        }
+    )
+    batch_schema = (
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string"
+    )
+    batch_pages = spark.createDataFrame(planted, batch_schema)
+    all_pages = base_pages.unionByName(batch_pages)
+    phrases = [(10, "zebra quagga"), (11, "best western"), (12, "")]
+    docs = ib.normalize_pages(all_pages)
+    alerts = {
+        (int(r["doc_id"]), int(r["query_id"]))
+        for r in percolate(docs, [], spark, phrases=phrases).collect()
+    }
+    by_url = {
+        r["url"]: int(r["doc_id"])
+        for r in ib.normalize_pages(batch_pages).select("doc_id", "url").collect()
+    }
+    hit, miss = by_url["http://x.example/ph1"], by_url["http://x.example/ph2"]
+    assert (hit, 10) in alerts
+    assert (miss, 10) not in alerts  # adjacency, not co-occurrence
+    assert not any(q == 12 for _, q in alerts)
+
+    # stream == batch
+    src = tmp_path / "pperc_in"
+    all_pages.write.parquet(str(src))
+    out = tmp_path / "pperc_out"
+    run_percolate(
+        spark, str(src), [], str(out), str(tmp_path / "pperc_ckpt"),
+        phrases=phrases,
+    )
+    streamed = {
+        (int(r["doc_id"]), int(r["query_id"]))
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert streamed == alerts
+
+    # alerts == search_phrase over the positional DELTA path: base index
+    # + un-compacted ingest of the planted batch serves the union corpus
+    paths = ib.IndexPaths(str(tmp_path / "ppidx"))
+    ib.build_index(
+        spark, base_pages, paths, n_salts=2, salt_threshold=60,
+        n_barrels=4, id_partitions=4, with_positions=True,
+    )
+    apply_incremental_batch(spark, batch_pages, paths, "pp1")
+    idx = SearchIndex(spark, paths)
+    for qid, phrase in [(10, "zebra quagga"), (11, "best western")]:
+        want = {
+            int(r["doc_id"])
+            for r in search_phrase(idx, phrase, k=100_000).collect()
+        }
+        assert {d for d, q in alerts if q == qid} == want, phrase
