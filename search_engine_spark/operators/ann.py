@@ -95,6 +95,111 @@ def pack_pq_codes(
     )
 
 
+def _codebook_array(
+    cents_rows: list, n_sub: int, subdim: int
+) -> np.ndarray:
+    """(c, s, dim, m) rows → C[s, c, dim - s·subdim] float64 (the 6-dp
+    decimal codebook the declarative training produced)."""
+    n_codes = 1 + max(int(r["c"]) for r in cents_rows)
+    C = np.zeros((n_sub, n_codes, subdim), dtype=np.float64)
+    for r in cents_rows:
+        s = int(r["s"])
+        C[s, int(r["c"]), int(r["dim"]) - s * subdim] = float(r["m"])
+    return C
+
+
+def pq_dtab_from_query(
+    q_vec, cents_rows: list, n_sub: int, subdim: int
+) -> list[tuple[int, int, float]]:
+    """Driver-side ADC distance table — the numpy twin of the
+    declarative dtab aggregate: d(s, c) = round₆ ‖q_sub − C[s,c]‖².
+    256 multiply-adds on the driver (the same tiny-stats discipline as
+    WAND's theta); the 6-dp argument in the module docstring makes the
+    rounding mode immaterial (tested bit-equal)."""
+    C = _codebook_array(cents_rows, n_sub, subdim)
+    q = np.asarray(q_vec, dtype=np.float64)
+    out = []
+    for s in range(n_sub):
+        sub = q[s * subdim : (s + 1) * subdim]
+        d2 = ((C[s] - sub[None, :]) ** 2).sum(axis=1)
+        for c in range(C.shape[1]):
+            out.append((s, c, float(np.round(d2[c], 6))))
+    return out
+
+
+def encode_pack_pq(
+    emb: DataFrame,
+    cents_rows: list,
+    n_sub: int,
+    subdim: int,
+    block: int = _BLOCK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Engine-grade PQ ENCODE: raw embedding rows → packed code blocks
+    in ONE shuffle-free Arrow pass (sortWithinPartitions only orders
+    blocks internally). The codebook is a driver-side broadcast constant
+    (M·K·subdim = 256 doubles at the default geometry); per batch the
+    kernel computes d² = ‖x_sub − C[s,c]‖² vectorized over (vectors ×
+    codes), rounds to 6 dp (the same round-before-argmin discipline as
+    the declarative `_assign`; np.argmin's first-minimum IS the lowest-c
+    tiebreak), and packs codes straight into blobs — the declarative
+    encode's posexplode + two broadcast joins + two aggs never happen.
+    Codes are bit-equal to the declarative path (tested); at 100 TB the
+    codebook trains on a sample and THIS is the full-corpus pass."""
+    C = _codebook_array(cents_rows, n_sub, subdim)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids: list[int] = []
+        rows: list[np.ndarray] = []
+
+        def flush() -> pd.DataFrame | None:
+            nonlocal ids, rows
+            if not ids:
+                return None
+            out = pd.DataFrame(
+                {
+                    "block_first": [ids[0]],
+                    "n": [len(ids)],
+                    "vec_ids": [np.asarray(ids, dtype="<i8").tobytes()],
+                    "codes": [
+                        np.vstack(rows).astype(np.uint8).tobytes()
+                    ],
+                }
+            )
+            ids, rows = [], []
+            return out
+
+        for b in batches:
+            if not len(b):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in b[vec_col]]
+            )
+            n = len(X)
+            codes = np.empty((n, n_sub), dtype=np.uint8)
+            for s in range(n_sub):
+                sub = X[:, s * subdim : (s + 1) * subdim]
+                d2 = ((sub[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(np.round(d2, 6), axis=1)
+            for vid, crow in zip(b[id_col], codes):
+                ids.append(int(vid))
+                rows.append(crow)
+                if len(ids) >= block:
+                    y = flush()
+                    if y is not None:
+                        yield y
+        y = flush()
+        if y is not None:
+            yield y
+
+    return (
+        emb.select(id_col, vec_col)
+        .sortWithinPartitions(id_col)
+        .mapInPandas(run, PACKED_SCHEMA)
+    )
+
+
 def unpack_pq_codes(packed_rows) -> dict[int, list[int]]:
     """Test helper: packed blobs → {vec_id: [codes]} (round-trip
     verification in tests/test_embedding_scale.py)."""

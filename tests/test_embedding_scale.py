@@ -188,11 +188,9 @@ def test_engine_pq_adc_bit_equals_declarative(spark):
 def test_pq_pack_roundtrip(spark):
     """Packed blobs decode back to exactly the per-vector code table —
     every vec_id, s-ascending codes, vec_id-sorted within blocks."""
-    import pyspark.sql.functions as F
-
     from search_engine_spark.operators import ann
 
-    codes, _ = corpus._pq_fit(spark, SF)
+    codes, _, _ = corpus._pq_fit(spark, SF)
     packed = ann.pack_pq_codes(codes, corpus._PQ_M).collect()
     got = ann.unpack_pq_codes(packed)
     want_rows = codes.collect()
@@ -203,12 +201,31 @@ def test_pq_pack_roundtrip(spark):
         ] = int(r["c"])
     assert got == want
     # blocks are vec_id-sorted internally (the serving-scan contract)
-    import numpy as np_
-
     for r in packed:
-        vids = np_.frombuffer(r["vec_ids"], dtype="<i8")
+        vids = np.frombuffer(r["vec_ids"], dtype="<i8")
         assert list(vids) == sorted(vids)
         assert int(r["block_first"]) == int(vids[0])
+
+
+def test_pq_kernel_encode_equals_declarative_codes(spark):
+    """The numpy encode kernel (ann.encode_pack_pq — one shuffle-free
+    Arrow pass from raw embeddings) must assign EXACTLY the codes the
+    declarative posexplode-join `_assign` produces, including argmin
+    tie direction (lowest c) and the round-before-argmin discipline."""
+    from search_engine_spark.operators import ann
+
+    codes, _, cents = corpus._pq_fit(spark, SF)
+    want: dict[int, list[int]] = {}
+    for r in codes.collect():
+        want.setdefault(int(r["vec_id"]), [0] * corpus._PQ_M)[
+            int(r["s"])
+        ] = int(r["c"])
+    emb = corpus.embeddings(spark, SF).select("vec_id", "embedding")
+    packed = ann.encode_pack_pq(
+        emb, cents.collect(), corpus._PQ_M, corpus._PQ_SUBDIM
+    ).collect()
+    got = ann.unpack_pq_codes(packed)
+    assert got == want
 
 
 def test_pq_adc_reasonable_vs_exact(spark):
