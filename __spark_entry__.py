@@ -121,6 +121,10 @@ _DEFERRED_TAIL = [
     # numpy kernel is additionally bit-equality-tested against the
     # declarative form in tests/test_embedding_scale.py) — tail-checked
     "engine_pq_adc_topk",
+    # bigram_logprob ⊂ unigram_logprob (same tf-join-fold machinery,
+    # order 1) + boilerplate_ngrams (the same zip_with bigram
+    # construction, oracle-checked there) — tail-checked
+    "bigram_logprob",
     "doc_stats",
     "corpus_stats",
     "term_stats",

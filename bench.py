@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "domain_cap",
     "passage_dedup",
     "unigram_logprob",
+    "bigram_logprob",
     "quality_score",
     "repetition_signals",
     "boilerplate_ngrams",

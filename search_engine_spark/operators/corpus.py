@@ -2057,6 +2057,81 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summed
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency proxy with add-one smoothing — the order-1 step
+    from q_unigram_logprob toward CCNet's model-based perplexity bucket:
+    per-doc mean log p(w_i | w_{i−1}) with
+    p = (c(w_{i−1}, w_i) + 1) / (c1(w_{i−1}) + V). Word-salad text with
+    a NATURAL unigram profile (shuffled tokens — identical unigram
+    logprob by construction) scores measurably below the original under
+    this signal (tests/test_curation.py), which is exactly the gap the
+    order-1 model exists to close.
+
+    Contract details (chosen for exact cross-engine derivability):
+    c1(w1) = Σ_w2 c(w1, w2) — derived from the bigram table itself, so
+    both engines share one definition with no final-token edge
+    semantics; V = the vocabulary observed in bigram positions (tokens
+    of ≥2-token docs, left ∪ right) — also a pure cbg-table derivation.
+    All counts are exact ints, p is one exact-int-fed double division,
+    per-(doc, bigram) tf·ln(p) partials sum in SORTED bigram order (the
+    BM25 array-fold discipline), only the final mean rounds.
+
+    Plan shape: bigram strings are built INSIDE the projection
+    (`_ngrams_of` zip_with — no shuffle to construct); one (doc, bg) tf
+    agg; the corpus (bg, cbg) aggregate is localCheckpointed and feeds
+    ALL THREE globals (cbg join, c1 roll-up, V) — the same two-scan
+    shape the round-5 unigram fix established; then a shuffle join on
+    bg (the bigram table is corpus-vocabulary-sized — broadcast only if
+    genuinely small) and one doc-keyed fold."""
+    bgs = documents(spark, sf_dir).select(
+        "doc_id",
+        F.explode(_ngrams_of(F.split(F.col("text"), " "), 2)).alias("bg"),
+    )
+    tf = bgs.groupBy("doc_id", "bg").agg(F.count("*").alias("tf"))
+    cbg = (
+        bgs.groupBy("bg")
+        .agg(F.count("*").alias("cbg"))
+        .localCheckpoint(eager=True)
+    )
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    w2 = F.substring_index(F.col("bg"), " ", -1)
+    c1 = cbg.groupBy(w1.alias("w1")).agg(
+        F.sum("cbg").cast("long").alias("c1")
+    )
+    voc = (
+        cbg.select(F.explode(F.array(w1, w2)).alias("w"))
+        .agg(F.count_distinct("w").cast("long").alias("v"))
+    )
+    lp = F.log((F.col("cbg") + 1) / (F.col("c1") + F.col("v")))
+    per_bg = (
+        tf.join(cbg, "bg")
+        .withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(voc))
+        .select("doc_id", "bg", (F.col("tf") * lp).alias("part"), "tf")
+    )
+    return (
+        per_bg.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("bg", "part"))).alias(
+                "parts"
+            ),
+            F.sum("tf").cast("long").alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.aggregate(
+                    "parts", F.lit(0.0), lambda acc, x: acc + x["part"]
+                )
+                / F.col("n_bigrams"),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min-hash of 3-word shingles (winnowing-lite) —
     one stable 32-hex fingerprint per doc for fast dedup lookups."""
@@ -3064,6 +3139,31 @@ SELECT tf2.doc_id, CAST(SUM(tf2.tf) AS BIGINT) AS n_tokens,
 FROM tf2 JOIN cf2 USING (term) CROSS JOIN tot
 GROUP BY tf2.doc_id
 """,
+    "bigram_logprob": """
+WITH tarr AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+bgrows AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS bg
+  FROM tarr, unnest(range(1, len(arr))) AS t(i)
+),
+btf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM bgrows GROUP BY doc_id, bg),
+bcbg AS (SELECT bg, COUNT(*) AS cbg FROM bgrows GROUP BY bg),
+bc1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, SUM(cbg) AS c1 FROM bcbg GROUP BY 1
+),
+bvoc AS (
+  SELECT COUNT(DISTINCT w) AS v FROM (
+    SELECT split_part(bg, ' ', 1) AS w FROM bcbg
+    UNION SELECT split_part(bg, ' ', 2) FROM bcbg
+  )
+)
+SELECT btf.doc_id, CAST(SUM(btf.tf) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(btf.tf * LN((bcbg.cbg + 1.0) / (bc1.c1 + bvoc.v)))
+             / SUM(btf.tf), 6) AS mean_logprob
+FROM btf JOIN bcbg USING (bg)
+JOIN bc1 ON bc1.w1 = split_part(btf.bg, ' ', 1)
+CROSS JOIN bvoc
+GROUP BY btf.doc_id
+""",
     "doc_fingerprint": """
 WITH sh3 AS (
   SELECT DISTINCT doc_id,
@@ -3807,6 +3907,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
     "corpus_select": q_corpus_select,
     "corpus_select_cc": q_corpus_select_cc,
     "source_detail": q_source_detail,

@@ -279,6 +279,34 @@ def test_passage_dedup_planted(spark, tmp_path):
     assert len(out) == len(shared)
 
 
+def test_bigram_logprob_detects_shuffled_text(spark, tmp_path_factory):
+    """The order-1 signal's reason to exist (round 5): a token-shuffled
+    doc has BIT-IDENTICAL unigram logprob to the original (same token
+    multiset → same tf, same corpus cf) but scores strictly lower under
+    the bigram LM — its transitions are unseen while the original's are
+    corpus-frequent. Also: a single-token doc emits no row (no
+    bigrams)."""
+    sent = "the cat sat on the mat and the dog ran to the house"
+    rows = [{"doc_id": i, "text": sent} for i in range(20)]
+    rows.append({"doc_id": 100, "text": sent})
+    rows.append(
+        {"doc_id": 101, "text": " ".join(reversed(sent.split(" ")))}
+    )
+    rows.append({"doc_id": 102, "text": "lonely"})
+    d = _docs_dir(tmp_path_factory, "bigramlm", rows)
+    uni = {
+        int(r["doc_id"]): float(r["mean_logprob"])
+        for r in corpus.q_unigram_logprob(spark, d).collect()
+    }
+    assert uni[100] == uni[101]  # order-0 is blind to the shuffle
+    bi = {
+        int(r["doc_id"]): float(r["mean_logprob"])
+        for r in corpus.q_bigram_logprob(spark, d).collect()
+    }
+    assert bi[100] > bi[101]  # order-1 sees it
+    assert 102 not in bi and 102 in uni
+
+
 def test_ngrams_of_matches_python_spec(spark):
     """The iterated-zip_with n-gram constructor has a subtle contract
     (zip_with null-pads the shorter side; concat_ws silently skips nulls;
