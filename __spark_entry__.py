@@ -125,6 +125,12 @@ _DEFERRED_TAIL = [
     # order 1) + boilerplate_ngrams (the same zip_with bigram
     # construction, oracle-checked there) — tail-checked
     "bigram_logprob",
+    # engine_bm25_topk_pfor ⊂ engine_bm25_topk (same oracle SQL; only
+    # the posting on-wire codec differs — varint vs NewPFD bit-packing,
+    # additionally property-tested interchangeable in
+    # tests/test_compression.py and bit-equal end-to-end in
+    # tests/test_pfor_index.py) — tail-checked
+    "engine_bm25_topk_pfor",
     "doc_stats",
     "corpus_stats",
     "term_stats",

@@ -251,6 +251,20 @@ def run_bench(sf_dir: str, cpus: str, scaling: bool) -> dict:
                 t0 = time.monotonic()
                 search_topk(idx, qtext, k=10, mode=qmode, field_weights=fw)
                 record(qname, time.monotonic() - t0)
+            # PForDelta twin (north rule "varint/PForDelta"): same build
+            # over the same pages with the bit-packed codec + one query,
+            # interleaved so both codecs see the same throttle windows
+            pfor_path = f"{work}/index_pfor_r{rnd}"
+            t0 = time.monotonic()
+            ib.build_index(
+                spark, pages, ib.IndexPaths(pfor_path),
+                n_salts=8, salt_threshold=2000, n_barrels=32, codec="pfor",
+            )
+            record("engine_build_pfor", time.monotonic() - t0)
+            pidx = SearchIndex(spark, ib.IndexPaths(pfor_path))
+            t0 = time.monotonic()
+            search_topk(pidx, "western best", k=10, mode="OR")
+            record("engine_q_western_pfor", time.monotonic() - t0)
             for name in BENCH_QUERIES:
                 t0 = time.monotonic()
                 qs[name](spark, sf_dir).write.format("noop").mode(
@@ -259,6 +273,25 @@ def run_bench(sf_dir: str, cpus: str, scaling: bool) -> dict:
                 record(name, time.monotonic() - t0)
             if rnd:  # keep only the latest index on disk
                 shutil.rmtree(f"{work}/index_r{rnd - 1}", ignore_errors=True)
+                shutil.rmtree(
+                    f"{work}/index_pfor_r{rnd - 1}", ignore_errors=True
+                )
+
+        def _dir_bytes(path: str) -> int:
+            return sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+
+        # codec size evidence: same corpus, same barrels, two codecs
+        extra["postings_bytes_varint"] = _dir_bytes(
+            ib.IndexPaths(f"{work}/index_r{N_ROUNDS - 1}").postings
+        )
+        extra["postings_bytes_pfor"] = _dir_bytes(
+            ib.IndexPaths(f"{work}/index_pfor_r{N_ROUNDS - 1}").postings
+        )
 
         # query-UX surface (VERDICT r3 #10): autocomplete, spelling
         # correction (banded scan AND SymSpell artifact), KWIC snippets,

@@ -614,10 +614,10 @@ def q_ref_heuristic_sentiment_topk(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-_ENGINE_INDEX_CACHE: dict[str, object] = {}
+_ENGINE_INDEX_CACHE: dict[tuple[str, str], object] = {}
 
 
-def _engine_index(spark: SparkSession, sf_dir: str):
+def _engine_index(spark: SparkSession, sf_dir: str, codec: str = "varint"):
     """Build (once per process per sf_dir) a REAL compressed-barrel index
     over the documents table and return a SearchIndex handle.
 
@@ -625,8 +625,12 @@ def _engine_index(spark: SparkSession, sf_dir: str):
     full normalize pipeline (URL strip, contractions, punctuation,
     case-sensitive stopword removal, lowercase — functions/text.py)
     degenerates to exactly the whitespace+stoplist tokenization the SQL
-    oracle uses: the physical engine becomes directly DuckDB-checkable."""
-    key = sf_dir
+    oracle uses: the physical engine becomes directly DuckDB-checkable.
+
+    ``codec`` picks the posting-stream compression (north rule's
+    varint/PForDelta pair); results must be identical under either, which
+    q_engine_bm25_topk_pfor checks against the same SQL oracle."""
+    key = (sf_dir, codec)
     if key in _ENGINE_INDEX_CACHE:
         return _ENGINE_INDEX_CACHE[key]
     import tempfile
@@ -661,7 +665,8 @@ def _engine_index(spark: SparkSession, sf_dir: str):
     lex.write.mode("overwrite").parquet(out.lexicon)
     lexicon = spark.read.parquet(out.lexicon)
     postings = ib.build_postings(
-        forward, lexicon, doc_stats, n_salts=4, salt_threshold=100, n_barrels=8
+        forward, lexicon, doc_stats, n_salts=4, salt_threshold=100,
+        n_barrels=8, codec=codec,
     )
     postings.write.mode("overwrite").partitionBy("barrel").parquet(out.postings)
     hb = ib.build_hot_bounds(spark.read.parquet(out.postings), 100)
@@ -669,10 +674,12 @@ def _engine_index(spark: SparkSession, sf_dir: str):
     ib.build_positions(forward, lexicon, 8).write.mode("overwrite").partitionBy(
         "barrel"
     ).parquet(out.positions)
+    from search_engine_spark.functions.compression import codec_id
+
     ib.write_scalar_parquet(
         out.stats,
         ib.STATS_SCHEMA,
-        (n_docs, avgdl, avgdl1, avgdlb, 4, 100, 8),
+        (n_docs, avgdl, avgdl1, avgdlb, 4, 100, 8, codec_id(codec)),
     )
     docs.unpersist()
     forward.unpersist()
@@ -690,6 +697,20 @@ def q_engine_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.operators.query import search
 
     idx = _engine_index(spark, sf_dir)
+    res = search(idx, QUERY_OR, k=TOPK, mode="OR", use_wand=True)
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score")
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def q_engine_bm25_topk_pfor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_engine_bm25_topk with the index built under codec=pfor (NewPFD
+    bit-packed posting streams, functions/compression.py) instead of
+    varint — same SQL oracle: the on-wire codec must be semantically
+    invisible through block-max WAND and BM25 scoring."""
+    from search_engine_spark.operators.query import search
+
+    idx = _engine_index(spark, sf_dir, codec="pfor")
     res = search(idx, QUERY_OR, k=TOPK, mode="OR", use_wand=True)
     return res.select(
         "doc_id", F.round("score", 6).alias("score")
@@ -3629,6 +3650,7 @@ FROM merged ORDER BY score DESC, source ASC LIMIT {TOPK}
 
 # the engine must reproduce the declarative plan's oracle exactly
 ORACLE_SQL["engine_bm25_topk"] = ORACLE_SQL["bm25_topk_or"]
+ORACLE_SQL["engine_bm25_topk_pfor"] = ORACLE_SQL["bm25_topk_or"]
 ORACLE_SQL["engine_field_topk"] = ORACLE_SQL["bm25f_topk"]
 ORACLE_SQL["engine_filtered_topk"] = ORACLE_SQL["bm25_filtered_topk"]
 
@@ -3864,6 +3886,7 @@ FROM documents
 
 QUERIES = {
     "engine_bm25_topk": q_engine_bm25_topk,
+    "engine_bm25_topk_pfor": q_engine_bm25_topk_pfor,
     "engine_field_topk": q_engine_field_topk,
     "engine_filtered_topk": q_engine_filtered_topk,
     "engine_phrase_topk": q_engine_phrase_topk,

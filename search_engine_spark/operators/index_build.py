@@ -371,7 +371,7 @@ def corpus_stats(doc_stats: DataFrame) -> tuple[int, float]:
 STATS_BASE_SCHEMA = "n_docs long, total_dl long, total_dl1 long"
 STATS_SCHEMA = (
     "n_docs long, avgdl double, avgdl1 double, avgdlb double, "
-    "n_salts int, salt_threshold long, n_barrels int"
+    "n_salts int, salt_threshold long, n_barrels int, codec int"
 )
 
 
@@ -397,7 +397,8 @@ THETA_K = 16  # real (doc, tf, dl) samples kept per (term, salt) blob
 # Arrow-boundary prune lists in operators/query.py and
 # streaming/incremental.py so a future stream addition cannot miss one
 DECODE_BASE_COLS = [
-    "term_id", "db_lens", "tf_lens", "dl_lens", "doc_deltas", "tfs", "dls",
+    "term_id", "codec", "db_lens", "tf_lens", "dl_lens",
+    "doc_deltas", "tfs", "dls",
 ]
 DECODE_BOUND_COLS = ["block_max_tf", "block_min_dl"]
 # the field channel a WEIGHTED (true-BM25F) decode consumes: title tf
@@ -414,7 +415,8 @@ POSTINGS_SCHEMA = (
     "tf1_lens array<long>, dl1_lens array<long>, "
     "theta_docs array<long>, theta_tfs array<long>, theta_dls array<long>, "
     "theta_tf1s array<long>, theta_dl1s array<long>, "
-    "doc_deltas binary, tfs binary, dls binary, tf1s binary, dls1 binary"
+    "doc_deltas binary, tfs binary, dls binary, tf1s binary, dls1 binary, "
+    "codec int"
 )
 
 
@@ -425,6 +427,7 @@ def build_postings(
     n_salts: int = 8,
     salt_threshold: int = 50_000,
     n_barrels: int = 64,
+    codec: int | str = "varint",
 ) -> DataFrame:
     """Compressed, salted, barrel-partitioned posting lists.
 
@@ -443,7 +446,7 @@ def build_postings(
     block (compression.block_summaries) — no global stats enter the encode,
     so barrels never go stale when the corpus grows incrementally."""
     joined = postings_input(forward, lexicon, doc_stats, n_salts, salt_threshold)
-    return encode_postings(joined, n_barrels)
+    return encode_postings(joined, n_barrels, codec=codec)
 
 
 def postings_input(
@@ -497,10 +500,16 @@ def salt_col(n_salts: int, salt_threshold: int):
     )
 
 
-def encode_postings(joined: DataFrame, n_barrels: int = 64) -> DataFrame:
+def encode_postings(
+    joined: DataFrame, n_barrels: int = 64, codec: int | str = "varint"
+) -> DataFrame:
     """(term_id, df, doc_id, tf, dl, salt) rows -> compressed blob rows
     (POSTINGS_SCHEMA + barrel). Shared by the batch build and the
-    incremental compactor (streaming/incremental.py).
+    incremental compactor (streaming/incremental.py). ``codec`` picks the
+    stream compression per the north rule's varint/PForDelta pair; the
+    id is stamped on every row so mixed-codec barrels (an old varint
+    base compacted by a pfor-configured writer, or vice versa) decode
+    correctly row by row.
 
     One shuffle co-locating each (term_id, salt) group, sorted so groups
     are contiguous AND postings are already doc_id-ordered (the
@@ -510,6 +519,9 @@ def encode_postings(joined: DataFrame, n_barrels: int = 64) -> DataFrame:
     pandas DataFrame per group, and with Zipf vocabularies most groups
     are singletons, so per-group overhead dominates the whole build
     (measured 3x the cost of this formulation at 100k docs)."""
+    from search_engine_spark.functions.compression import codec_id
+
+    cid = codec_id(codec)
     parted = joined.repartition("term_id", "salt").sortWithinPartitions(
         "term_id", "salt", "doc_id"
     )
@@ -533,7 +545,9 @@ def encode_postings(joined: DataFrame, n_barrels: int = 64) -> DataFrame:
             ds_, ts_, t1s_, ls_, l1s_ = (
                 d[s:e], t[s:e], t1[s:e], l[s:e], l1[s:e]
             )
-            enc = encode_posting_blocks(ds_, ts_, ls_, t1s_, dl1s=l1s_)
+            enc = encode_posting_blocks(
+                ds_, ts_, ls_, t1s_, dl1s=l1s_, codec=cid
+            )
             # theta sketch: THETA_K REAL postings ranked (tf desc, dl asc)
             # — a high-score sample whose achieved BM25 (computed at query
             # time with live stats) lower-bounds the true top-k threshold
@@ -568,6 +582,7 @@ def encode_postings(joined: DataFrame, n_barrels: int = 64) -> DataFrame:
             out["dls"].append(enc["dls"])
             out["tf1s"].append(enc["tf1s"])
             out["dls1"].append(enc["dls1"])
+            out["codec"].append(cid)
 
     _COLS = [
         "term_id", "salt", "df", "n_docs", "max_tf", "min_dl",
@@ -575,7 +590,7 @@ def encode_postings(joined: DataFrame, n_barrels: int = 64) -> DataFrame:
         "block_min_dl1", "block_min_dlb",
         "db_lens", "tf_lens", "dl_lens", "tf1_lens", "dl1_lens",
         "theta_docs", "theta_tfs", "theta_dls", "theta_tf1s", "theta_dl1s",
-        "doc_deltas", "tfs", "dls", "tf1s", "dls1",
+        "doc_deltas", "tfs", "dls", "tf1s", "dls1", "codec",
     ]
 
     def encode_partition(
@@ -786,11 +801,14 @@ def build_index(
     n_barrels: int = 64,
     id_partitions: int = 32,
     with_positions: bool = False,
+    codec: int | str = "varint",
 ) -> dict:
     """One-shot (non-resumable) build; the resumable barrel-group driver is
     plans/build_job.py. Returns summary stats. with_positions=True also
     writes the positional index (phrase queries — query.search_phrase) at
-    the cost of carrying position arrays through the forward shuffle."""
+    the cost of carrying position arrays through the forward shuffle.
+    ``codec``: posting stream compression ("varint" | "pfor"), recorded in
+    stats so compaction preserves it."""
     docs = normalize_pages(pages)
     docs.cache()
     doc_stats = build_doc_stats(docs)
@@ -811,7 +829,7 @@ def build_index(
 
     postings = build_postings(
         forward, lexicon, doc_stats,
-        n_salts, salt_threshold, n_barrels,
+        n_salts, salt_threshold, n_barrels, codec=codec,
     )
     postings.write.mode("overwrite").partitionBy("barrel").parquet(out.postings)
 
@@ -823,10 +841,13 @@ def build_index(
             "overwrite"
         ).partitionBy("barrel").parquet(out.positions)
 
+    from search_engine_spark.functions.compression import codec_id
+
     write_scalar_parquet(
         out.stats,
         STATS_SCHEMA,
-        (n_docs, avgdl, avgdl1, avgdlb, n_salts, salt_threshold, n_barrels),
+        (n_docs, avgdl, avgdl1, avgdlb, n_salts, salt_threshold, n_barrels,
+         codec_id(codec)),
     )
     docs.unpersist()
     forward.unpersist()
@@ -953,11 +974,21 @@ def read_postings(spark: SparkSession, path: str) -> DataFrame:
     """Read a postings directory, tolerating the empty-corpus case: a
     partitionBy() write of 0 rows creates no data files, so schema
     inference fails — fall back to an empty DataFrame with the canonical
-    schema."""
+    schema.
+
+    The per-row ``codec`` id is normalized here: a pre-codec index has no
+    such column (→ varint, 0) and a mixed compaction union may carry
+    NULLs on untouched legacy rows (allowMissingColumns back-fill) — the
+    decode paths always see a non-null int."""
     try:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
     except Exception:  # AnalysisException: unable to infer schema
         return spark.createDataFrame([], POSTINGS_SCHEMA + ", barrel int")
+    if "codec" not in df.columns:
+        return df.withColumn("codec", F.lit(0).cast("int"))
+    return df.withColumn(
+        "codec", F.coalesce(F.col("codec"), F.lit(0)).cast("int")
+    )
 
 
 def read_stats(spark: SparkSession, out: IndexPaths) -> dict:

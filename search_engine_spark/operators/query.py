@@ -300,6 +300,7 @@ def _decode_score_df(
             out_doc, out_rank, out_score = [], [], []
             for row in pdf.itertuples(index=False):
                 tid = int(row.term_id)
+                cid = int(row.codec)
                 idf = idfs[tid]
                 # per-block upper bound from the monotone summaries, with
                 # LIVE idf/avgdl — exact even after incremental updates
@@ -343,6 +344,7 @@ def _decode_score_df(
                         row.doc_deltas, row.tfs, row.dls,
                         row.db_lens, row.tf_lens, row.dl_lens, keep,
                         row.tf1s, row.tf1_lens, row.dls1, row.dl1_lens,
+                        codec=cid,
                     )
                     score = bm25f_score(
                         t1, t - t1, d1, l - d1, idf, w_t, w_b,
@@ -352,6 +354,7 @@ def _decode_score_df(
                     d, t, l = decode_posting_blocks(
                         row.doc_deltas, row.tfs, row.dls,
                         row.db_lens, row.tf_lens, row.dl_lens, keep,
+                        codec=cid,
                     )
                     score = bm25_score(t, l, idf, avgdl, K1, B)
                 out_doc.append(d)

@@ -96,6 +96,7 @@ def resumable_build(
     fail_after_groups: int | None = None,
     with_positions: bool = False,
     with_spell: bool = False,
+    codec: str = "varint",
 ) -> dict:
     os.makedirs(out.root, exist_ok=True)
     manifest = Manifest(f"{out.root}/_build_manifest.json")
@@ -168,7 +169,7 @@ def resumable_build(
         grows = postings_rows.filter(
             F.pmod("term_id", F.lit(n_barrels)).cast("int").isin(barrels)
         )
-        gdf = ib.encode_postings(grows, n_barrels)
+        gdf = ib.encode_postings(grows, n_barrels, codec=codec)
         gdf.write.mode("overwrite").partitionBy("barrel").parquet(gdir)
         rows = spark.read.parquet(gdir).count()
         manifest.commit(
@@ -231,11 +232,13 @@ def resumable_build(
 
     # -- step: stats (last: marks the index complete) ------------------------
     if not manifest.done("stats"):
+        from search_engine_spark.functions.compression import codec_id
+
         ib.write_scalar_parquet(
             out.stats,
             ib.STATS_SCHEMA,
             (n_docs, avgdl, avgdl1, avgdlb, n_salts, salt_threshold,
-             n_barrels),
+             n_barrels, codec_id(codec)),
         )
         manifest.commit(
             {"step": "stats", "run_id": run_id, "rows": 1, "bytes": _dir_bytes(out.stats),
@@ -261,6 +264,7 @@ def main(argv: Iterable[str] | None = None) -> None:
     p.add_argument("--salt-threshold", type=int, default=50_000)
     p.add_argument("--with-positions", action="store_true")
     p.add_argument("--with-spell", action="store_true")
+    p.add_argument("--codec", choices=["varint", "pfor"], default="varint")
     args = p.parse_args(list(argv) if argv is not None else None)
     spark = get_spark("index-build")
     pages = spark.read.parquet(args.pages)
@@ -269,6 +273,7 @@ def main(argv: Iterable[str] | None = None) -> None:
         n_groups=args.n_groups, n_barrels=args.n_barrels,
         n_salts=args.n_salts, salt_threshold=args.salt_threshold,
         with_positions=args.with_positions, with_spell=args.with_spell,
+        codec=args.codec,
     )
     print(json.dumps({k: v for k, v in summary.items() if k != "manifest"}))
 

@@ -753,6 +753,17 @@ def apply_incremental_batch(
     }
 
 
+def _with_codec(postings: DataFrame) -> DataFrame:
+    """Normalize the per-row codec id for decode: absent column (pre-codec
+    barrels) -> varint(0); NULLs from an allowMissingColumns union of old
+    and new rows -> varint(0). Mirrors ib.read_postings."""
+    if "codec" not in postings.columns:
+        return postings.withColumn("codec", F.lit(0).cast("int"))
+    return postings.withColumn(
+        "codec", F.coalesce(F.col("codec"), F.lit(0)).cast("int")
+    )
+
+
 def decode_postings_rows(postings: DataFrame) -> DataFrame:
     """Inverse of encode: blob rows -> (term_id, doc_id, tf, tf1, dl, dl1)
     rows. mapInPandas, numpy-vectorized decode (compression.py).
@@ -765,6 +776,7 @@ def decode_postings_rows(postings: DataFrame) -> DataFrame:
 
     has_tf1 = "tf1s" in postings.columns
     has_dl1 = "dls1" in postings.columns
+    postings = _with_codec(postings)
     cols = list(ib.DECODE_BASE_COLS)
     if has_tf1:
         cols += ["tf1_lens", "tf1s"]
@@ -788,6 +800,7 @@ def decode_postings_rows(postings: DataFrame) -> DataFrame:
                     if has_dl1 else None,
                     (row.dl1_lens if row.dl1_lens is not None else None)
                     if has_dl1 else None,
+                    codec=int(row.codec),
                 )
                 d, t, l = out[0], out[1], out[2]
                 i = 3
@@ -835,13 +848,17 @@ def decode_docid_rows(postings: DataFrame) -> DataFrame:
 
     from search_engine_spark.functions.compression import decode_docids_blocks
 
-    postings = postings.select("term_id", "db_lens", "doc_deltas")
+    postings = _with_codec(postings).select(
+        "term_id", "codec", "db_lens", "doc_deltas"
+    )
 
     def decode(batches):
         for pdf in batches:
             tids, docs_ = [], []
             for row in pdf.itertuples(index=False):
-                d = decode_docids_blocks(row.doc_deltas, row.db_lens)
+                d = decode_docids_blocks(
+                    row.doc_deltas, row.db_lens, codec=int(row.codec)
+                )
                 tids.append(np.full(len(d), int(row.term_id), dtype=np.int64))
                 docs_.append(d)
             if tids:
@@ -888,6 +905,11 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
     n_barrels = int(stats["n_barrels"])
     n_salts = int(stats["n_salts"])
     salt_threshold = int(stats["salt_threshold"])
+    # preserve the index's posting codec across compactions (recorded at
+    # build time; pre-codec stats rows -> varint) — like the spell
+    # artifact's recorded max_dist, the rewrite must not silently change
+    # the layout the index was built with
+    codec = int(stats.get("codec") or 0)
 
     deltas_seq = _read_deltas_with_seq(spark, paths, ddir)
     if deltas_seq is None:
@@ -960,7 +982,7 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
             ib.salt_col(n_salts, salt_threshold),
         )
     )
-    re_encoded = ib.encode_postings(joined, n_barrels)
+    re_encoded = ib.encode_postings(joined, n_barrels, codec=codec)
 
     # Layout detection: a resumable (plans/build_job.py) index nests
     # barrels under group=G dirs (G = barrel % n_groups). Re-encoded rows
@@ -1076,7 +1098,7 @@ def compact(spark: SparkSession, paths: ib.IndexPaths) -> dict:
         stats_staging,
         ib.STATS_SCHEMA,
         (bn, avgdl_new, avgdl1_new, avgdlb_new, n_salts, salt_threshold,
-         n_barrels),
+         n_barrels, codec),
     )
 
     # positional fold into staging (ALL barrels in a full merge,
