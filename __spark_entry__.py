@@ -117,6 +117,11 @@ _DEFERRED_TAIL = [
     # + pq_adc_topk (the identical PQ encode/ADC chain) — the
     # composition's own oracle row is checked by the tail artifact
     "ivf_adc_topk",
+    # ivfadc_residual_topk ⊂ ivf_adc_topk (identical cell routing +
+    # PQ chain shape; only the trained points are residuals) +
+    # kmeans_ivf_topk (the cell assignment that defines the residuals)
+    # — the composition's own oracle row is checked by the tail artifact
+    "ivfadc_residual_topk",
     # engine_pq_adc_topk ⊂ pq_adc_topk (same oracle SQL; the packed
     # numpy kernel is additionally bit-equality-tested against the
     # declarative form in tests/test_embedding_scale.py) — tail-checked

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "kmeans_centroids",
     "pq_adc_topk",
     "ivf_adc_topk",
+    "ivfadc_residual_topk",
     "engine_pq_adc_topk",
     "dedup_clusters",
     "split_assign",

@@ -1438,25 +1438,17 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_probed(
-    spark: SparkSession, sf_dir: str, nprobe: int = 2
-) -> DataFrame:
-    """IVF cell routing, shared by q_kmeans_ivf_topk (exact rerank) and
-    q_ivf_adc_topk (ADC rerank): the query probes the ``nprobe`` k-means
-    cells whose centroids are cosine-closest (rounded before ranking,
-    cell-id tiebreak) and the final Lloyd assignment filters to member
-    vec_ids. Returns the (vec_id) rows inside the probed cells — at
-    100 TB the vectors partition by cell id, so this semi-join prunes
-    everything else at the scan."""
-    emb = embeddings(spark, sf_dir).select("vec_id", "embedding")
-    _, cents, assign = _kmeans_fit(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+def _cell_rank(cents: DataFrame, q: DataFrame, nprobe: int) -> DataFrame:
+    """The ``nprobe`` k-means cells whose centroids are cosine-closest to
+    the 1-row query ``q(q_emb)`` (rounded before ranking, cell-id
+    tiebreak). Shared by the IVF probes and the residual-IVFADC per-cell
+    distance tables."""
     cent_arrays = (
         cents.groupBy("c")
         .agg(F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("parts"))
         .select("c", F.transform("parts", lambda s: s["m"]).alias("centroid"))
     )
-    cell_rank = (
+    return (
         cent_arrays.crossJoin(F.broadcast(q))
         .select(
             "c",
@@ -1473,6 +1465,22 @@ def _ivf_probed(
         .limit(nprobe)
         .select("c")
     )
+
+
+def _ivf_probed(
+    spark: SparkSession, sf_dir: str, nprobe: int = 2
+) -> DataFrame:
+    """IVF cell routing, shared by q_kmeans_ivf_topk (exact rerank) and
+    q_ivf_adc_topk (ADC rerank): the query probes the ``nprobe`` k-means
+    cells whose centroids are cosine-closest (rounded before ranking,
+    cell-id tiebreak) and the final Lloyd assignment filters to member
+    vec_ids. Returns the (vec_id) rows inside the probed cells — at
+    100 TB the vectors partition by cell id, so this semi-join prunes
+    everything else at the scan."""
+    emb = embeddings(spark, sf_dir).select("vec_id", "embedding")
+    _, cents, assign = _kmeans_fit(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cell_rank = _cell_rank(cents, q, nprobe)
     return assign.join(F.broadcast(cell_rank), "c", "left_semi").select(
         "vec_id"
     )
@@ -1515,7 +1523,10 @@ _PQ_K = 4  # centroids per subspace codebook
 
 
 def _pq_fit(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    pts_df: DataFrame | None = None,
+    with_query: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared PQ machinery for the PQ/IVFADC queries: trains the
     per-subspace codebooks (one Lloyd round, deterministic init =
@@ -1524,18 +1535,24 @@ def _pq_fit(
     dtab(s, c, d), cents(c, s, dim, m)) — codes are localCheckpointed
     (two consumers), dtab is 4×K rows (broadcast by the callers), cents
     is the trained codebook (collected driver-side by the engine-kernel
-    path)."""
-    emb = embeddings(spark, sf_dir).select("vec_id", "embedding")
-    pts = (
-        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
-        .select(
-            "vec_id",
-            "dim",
-            F.floor(F.col("dim") / _PQ_SUBDIM).cast("int").alias("s"),
-            F.col("x").cast("double").alias("x"),
+    path). ``pts_df`` substitutes a pre-built (vec_id, dim, s, x) point
+    table (the residual-IVFADC path trains on residuals; caller
+    checkpoints); ``with_query=False`` skips the single-query dtab for
+    callers whose distance table is per-cell (dtab returns None)."""
+    if pts_df is not None:
+        pts = pts_df
+    else:
+        emb = embeddings(spark, sf_dir).select("vec_id", "embedding")
+        pts = (
+            emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+            .select(
+                "vec_id",
+                "dim",
+                F.floor(F.col("dim") / _PQ_SUBDIM).cast("int").alias("s"),
+                F.col("x").cast("double").alias("x"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
     # init: codebook entry c of subspace s = vector (c+1)'s subvector
     cents = pts.filter(
         (F.col("vec_id") >= 1) & (F.col("vec_id") <= _PQ_K)
@@ -1574,6 +1591,8 @@ def _pq_fit(
     )
     # encode EVERY vector under the trained codebook
     codes = _assign(cents).localCheckpoint(eager=True)
+    if not with_query:
+        return codes, None, cents
     # query-side ADC table: 4×K rounded subspace distances, broadcast
     qpts = pts.filter(F.col("vec_id") == 0).select(
         "dim", F.col("x").alias("qv")
@@ -1683,6 +1702,77 @@ def q_engine_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = ann.encode_pack_pq(emb, cents_rows, _PQ_M, _PQ_SUBDIM)
     return ann.adc_topk_packed(
         packed, dtab_rows, _PQ_M, TOPK, exclude_vec=0
+    )
+
+
+def q_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFADC — the ACTUAL Jégou et al. (TPAMI'11) §IV layout,
+    completing q_ivf_adc_topk (whose docstring flags itself as the
+    non-residual variant): PQ codebooks are trained on RESIDUALS
+    r = x − q1(x) (each vector minus its k-means cell centroid), so the
+    codebook spends its 2 bits/subspace on the within-cell geometry the
+    coarse quantizer already explains away — tighter quantization for
+    the same code budget. Query side: route to the NPROBE=2
+    cosine-closest cells (`_cell_rank`), build ONE distance table PER
+    PROBED CELL from the query's per-cell residual q − c_cell (2 cells ×
+    4 subspaces × K centroids = 32 broadcast scalars), rank members of
+    the probed cells by ADC over their residual codes.
+
+    Scale shape is identical to q_ivf_adc_topk — vectors partition by
+    cell id (scan prune), serving reads only the code table — plus one
+    broadcast join of cell centroids at encode time (K·dim doubles).
+    Determinism: residuals are a single IEEE subtraction of a 6-dp
+    centroid from the raw component (bit-identical cross-engine), then
+    the established round-before-rank Lloyd/ADC discipline. Oracle: the
+    k-means CTE chain ∘ residual-point CTE ∘ the r-prefixed PQ chain ∘
+    per-cell distance tables."""
+    pts, cents, assign = _kmeans_fit(spark, sf_dir)
+    bcents = F.broadcast(cents)
+    # residual points: every component minus its vector's cell centroid
+    rpts = (
+        pts.join(assign, "vec_id")
+        .join(bcents, ["c", "dim"])
+        .select(
+            "vec_id",
+            "dim",
+            F.floor(F.col("dim") / _PQ_SUBDIM).cast("int").alias("s"),
+            (F.col("x") - F.col("m")).alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    codes, _, rcents = _pq_fit(spark, sf_dir, pts_df=rpts, with_query=False)
+    # probe: same rounded-cosine cell routing as q_kmeans_ivf_topk
+    q = (
+        embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("q_emb"))
+    )
+    probed = _cell_rank(cents, q, nprobe=2)
+    # per-cell query residual -> per-cell ADC distance table
+    qpts = pts.filter(F.col("vec_id") == 0).select("dim", F.col("x").alias("qv"))
+    qres = (
+        cents.join(F.broadcast(probed), "c")
+        .join(F.broadcast(qpts), "dim")
+        .select(
+            F.col("c").alias("cell"), "dim", (F.col("qv") - F.col("m")).alias("rqv")
+        )
+    )
+    dtab = (
+        rcents.withColumnRenamed("m", "pm")
+        .join(F.broadcast(qres), "dim")
+        .withColumn("sq", (F.col("rqv") - F.col("pm")) * (F.col("rqv") - F.col("pm")))
+        .groupBy("cell", "s", "c")
+        .agg(F.round(F.sum("sq"), 6).alias("d"))
+    )
+    # inner join on (cell, s, c) restricts to probed cells by itself
+    return (
+        codes.join(assign.withColumnRenamed("c", "cell"), "vec_id")
+        .filter(F.col("vec_id") != 0)
+        .join(F.broadcast(dtab), ["cell", "s", "c"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(TOPK)
     )
 
 
@@ -3261,20 +3351,29 @@ FROM sizes s JOIN norms n USING (c)
 # under the trained codebook, ADC = per-subspace distance-table sum.
 # Name-prefixable so the SAME chain composes with the k-means CTEs
 # (whose pts/cent0/d2_1/a_1/cent_1 names would collide) in the IVFADC
-# oracle below.
-def _pq_ctes(p: str = "") -> str:
-    return f"""{p}pts AS (
+# oracle below. ``src`` points the chain at a pre-existing
+# (vec_id, dim, s, x) CTE instead of raw embeddings (the residual-IVFADC
+# oracle trains on residual points); ``with_query`` drops the qd/dtab
+# tail for callers whose distance table is per-cell.
+def _pq_ctes(p: str = "", src: str | None = None, with_query: bool = True) -> str:
+    pts_cte = (
+        f"""{p}pts AS (
   SELECT vec_id, i - 1 AS dim, CAST((i - 1) // {_PQ_SUBDIM} AS INT) AS s,
          CAST(embedding[i] AS DOUBLE) AS x
   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
 ),
-{p}cent0 AS (
+"""
+        if src is None
+        else ""
+    )
+    src = src if src is not None else f"{p}pts"
+    return f"""{pts_cte}{p}cent0 AS (
   SELECT CAST(vec_id - 1 AS INT) AS c, s, dim, ROUND(x, 6) AS m
-  FROM {p}pts WHERE vec_id BETWEEN 1 AND {_PQ_K}
+  FROM {src} WHERE vec_id BETWEEN 1 AND {_PQ_K}
 ),
 {p}d2_1 AS (
   SELECT p.vec_id, c.c, p.s, ROUND(SUM((p.x - c.m) * (p.x - c.m)), 6) AS d2
-  FROM {p}pts p JOIN {p}cent0 c USING (dim) GROUP BY p.vec_id, c.c, p.s
+  FROM {src} p JOIN {p}cent0 c USING (dim) GROUP BY p.vec_id, c.c, p.s
 ),
 {p}a_1 AS (
   SELECT vec_id, s, c FROM (
@@ -3285,12 +3384,12 @@ def _pq_ctes(p: str = "") -> str:
 ),
 {p}cent_1 AS (
   SELECT a.c, p.s, p.dim, ROUND(SUM(p.x) / COUNT(*), 6) AS m
-  FROM {p}pts p JOIN {p}a_1 a ON a.vec_id = p.vec_id AND a.s = p.s
+  FROM {src} p JOIN {p}a_1 a ON a.vec_id = p.vec_id AND a.s = p.s
   GROUP BY a.c, p.s, p.dim
 ),
 {p}d2_e AS (
   SELECT p.vec_id, c.c, p.s, ROUND(SUM((p.x - c.m) * (p.x - c.m)), 6) AS d2
-  FROM {p}pts p JOIN {p}cent_1 c USING (dim) GROUP BY p.vec_id, c.c, p.s
+  FROM {src} p JOIN {p}cent_1 c USING (dim) GROUP BY p.vec_id, c.c, p.s
 ),
 {p}codes AS (
   SELECT vec_id, s, c FROM (
@@ -3298,14 +3397,18 @@ def _pq_ctes(p: str = "") -> str:
            ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
     FROM {p}d2_e
   ) r WHERE rn = 1
-),
+)""" + (
+        f""",
 {p}qd AS (
-  SELECT dim, x AS qv FROM {p}pts WHERE vec_id = 0
+  SELECT dim, x AS qv FROM {src} WHERE vec_id = 0
 ),
 {p}dtab AS (
   SELECT c.s, c.c, ROUND(SUM((q.qv - c.m) * (q.qv - c.m)), 6) AS d
   FROM {p}cent_1 c JOIN {p}qd q USING (dim) GROUP BY c.s, c.c
 )"""
+        if with_query
+        else ""
+    )
 
 
 ORACLE_SQL["pq_adc_topk"] = f"""
@@ -3377,6 +3480,49 @@ probed AS (
 SELECT k.vec_id, ROUND(SUM(d.d), 6) AS adc
 FROM pqcodes k JOIN pqdtab d ON d.s = k.s AND d.c = k.c
 WHERE k.vec_id <> 0 AND k.vec_id IN (SELECT vec_id FROM probed)
+GROUP BY k.vec_id
+ORDER BY adc ASC, k.vec_id ASC LIMIT {TOPK}
+"""
+
+# Residual-IVFADC oracle (mirror of q_ivfadc_residual_topk): k-means
+# routing CTEs ∘ residual points (x − cell centroid) ∘ the r-prefixed PQ
+# chain trained on those residuals ∘ per-probed-cell distance tables
+# from the query's per-cell residual
+ORACLE_SQL["ivfadc_residual_topk"] = f"""
+WITH {_KM_CTES},
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+kqd AS (
+  SELECT i - 1 AS dim, CAST(q_emb[i] AS DOUBLE) AS qv
+  FROM q, unnest(range(1, len(q_emb) + 1)) AS t(i)
+),
+cellrank AS (
+  SELECT c,
+         ROUND(SUM(m * qv) / (SQRT(SUM(m * m)) * SQRT(SUM(qv * qv))), 6)
+           AS c_cos
+  FROM {_KM_CENTS} JOIN kqd USING (dim) GROUP BY c
+  ORDER BY c_cos DESC, c ASC LIMIT 2
+),
+rpts AS (
+  SELECT p.vec_id, p.dim, CAST(p.dim // {_PQ_SUBDIM} AS INT) AS s,
+         p.x - cm.m AS x
+  FROM pts p JOIN {_KM_ASSIGN} a USING (vec_id)
+  JOIN {_KM_CENTS} cm ON cm.c = a.c AND cm.dim = p.dim
+),
+{_pq_ctes("r", src="rpts", with_query=False)},
+rqd AS (
+  SELECT cr.c AS cell, p.dim, p.x - cm.m AS rqv
+  FROM pts p CROSS JOIN cellrank cr
+  JOIN {_KM_CENTS} cm ON cm.c = cr.c AND cm.dim = p.dim
+  WHERE p.vec_id = 0
+),
+rdtab AS (
+  SELECT q2.cell, c.s, c.c, ROUND(SUM((q2.rqv - c.m) * (q2.rqv - c.m)), 6) AS d
+  FROM rcent_1 c JOIN rqd q2 USING (dim) GROUP BY q2.cell, c.s, c.c
+)
+SELECT k.vec_id, ROUND(SUM(d.d), 6) AS adc
+FROM rcodes k JOIN {_KM_ASSIGN} a USING (vec_id)
+JOIN rdtab d ON d.cell = a.c AND d.s = k.s AND d.c = k.c
+WHERE k.vec_id <> 0
 GROUP BY k.vec_id
 ORDER BY adc ASC, k.vec_id ASC LIMIT {TOPK}
 """
@@ -3924,6 +4070,7 @@ QUERIES = {
     "kmeans_ivf_topk": q_kmeans_ivf_topk,
     "pq_adc_topk": q_pq_adc_topk,
     "ivf_adc_topk": q_ivf_adc_topk,
+    "ivfadc_residual_topk": q_ivfadc_residual_topk,
     "engine_pq_adc_topk": q_engine_pq_adc_topk,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
