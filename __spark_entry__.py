@@ -117,6 +117,13 @@ _DEFERRED_TAIL = [
     # + pq_adc_topk (the identical PQ encode/ADC chain) — the
     # composition's own oracle row is checked by the tail artifact
     "ivf_adc_topk",
+    # hll_distinct_tokens / source_pagerank (round 5): NEW primary
+    # operators kept in the tail so the budgeted driver gate's head
+    # stays the frozen 50 it has checked since r02 — their own oracle
+    # rows are proven by the committed CORRECTNESS_tail artifact each
+    # round (and locally by tools/check_parity.py)
+    "hll_distinct_tokens",
+    "source_pagerank",
     # ivfadc_residual_topk ⊂ ivf_adc_topk (identical cell routing +
     # PQ chain shape; only the trained points are residuals) +
     # kmeans_ivf_topk (the cell assignment that defines the residuals)

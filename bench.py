@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "ivf_adc_topk",
     "ivfadc_residual_topk",
     "engine_pq_adc_topk",
+    "hll_distinct_tokens",
+    "source_pagerank",
     "dedup_clusters",
     "split_assign",
     "stratified_sample",

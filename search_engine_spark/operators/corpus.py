@@ -2103,6 +2103,182 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HyperLogLog geometry: p=6 → 64 registers, ~13% standard error
+# (1.04/√64), linear-counting correction below 2.5·m. The register
+# width budget: md5 chars 1-8 (32 bits) pick the bucket, chars 9-23
+# (60 bits) feed the leading-zero count, so ρ ∈ [1, 61] and the
+# harmonic term 2^(61-ρ) is an EXACT BIGINT — the register sum runs in
+# integer space (Spark DECIMAL / DuckDB HUGEINT), never floats.
+_HLL_M = 64
+# alpha_64 · m² · 2^61 — the numerator of the raw estimate, composed of
+# exact power-of-two scalings of the alpha double, so the Python
+# literal and the SQL expression produce the same bits
+_HLL_NUM = (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 * float(2**61)
+
+
+def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token cardinality by a DETERMINISTIC
+    HyperLogLog sketch (Flajolet et al. 2007) — the 100 TB shape of
+    COUNT(DISTINCT): an exact distinct ships every distinct (source,
+    token) row through an exchange; the sketch ships at most 64
+    register rows per source per partition (map-side partial MAX), so
+    the shuffle is O(sources · 64) regardless of corpus size.
+
+    Spark's own approx_count_distinct is HLL++ over a JVM-private hash
+    (not reproducible in DuckDB), so this uses the repo's cross-engine
+    discipline instead: md5(token) → bucket (first 32 bits mod 64) and
+    a 60-bit tail whose leading-zero rank ρ = 61 − bitlength is pure
+    integer arithmetic in both engines. Registers are MAX(ρ); the
+    harmonic sum Σ 2^(−ρ_j) is computed EXACTLY as Σ 2^(61−ρ_j) in
+    128-bit integer space (absent registers contribute 2^61), cast to
+    double once for the single division. Small-range correction:
+    linear counting m·ln(m/V) when the raw estimate ≤ 2.5m and empty
+    registers exist. Output rounded once (final floats only)."""
+    h = F.md5(F.col("term"))
+    regs = (
+        documents(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .select("source", F.explode(_tokens_array()).alias("term"))
+        .select(
+            "source",
+            (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _HLL_M).alias(
+                "bucket"
+            ),
+            F.conv(F.substring(h, 9, 15), 16, 10).cast("long").alias("w"),
+        )
+        .select(
+            "source",
+            "bucket",
+            F.when(F.col("w") == 0, F.lit(61))
+            .otherwise(F.lit(61) - F.length(F.bin("w")))
+            .alias("rho"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    per = regs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_registers"),
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - r) AS DECIMAL(20,0))")
+        ).alias("zpresent"),
+    )
+    zsum = (
+        F.col("zpresent")
+        + (F.lit(_HLL_M) - F.col("n_registers")).cast("decimal(20,0)")
+        * F.lit(2**61).cast("decimal(20,0)")
+    ).cast("double")
+    raw = F.lit(_HLL_NUM) / zsum
+    lc = F.lit(float(_HLL_M)) * F.log(
+        F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_registers")).cast("double")
+    )
+    return per.select(
+        "source",
+        "n_registers",
+        F.round(
+            F.when(
+                (raw <= F.lit(2.5 * _HLL_M)) & (F.col("n_registers") < _HLL_M), lc
+            ).otherwise(raw),
+            4,
+        ).alias("est_distinct"),
+    )
+
+
+# Source-authority PageRank geometry: damping 0.85, 3 power iterations,
+# edges weighted by shared RARE 3-token shingles (a shingle seen in more
+# than _PR_MAX_SRC sources is boilerplate, not syndication evidence —
+# and the cap also bounds the per-shingle join fan-out at O(cap²), the
+# same mega-bucket discipline as the LSH banding cap).
+_PR_D = 0.85
+_PR_ITERS = 3
+_PR_MAX_SRC = 6
+
+
+def q_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-authority PageRank over the content-SYNDICATION graph —
+    the curation analogue of link-graph ranking (Common Crawl publishes
+    exactly this kind of per-domain centrality for crawl
+    prioritization): source a cites source b with weight = number of
+    distinct rare 3-token shingles they share, and 3 damped power
+    iterations redistribute authority over those weights. High-rank
+    sources are the ones whose content recurs across the corpus — a
+    prior for crawl scheduling and per-domain quality weighting.
+
+    Scale shape: (source, shingle) distinct pairs aggregate map-side;
+    the rare-shingle filter (df ≤ cap) bounds the shingle self-join at
+    O(cap²) rows per shingle; the edge list is ≤ sources² narrow rows
+    and every iteration is one broadcast-scalar dangling pass + one
+    edge join over that metadata-scale table. The node count enters as
+    one driver scalar (like BM25's N). Determinism: weights and
+    out-degrees are exact BIGINTs; rank updates are rounded to 8 dp per
+    iteration (the k-means round-before-rank discipline — raw float
+    sums differ in the last ulp between engines); dangling mass is
+    redistributed uniformly. Oracle: iteration-unrolled CTE chain."""
+    docs_all = documents(spark, sf_dir)
+    sh = (
+        docs_all.filter(F.col("lang") == "en")
+        .select("source", F.explode(_shingles(3)).alias("g"))
+        .distinct()
+    )
+    rare = (
+        sh.groupBy("g")
+        .agg(F.count("*").alias("ns"))
+        .filter(F.col("ns") <= _PR_MAX_SRC)
+        .select("g")
+    )
+    shr = sh.join(rare, "g", "left_semi").localCheckpoint(eager=True)
+    e = (
+        shr.select(F.col("source").alias("src"), "g")
+        .join(shr.select(F.col("source").alias("dst"), "g"), "g")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    nodes = docs_all.select("source").distinct().localCheckpoint(eager=True)
+    n = float(nodes.count())  # node count: one metadata-scale driver scalar
+    ranks = nodes.select(
+        "source", F.round(F.lit(1.0) / F.lit(n), 8).alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        ranks = ranks.localCheckpoint(eager=True)
+        dang = ranks.join(
+            outw, ranks["source"] == outw["src"], "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        contrib = (
+            e.join(ranks.withColumnRenamed("source", "src"), "src")
+            .select(
+                "dst", (F.col("rank") * F.col("w")).alias("rw"), "src"
+            )
+            .join(outw, "src")
+            .select("dst", (F.col("rw") / F.col("outw")).alias("part"))
+            .groupBy("dst")
+            .agg(F.sum("part").alias("c"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(dang))
+            .join(
+                contrib.withColumnRenamed("dst", "source"), "source", "left"
+            )
+            .select(
+                "source",
+                F.round(
+                    # literal 0.15, NOT 1.0 - _PR_D: Python's 1.0-0.85 is
+                    # 0.15000000000000002 while the oracle's "0.15" parses
+                    # to the nearest double of 0.15 — different bits
+                    F.lit(0.15) / F.lit(n)
+                    + F.lit(_PR_D)
+                    * (
+                        F.col("dang") / F.lit(n)
+                        + F.coalesce(F.col("c"), F.lit(0.0))
+                    ),
+                    8,
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("source", F.col("rank").alias("pagerank"))
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM fluency proxy (the CCNet/Wikipedia-LM perplexity filter,
     reduced to its order-0 form both engines can compute exactly): per-doc
@@ -3527,6 +3703,102 @@ GROUP BY k.vec_id
 ORDER BY adc ASC, k.vec_id ASC LIMIT {TOPK}
 """
 
+# Deterministic-HLL oracle (mirror of q_hll_distinct_tokens): identical
+# md5 bucket/tail split, integer leading-zero rank, EXACT 128-bit
+# harmonic sum (HUGEINT == Spark's DECIMAL(38,0)), one double division,
+# same linear-counting branch. The numerator literal is repr() of the
+# Python double — both engines parse it to the same bits.
+ORACLE_SQL["hll_distinct_tokens"] = f"""
+WITH tokS AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE lang = 'en'
+),
+hx AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % {_HLL_M} AS bucket,
+         CAST(('0x' || substr(md5(term), 9, 15)) AS BIGINT) AS w
+  FROM tokS WHERE term NOT IN ({_SQL_STOPLIST})
+),
+regs AS (
+  SELECT source, bucket,
+         MAX(CASE WHEN w = 0 THEN 61 ELSE 61 - length(bin(w)) END) AS r
+  FROM hx GROUP BY source, bucket
+),
+per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_registers,
+         SUM(1::BIGINT << (61 - r)) AS zpresent
+  FROM regs GROUP BY source
+),
+est AS (
+  SELECT source, n_registers,
+         CAST(CAST(zpresent AS HUGEINT)
+              + CAST({_HLL_M} - n_registers AS HUGEINT)
+                * CAST(1::BIGINT << 61 AS HUGEINT) AS DOUBLE) AS zsum
+  FROM per
+)
+SELECT source, n_registers,
+       ROUND(CASE WHEN {_HLL_NUM!r} / zsum <= 160.0 AND n_registers < {_HLL_M}
+                  THEN 64.0 * LN(64.0 / CAST({_HLL_M} - n_registers AS DOUBLE))
+                  ELSE {_HLL_NUM!r} / zsum END, 4) AS est_distinct
+FROM est
+"""
+
+
+# Source-PageRank oracle (mirror of q_source_pagerank):
+# iteration-unrolled damped power iteration over the rare-shingle
+# syndication edge list — same integer weights, same per-iteration
+# 8-dp rounding, same uniform dangling redistribution.
+def _pagerank_ctes() -> str:
+    parts = [
+        f"""prsh AS (
+  SELECT DISTINCT source, arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS g
+  FROM (SELECT source,
+               list_filter(string_split(text, ' '),
+                           t -> t NOT IN ({_SQL_STOPLIST})) AS arr
+        FROM documents WHERE lang = 'en') d,
+       unnest(range(1, GREATEST(len(arr) - 1, 1))) AS t(i)
+),
+prrare AS (SELECT g FROM prsh GROUP BY g HAVING COUNT(*) <= {_PR_MAX_SRC}),
+prshr AS (SELECT source, g FROM prsh WHERE g IN (SELECT g FROM prrare)),
+pre AS (
+  SELECT a.source AS src, b.source AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM prshr a JOIN prshr b USING (g) WHERE a.source <> b.source
+  GROUP BY a.source, b.source
+),
+proutw AS (SELECT src, SUM(w) AS outw FROM pre GROUP BY src),
+prnodes AS (SELECT DISTINCT source FROM documents),
+prn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM prnodes),
+r_0 AS (SELECT source, ROUND(1.0 / n, 8) AS rank FROM prnodes CROSS JOIN prn)"""
+    ]
+    for it in range(1, _PR_ITERS + 1):
+        prev = f"r_{it - 1}"
+        parts.append(
+            f""",
+dang_{it} AS (
+  SELECT COALESCE(SUM(r.rank), 0.0) AS dang
+  FROM {prev} r LEFT JOIN proutw o ON o.src = r.source WHERE o.src IS NULL
+),
+contrib_{it} AS (
+  SELECT e.dst AS source, SUM(r.rank * e.w / o.outw) AS c
+  FROM pre e JOIN {prev} r ON r.source = e.src JOIN proutw o ON o.src = e.src
+  GROUP BY e.dst
+),
+r_{it} AS (
+  SELECT nd.source,
+         ROUND(0.15 / prn.n + 0.85 * (d.dang / prn.n + COALESCE(c.c, 0.0)), 8)
+           AS rank
+  FROM prnodes nd CROSS JOIN prn CROSS JOIN dang_{it} d
+  LEFT JOIN contrib_{it} c ON c.source = nd.source
+)"""
+        )
+    return "".join(parts)
+
+
+ORACLE_SQL["source_pagerank"] = f"""
+WITH {_pagerank_ctes()}
+SELECT source, rank AS pagerank FROM r_{_PR_ITERS}
+"""
+
 # 64-bit SimHash as 4 × 16-bit bands (mirror of q_simhash /
 # q_simhash_near_dup: same md5-hex-char hash arithmetic, same band layout)
 _SIMHASH_CTE = f"""
@@ -4075,6 +4347,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
+    "hll_distinct_tokens": q_hll_distinct_tokens,
+    "source_pagerank": q_source_pagerank,
     "doc_fingerprint": q_doc_fingerprint,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,

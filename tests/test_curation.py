@@ -337,3 +337,109 @@ def test_ngrams_of_matches_python_spec(spark):
                 " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
             ]
             assert list(r[f"g{n}"]) == want, (r["text"], n)
+
+
+# --- HyperLogLog distinct sketch -------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hll_dir(tmp_path_factory):
+    """Two sources straddling the estimator's two branches: 'big' has
+    5000 distinct tokens (all 64 registers hit -> raw harmonic-mean
+    branch), 'small' has 30 (mostly-empty registers -> linear-counting
+    branch)."""
+    big = [
+        {
+            "doc_id": i,
+            "source": "big",
+            "text": " ".join(f"tok{i * 500 + j}" for j in range(500)),
+        }
+        for i in range(10)
+    ]
+    small = [
+        {
+            "doc_id": 100 + i,
+            "source": "small",
+            # overlapping windows: 30 distinct tokens total, repeated
+            "text": " ".join(f"word{(i * 7 + j) % 30}" for j in range(40)),
+        }
+        for i in range(5)
+    ]
+    return _docs_dir(tmp_path_factory, "hll", big + small)
+
+
+def test_hll_estimate_accuracy_both_branches(spark, hll_dir):
+    """The deterministic-HLL estimate must land within the published
+    error envelope on both branches: ~3σ = 39% for the raw branch at
+    m=64 (md5 is fixed, so the observed error is deterministic — the
+    bound just documents the contract), and much tighter for linear
+    counting at low fill."""
+    rows = {
+        r["source"]: r
+        for r in corpus.q_hll_distinct_tokens(spark, hll_dir).collect()
+    }
+    assert set(rows) == {"big", "small"}
+    big = rows["big"]
+    assert big["n_registers"] == 64  # 5000 tokens saturate 64 buckets
+    assert abs(big["est_distinct"] - 5000) / 5000 < 0.39, big
+    small = rows["small"]
+    assert small["n_registers"] < 64  # LC regime
+    assert abs(small["est_distinct"] - 30) / 30 < 0.15, small
+
+
+# --- source-authority PageRank ---------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pr_dir(tmp_path_factory):
+    """5 sources: hub/s1/s2 syndicate one 10-token passage (rare
+    shingles -> a K3 edge clique, weight 8 each way); iso1/iso2 have
+    unique text (dangling nodes)."""
+    shared = (
+        "quantum ledger photon matrix krypton vector nebula cosmic "
+        "turbine piston"
+    )
+    rows = [
+        {"doc_id": 0, "source": "hub", "text": shared + " hubextra"},
+        {"doc_id": 1, "source": "s1", "text": shared + " oneextra"},
+        {"doc_id": 2, "source": "s2", "text": shared + " twoextra"},
+        {"doc_id": 3, "source": "iso1", "text": "lonely island coconut palm drift"},
+        {"doc_id": 4, "source": "iso2", "text": "desert dune cactus mirage sand"},
+    ]
+    return _docs_dir(tmp_path_factory, "pagerank", rows)
+
+
+def test_source_pagerank_syndication_clique(spark, pr_dir):
+    """Syndicating sources must outrank isolated ones, probability mass
+    must be conserved (sum == 1 up to the 8-dp per-iteration rounding),
+    and the K3 members are symmetric so their ranks must be equal."""
+    rows = {
+        r["source"]: r["pagerank"]
+        for r in corpus.q_source_pagerank(spark, pr_dir).collect()
+    }
+    assert set(rows) == {"hub", "s1", "s2", "iso1", "iso2"}
+    assert abs(sum(rows.values()) - 1.0) < 1e-6, rows
+    assert rows["hub"] == rows["s1"] == rows["s2"]
+    assert rows["iso1"] == rows["iso2"]
+    assert rows["hub"] > rows["iso1"] * 2, rows
+
+
+def test_source_pagerank_no_edges_is_uniform(spark, tmp_path_factory):
+    """With no cross-source shingle sharing every node is dangling and
+    the damped iteration has the uniform vector as a fixpoint: every
+    rank must be exactly 1/n at every iteration (0.15/n + 0.85*(1/n)
+    == 1/n -- rounding can't move an exactly-representable 0.2)."""
+    d = _docs_dir(
+        tmp_path_factory,
+        "pagerank_uniform",
+        [
+            {"doc_id": 0, "source": "u1", "text": "apple banana cherry damson"},
+            {"doc_id": 1, "source": "u2", "text": "elder fig grape hazel"},
+            {"doc_id": 2, "source": "u3", "text": "iris jasmine kiwi lemon"},
+            {"doc_id": 3, "source": "u4", "text": "mango nutmeg olive peach"},
+            {"doc_id": 4, "source": "u5", "text": "quince radish sorrel thyme"},
+        ],
+    )
+    rows = corpus.q_source_pagerank(spark, d).collect()
+    assert len(rows) == 5
+    assert all(r["pagerank"] == 0.2 for r in rows), rows
