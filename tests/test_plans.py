@@ -144,6 +144,17 @@ def test_domain_cap_single_exchange(spark, sfd):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_hll_sketch_two_bounded_exchanges(spark, sfd):
+    """The HLL distinct sketch exists to REPLACE the distinct-token
+    exchange: its plan must be exactly two hash-agg exchanges — the
+    (source, bucket) register MAX (≤64 rows/source/partition after the
+    map-side partial) and the per-source fold — with no Python and no
+    distinct over the token stream."""
+    p = _plan(corpus.q_hll_distinct_tokens(spark, sfd))
+    assert p.count("Exchange") == 2, p.count("Exchange")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_corpus_select_no_broadcast_hint(spark, sfd):
     """The near-dup drop set and the dup-involved doc set are
     corpus-proportional on a web crawl: the anti-joins must NOT carry a
