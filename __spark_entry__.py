@@ -124,6 +124,11 @@ _DEFERRED_TAIL = [
     # round (and locally by tools/check_parity.py)
     "hll_distinct_tokens",
     "source_pagerank",
+    # bm25_authority_topk ⊂ bm25_topk_or (the identical _BM25_SCORED
+    # chain) + source_pagerank (the identical authority chain) — the
+    # blend itself is one broadcast join + one rounded multiply,
+    # tail-checked
+    "bm25_authority_topk",
     # ivfadc_residual_topk ⊂ ivf_adc_topk (identical cell routing +
     # PQ chain shape; only the trained points are residuals) +
     # kmeans_ivf_topk (the cell assignment that defines the residuals)

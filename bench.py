@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "engine_pq_adc_topk",
     "hll_distinct_tokens",
     "source_pagerank",
+    "bm25_authority_topk",
     "dedup_clusters",
     "split_assign",
     "stratified_sample",

@@ -2279,6 +2279,36 @@ def q_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("source", F.col("rank").alias("pagerank"))
 
 
+def q_bm25_authority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 × source authority — the classic web-search blend (textual
+    relevance times a query-independent centrality prior, the
+    PageRank-era ranking recipe): ascore = bm25 · (1 + 10·pagerank).
+    With a uniform authority vector (1/20 per source) every boost is
+    1.5× and the ordering degenerates to pure BM25; syndicated sources'
+    documents rise above equally-relevant isolated ones.
+
+    Plan shape: the BM25 chain's per-doc rows join doc→source (narrow
+    projection) and the 20-row authority table broadcasts — the blend
+    adds ZERO corpus-scale exchanges to either component. At 100 TB the
+    authority table is per-domain metadata (computed offline, refreshed
+    per crawl) exactly like the engine's df/avgdl stats."""
+    scored = _bm25_scored(spark, sf_dir, QUERY_OR.split(" "))
+    src = documents(spark, sf_dir).select("doc_id", "source")
+    pr = q_source_pagerank(spark, sf_dir)
+    return (
+        scored.join(src, "doc_id")
+        .join(F.broadcast(pr), "source")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("score") * (F.lit(1.0) + F.lit(10.0) * F.col("pagerank")), 6
+            ).alias("ascore"),
+        )
+        .orderBy(F.desc("ascore"), F.asc("doc_id"))
+        .limit(TOPK)
+    )
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM fluency proxy (the CCNet/Wikipedia-LM perplexity filter,
     reduced to its order-0 form both engines can compute exactly): per-doc
@@ -3799,6 +3829,19 @@ WITH {_pagerank_ctes()}
 SELECT source, rank AS pagerank FROM r_{_PR_ITERS}
 """
 
+# BM25 × authority blend (mirror of q_bm25_authority_topk): the shared
+# _BM25_SCORED subquery composed with the pagerank CTE chain via the
+# doc→source projection; the blend multiplies the two chains' rounded
+# outputs and rounds once more (both engines, same places).
+ORACLE_SQL["bm25_authority_topk"] = f"""
+WITH scored_docs AS ({_BM25_SCORED.format(terms=_sql_terms(QUERY_OR))}),
+{_pagerank_ctes()}
+SELECT s.doc_id, ROUND(s.score * (1.0 + 10.0 * r.rank), 6) AS ascore
+FROM scored_docs s JOIN documents d USING (doc_id)
+JOIN r_{_PR_ITERS} r ON r.source = d.source
+ORDER BY ascore DESC, s.doc_id ASC LIMIT {TOPK}
+"""
+
 # 64-bit SimHash as 4 × 16-bit bands (mirror of q_simhash /
 # q_simhash_near_dup: same md5-hex-char hash arithmetic, same band layout)
 _SIMHASH_CTE = f"""
@@ -4349,6 +4392,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "hll_distinct_tokens": q_hll_distinct_tokens,
     "source_pagerank": q_source_pagerank,
+    "bm25_authority_topk": q_bm25_authority_topk,
     "doc_fingerprint": q_doc_fingerprint,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,

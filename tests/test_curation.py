@@ -443,3 +443,34 @@ def test_source_pagerank_no_edges_is_uniform(spark, tmp_path_factory):
     rows = corpus.q_source_pagerank(spark, d).collect()
     assert len(rows) == 5
     assert all(r["pagerank"] == 0.2 for r in rows), rows
+
+
+def test_bm25_authority_blend_reorders_ties(spark, tmp_path_factory):
+    """Two docs with IDENTICAL text (equal BM25 for the OR query) but
+    different sources: pure BM25 breaks the tie by doc_id; the blend
+    must put the syndicated (high-authority) source's doc first even
+    though its doc_id is higher — and a doc that doesn't match the
+    query must stay absent no matter its authority."""
+    shared = (
+        "quantum ledger photon matrix krypton vector nebula cosmic "
+        "turbine piston"
+    )
+    rows = [
+        # the authority clique (hub syndicates with s1/s2)
+        {"doc_id": 0, "source": "hub", "text": shared + " hubpad"},
+        {"doc_id": 1, "source": "s1", "text": shared + " onepad"},
+        {"doc_id": 2, "source": "s2", "text": shared + " twopad"},
+        # equal-BM25 pair: same text, lower id in the ISOLATED source
+        {"doc_id": 10, "source": "iso", "text": "fast query scan padding here"},
+        {"doc_id": 20, "source": "hub", "text": "fast query scan padding here"},
+        # authority without relevance must not surface
+        {"doc_id": 30, "source": "hub", "text": "irrelevant filler verbiage"},
+    ]
+    d = _docs_dir(tmp_path_factory, "authority_blend", rows)
+    plain = [r["doc_id"] for r in corpus.q_bm25_topk_or(spark, d).collect()]
+    blended = [
+        r["doc_id"] for r in corpus.q_bm25_authority_topk(spark, d).collect()
+    ]
+    assert set(plain) == {10, 20} and set(blended) == {10, 20}
+    assert plain.index(10) < plain.index(20)  # tie -> doc_id asc
+    assert blended.index(20) < blended.index(10)  # authority wins the tie
