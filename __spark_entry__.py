@@ -129,6 +129,10 @@ _DEFERRED_TAIL = [
     # blend itself is one broadcast join + one rounded multiply,
     # tail-checked
     "bm25_authority_topk",
+    # cms_heavy_hitters (round 5): NEW primary operator, tail-placed
+    # for the same frozen-head reason as hll_distinct_tokens; its
+    # oracle row is proven by the committed tail artifact each round
+    "cms_heavy_hitters",
     # ivfadc_residual_topk ⊂ ivf_adc_topk (identical cell routing +
     # PQ chain shape; only the trained points are residuals) +
     # kmeans_ivf_topk (the cell assignment that defines the residuals)

@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "hll_distinct_tokens",
     "source_pagerank",
     "bm25_authority_topk",
+    "cms_heavy_hitters",
     "dedup_clusters",
     "split_assign",
     "stratified_sample",

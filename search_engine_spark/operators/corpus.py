@@ -2279,6 +2279,71 @@ def q_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("source", F.col("rank").alias("pagerank"))
 
 
+# Count-Min geometry: d=4 rows × w=256 buckets. ε = e/w ≈ 1.06%·N
+# overestimate at δ = e^-4 ≈ 1.8%; the 4 row-hashes are disjoint 8-hex
+# slices of ONE md5 per token (the HLL/minhash one-crypto-hash
+# discipline — row independence comes from md5's avalanche, not from 4
+# hash passes).
+_CMS_D = 4
+_CMS_W = 256
+_CMS_TOPN = 20
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimation (Cormode & Muthukrishnan
+    2005), demonstrated on the exact top-N tokens: (term, exact count,
+    CMS estimate). The sketch is the 100 TB frequency shape — the
+    counter table is d·w = 1024 cells REGARDLESS of vocabulary size, so
+    the heavy-hitter pass shuffles ≤1024 rows per partition (map-side
+    partial sums) where an exact per-term count shuffles the whole
+    vocabulary; est ≥ true always (counters only over-count), and
+    est ≤ true + (e/w)·N with probability 1 − e^−d per query.
+
+    The exact side rides along here to make the row set
+    self-demonstrating (the gate checks both engines agree on exact AND
+    estimate; the ε-bound itself is pytest's job on planted skew) — at
+    production scale you'd keep only the sketch and probe it. All
+    arithmetic is BIGINT: md5-slice bucket ids, integer counters, MIN
+    over d counters."""
+    toks = (
+        documents(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .select(F.explode(_tokens_array()).alias("term"))
+    )
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("term"))
+        .limit(_CMS_TOPN)
+    )
+    h = F.md5(F.col("term"))
+    bucket_rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (
+                    F.conv(F.substring(h, 8 * r + 1, 8), 16, 10).cast("long")
+                    % _CMS_W
+                ).alias("b"),
+            )
+            for r in range(_CMS_D)
+        ]
+    )
+    counters = (
+        toks.select(F.explode(bucket_rows).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    probes = exact.select(
+        "term", "exact_cnt", F.explode(bucket_rows).alias("rb")
+    ).select("term", "exact_cnt", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    return (
+        probes.join(F.broadcast(counters), ["r", "b"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
 def q_bm25_authority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 × source authority — the classic web-search blend (textual
     relevance times a query-independent centrality prior, the
@@ -3829,6 +3894,41 @@ WITH {_pagerank_ctes()}
 SELECT source, rank AS pagerank FROM r_{_PR_ITERS}
 """
 
+# Count-Min oracle (mirror of q_cms_heavy_hitters): same one-md5
+# 4-slice row hashes, integer counters, MIN over rows
+ORACLE_SQL["cms_heavy_hitters"] = f"""
+WITH cmstok AS (
+  SELECT term FROM (
+    SELECT unnest(string_split(text, ' ')) AS term
+    FROM documents WHERE lang = 'en') raw
+  WHERE term NOT IN ({_SQL_STOPLIST})
+),
+cmsexact AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM cmstok GROUP BY term
+  ORDER BY exact_cnt DESC, term ASC LIMIT {_CMS_TOPN}
+),
+cmsrows AS (SELECT unnest(range(0, {_CMS_D})) AS r),
+cmsrb AS (
+  SELECT term, r,
+         CAST(('0x' || substr(md5(term), 8 * r + 1, 8)) AS BIGINT)
+           % {_CMS_W} AS b
+  FROM cmstok CROSS JOIN cmsrows
+),
+cmscounters AS (
+  SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM cmsrb GROUP BY r, b
+),
+cmsprobe AS (
+  SELECT e.term, e.exact_cnt, rr.r,
+         CAST(('0x' || substr(md5(e.term), 8 * rr.r + 1, 8)) AS BIGINT)
+           % {_CMS_W} AS b
+  FROM cmsexact e CROSS JOIN cmsrows rr
+)
+SELECT p.term, p.exact_cnt, MIN(c.cnt) AS cms_est
+FROM cmsprobe p JOIN cmscounters c ON c.r = p.r AND c.b = p.b
+GROUP BY p.term, p.exact_cnt
+"""
+
 # BM25 × authority blend (mirror of q_bm25_authority_topk): the shared
 # _BM25_SCORED subquery composed with the pagerank CTE chain via the
 # doc→source projection; the blend multiplies the two chains' rounded
@@ -4393,6 +4493,7 @@ QUERIES = {
     "hll_distinct_tokens": q_hll_distinct_tokens,
     "source_pagerank": q_source_pagerank,
     "bm25_authority_topk": q_bm25_authority_topk,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "doc_fingerprint": q_doc_fingerprint,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,

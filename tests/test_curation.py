@@ -474,3 +474,37 @@ def test_bm25_authority_blend_reorders_ties(spark, tmp_path_factory):
     assert set(plain) == {10, 20} and set(blended) == {10, 20}
     assert plain.index(10) < plain.index(20)  # tie -> doc_id asc
     assert blended.index(20) < blended.index(10)  # authority wins the tie
+
+
+def test_cms_overestimate_bound_on_planted_skew(spark, tmp_path_factory):
+    """Count-Min contract on a skewed vocabulary: one hot token (5000
+    occurrences) among 4000 distinct cold ones. For every returned row
+    est >= exact (counters only over-count), and the overestimate is
+    within the ε = e/w envelope of total mass N (md5 is fixed, so the
+    observed error is deterministic — the bound documents the
+    contract). The hot token must rank first with its exact count."""
+    import math
+
+    n_cold = 4000
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(
+                ["hottoken"] * 50 + [f"cold{i * 40 + j}" for j in range(40)]
+            ),
+        }
+        for i in range(100)
+    ]
+    d = _docs_dir(tmp_path_factory, "cms_skew", rows)
+    out = corpus.q_cms_heavy_hitters(spark, d).collect()
+    assert len(out) == 20
+    by_term = {r["term"]: r for r in out}
+    hot = by_term["hottoken"]
+    assert hot["exact_cnt"] == 5000
+    n_total = 5000 + 100 * 40
+    eps_bound = math.e / 256 * n_total
+    for r in out:
+        assert r["cms_est"] >= r["exact_cnt"], r
+        assert r["cms_est"] - r["exact_cnt"] <= eps_bound, r
+    # the hot token dominates: largest exact count in the returned set
+    assert hot["exact_cnt"] == max(r["exact_cnt"] for r in out)
