@@ -146,6 +146,12 @@ _DEFERRED_TAIL = [
     # order 1) + boilerplate_ngrams (the same zip_with bigram
     # construction, oracle-checked there) — tail-checked
     "bigram_logprob",
+    # decontaminate_bloom ⊂ decontaminate (same oracle SQL by
+    # construction — the Bloom stage has no false negatives and the
+    # exact verify removes false positives; additionally
+    # bit-equality-tested against q_decontaminate in
+    # tests/test_curation.py) — tail-checked
+    "decontaminate_bloom",
     # engine_bm25_topk_pfor ⊂ engine_bm25_topk (same oracle SQL; only
     # the posting on-wire codec differs — varint vs NewPFD bit-packing,
     # additionally property-tested interchangeable in

@@ -2558,6 +2558,128 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom geometry: m = 2^17 bits (2048 int64 words, 16 KiB), k = 4 probes
+# — 4 disjoint 8-hex slices of ONE md5 per shingle (the HLL/CMS/minhash
+# one-crypto-hash discipline; 4×8 hex consumes the digest exactly). At
+# the test scale (~10^3-10^4 eval shingles) fp ≈ (1-e^{-kn/m})^k < 10^-5;
+# the production sizing rule is ~10-12 bits per eval shingle.
+_BLOOM_BITS = 1 << 17
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_K = 4
+
+
+def _bloom_positions(h):
+    """k bit positions from one md5 column (32 hex → 4 disjoint 8-hex
+    slices → BIGINT mod m)."""
+    return [
+        F.conv(F.substring(h, 8 * i + 1, 8), 16, 10).cast("long")
+        % _BLOOM_BITS
+        for i in range(_BLOOM_K)
+    ]
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a Bloom-filter pre-filter + exact verify —
+    bit-identical output to q_decontaminate (Bloom filters have no
+    false negatives; the verify join removes the false positives), but
+    the broadcast is a FIXED-SIZE bitmap instead of the raw shingle set.
+
+    Why it exists: q_decontaminate broadcasts the distinct eval
+    shingles, which is right while the eval suite is small. The moment
+    the "eval set" is the union of every public benchmark plus held-out
+    validation shards (10^8-10^9 shingles at frontier scale), raw
+    strings are tens of GB per executor — but a Bloom bitmap at ~10
+    bits/key is ~125 MB per 10^8 keys REGARDLESS of string length, and
+    the corpus side still probes it map-side in whole-stage codegen
+    (element_at + bit ops on an array<bigint> literal — no UDF). Only
+    the true hits plus the ε false-positive fraction reach the exact
+    shuffle semi-join, so the verify's join input is candidate-sized,
+    not corpus-sized.
+
+    Plan shape: bitmap = groupBy(pos div 64).bit_or(1 << pos%64) over
+    eval-shingle hash positions, densified against spark.range(words)
+    and collapsed to ONE array<bigint> row (array_sort over collected
+    (word, bits) structs — 2048 elements, driver-safe by construction);
+    corpus shingles crossJoin(broadcast(that row)) and keep rows whose
+    k probe bits are all set; survivors exact-verify via a shingle
+    semi-join WITHOUT a broadcast hint (candidates are ε-small but the
+    eval side may not be — the shuffle join is the safe default, AQE
+    upgrades it when small). Same output contract as q_decontaminate:
+    (doc_id, n_shared, contaminated)."""
+    candidates, eval_sh = _bloom_candidates(spark, sf_dir)
+    return (
+        candidates.join(eval_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .select(
+            "doc_id",
+            "n_shared",
+            (F.col("n_shared") >= _DECON_MIN_SHARED)
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )
+
+
+def _bloom_candidates(spark: SparkSession, sf_dir: str):
+    """(candidates, eval_sh): the Bloom probe's survivor rows
+    (doc_id, shingle) and the exact eval-shingle set they are verified
+    against. Split out so tests can assert the probe's selectivity
+    directly (a broken always-true probe would be invisible behind the
+    verify join)."""
+    sh = shingle_df(spark, sf_dir, 3)
+    is_eval = (F.col("doc_id") % _DECON_MOD) == 0
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+
+    pos = F.explode(
+        F.array(*_bloom_positions(F.md5(F.col("shingle"))))
+    ).alias("pos")
+    words = (
+        eval_sh.select(pos)
+        .groupBy((F.col("pos") / 64).cast("int").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(pos % 64 AS INT)))"
+            ).alias("v")
+        )
+    )
+    bitmap = (
+        spark.range(_BLOOM_WORDS)
+        .select(F.col("id").cast("int").alias("w"))
+        .join(words, "w", "left")
+        .select("w", F.coalesce("v", F.lit(0).cast("long")).alias("v"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("w", "v"))),
+                lambda s: s["v"],
+            ).alias("bm")
+        )
+    )
+
+    # probe as one SQL predicate (pyspark's shiftleft() takes only a
+    # literal shift count; the SQL form shifts by a column). md5 is
+    # materialized ONCE as `h` so the k probes reuse it.
+    conds = []
+    for i in range(_BLOOM_K):
+        p = (
+            f"(CAST(conv(substring(h, {8 * i + 1}, 8), 16, 10) AS BIGINT)"
+            f" % {_BLOOM_BITS})"
+        )
+        conds.append(
+            f"(element_at(bm, CAST({p} DIV 64 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))) <> 0"
+        )
+    candidates = (
+        sh.filter(~is_eval)
+        .crossJoin(F.broadcast(bitmap))
+        .withColumn("h", F.md5(F.col("shingle")))
+        .filter(F.expr(" AND ".join(conds)))
+        .select("doc_id", "shingle")
+    )
+    return candidates, eval_sh
+
+
 def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data pipeline's END PRODUCT: the selected corpus.
     Composes the selection filters a pre-training pipeline applies —
@@ -4432,6 +4554,10 @@ SELECT doc_id, n_shared,
 FROM shared
 """
 
+# the Bloom pre-filter is exactness-preserving (no false negatives +
+# exact verify), so its oracle IS the exact operator's oracle
+ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate"]
+
 ORACLE_SQL["pii_scrub"] = f"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
@@ -4511,4 +4637,5 @@ QUERIES = {
     "source_stats": q_source_stats,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
+    "decontaminate_bloom": q_decontaminate_bloom,
 }

@@ -235,6 +235,48 @@ def test_decontaminate_flags_leaked_docs(spark, decon_dir):
     assert 3 not in rows
 
 
+def test_decontaminate_bloom_bit_equal_to_exact(spark, decon_dir):
+    """The Bloom pre-filter + exact verify must reproduce q_decontaminate
+    exactly: no false negatives (a Bloom property) and no surviving
+    false positives (the verify join's job)."""
+    exact = sorted(
+        tuple(r) for r in corpus.q_decontaminate(spark, decon_dir).collect()
+    )
+    bloom = sorted(
+        tuple(r)
+        for r in corpus.q_decontaminate_bloom(spark, decon_dir).collect()
+    )
+    assert bloom == exact
+
+
+def test_decontaminate_bloom_prefilter_selective(spark, decon_dir):
+    """The bitmap probe must actually FILTER (a broken always-true probe
+    would hide behind the verify join): doc 3 shares nothing with the
+    eval set, and with m=2^17 bits vs ~16 set positions the per-shingle
+    fp odds are ~(16/131072)^4 ≈ 2e-16 — ANY doc-3 survivor means the
+    probe predicate is wrong. Conversely every truly-shared shingle
+    must survive (no false negatives): doc 1's verbatim leak keeps all
+    its shared shingles."""
+    candidates, eval_sh = corpus._bloom_candidates(spark, decon_dir)
+    by_doc = {
+        r["doc_id"]: r["n"]
+        for r in candidates.groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert 3 not in by_doc  # zero-overlap doc dies at the probe
+    # no false negatives: the probe keeps every truly-shared shingle —
+    # at least the exact operator's per-doc n_shared (5 for the
+    # verbatim leak after stopword filtering, 1 for doc 2); exact
+    # counts are the bit-equality test's job
+    exact = {
+        r["doc_id"]: r["n_shared"]
+        for r in corpus.q_decontaminate(spark, decon_dir).collect()
+    }
+    for doc_id, n_shared in exact.items():
+        assert by_doc.get(doc_id, 0) >= n_shared
+
+
 # --- _ngrams_of executable spec -------------------------------------------
 
 
