@@ -2778,6 +2778,77 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PMI collocation contract: only bigrams seen ≥ _PMI_MIN_COUNT times are
+# scored (PMI's classic low-count pathology: a 1-count bigram of two
+# 1-count words gets the maximum score), top-N by (rounded) PMI.
+_PMI_MIN_COUNT = 5
+_PMI_TOPN = 30
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (Church & Hanks 1990) — the phrase-discovery
+    pass a training-data pipeline runs to find multi-word units worth
+    protecting from tokenization ("hong kong", "new york"):
+    pmi(w1,w2) = ln(p(w1,w2) / (p(w1)·p(w2))) over bigram events, i.e.
+    ln(c12·B / (c1·c2)) with c1/c2/B all derived FROM the bigram table
+    (left-position and right-position marginals — one definition shared
+    bit-for-bit by both engines, the q_bigram_logprob discipline; no
+    separate unigram scan, no final-token edge semantics).
+
+    Plan shape: bigrams are built inside the projection (`_ngrams_of`
+    zip_with — no shuffle to construct); ONE corpus-scale (bg, c12) agg
+    with map-side partials, localCheckpointed so the marginals and the
+    total reuse it instead of re-scanning documents; the ≥min-count
+    filter prunes BEFORE the marginal joins, so the two vocab-scale
+    shuffle joins see only the scored tail; the 1-row total broadcasts;
+    TakeOrderedAndProject caps the result. At 100 TB the corpus is
+    touched once — everything after the first agg is vocabulary-sized.
+    All counts exact BIGINTs; ONE double expression at the end, rounded
+    only in the final projection (CLAUDE.md float discipline)."""
+    bgs = documents(spark, sf_dir).select(
+        F.explode(_ngrams_of(F.split(F.col("text"), " "), 2)).alias("bg")
+    )
+    cbg = (
+        bgs.groupBy("bg")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    w2 = F.substring_index(F.col("bg"), " ", -1)
+    c1 = cbg.groupBy(w1.alias("w")).agg(
+        F.sum("c12").cast("long").alias("c1")
+    )
+    c2 = cbg.groupBy(w2.alias("w")).agg(
+        F.sum("c12").cast("long").alias("c2")
+    )
+    tot = cbg.agg(F.sum("c12").cast("long").alias("btot"))
+    return (
+        cbg.filter(F.col("c12") >= _PMI_MIN_COUNT)
+        .withColumn("lw", w1)
+        .withColumn("rw", w2)
+        .join(c1, F.col("lw") == c1["w"])
+        .drop("w")
+        .join(c2, F.col("rw") == c2["w"])
+        .drop("w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bg",
+            F.col("c12").cast("long").alias("n"),
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("btot")
+                    / F.col("c1")
+                    / F.col("c2")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bg"))
+        .limit(_PMI_TOPN)
+    )
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-document repetition signals (Rae et al. 2021 §A1.1):
     top-bigram fraction (occurrences of the most frequent bigram / all
@@ -4558,6 +4629,28 @@ FROM shared
 # exact verify), so its oracle IS the exact operator's oracle
 ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate"]
 
+ORACLE_SQL["pmi_collocations"] = f"""
+WITH tarr AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+bgrows AS (
+  SELECT arr[i] || ' ' || arr[i + 1] AS bg
+  FROM tarr, unnest(range(1, len(arr))) AS t(i)
+),
+cbg AS (SELECT bg, COUNT(*) AS c12 FROM bgrows GROUP BY bg),
+c1 AS (SELECT split_part(bg, ' ', 1) AS w, CAST(SUM(c12) AS BIGINT) AS c1
+       FROM cbg GROUP BY 1),
+c2 AS (SELECT split_part(bg, ' ', 2) AS w, CAST(SUM(c12) AS BIGINT) AS c2
+       FROM cbg GROUP BY 1),
+tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS btot FROM cbg)
+SELECT bg, CAST(c12 AS BIGINT) AS n,
+       ROUND(LN(CAST(c12 AS DOUBLE) * btot / c1 / c2), 6) AS pmi
+FROM cbg
+JOIN c1 ON c1.w = split_part(bg, ' ', 1)
+JOIN c2 ON c2.w = split_part(bg, ' ', 2)
+CROSS JOIN tot
+WHERE c12 >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, bg ASC LIMIT {_PMI_TOPN}
+"""
+
 ORACLE_SQL["pii_scrub"] = f"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
@@ -4638,4 +4731,5 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "pmi_collocations": q_pmi_collocations,
 }

@@ -550,3 +550,33 @@ def test_cms_overestimate_bound_on_planted_skew(spark, tmp_path_factory):
         assert r["cms_est"] - r["exact_cnt"] <= eps_bound, r
     # the hot token dominates: largest exact count in the returned set
     assert hot["exact_cnt"] == max(r["exact_cnt"] for r in out)
+
+
+def test_pmi_collocations_ranks_planted_pair_first(spark, tmp_path_factory):
+    """Planted collocation vs planted independence: "hong" and "kong"
+    ONLY appear as the pair (c12 = c1 = c2 → pmi = ln(B/c12), maximal
+    for its count), while "alpha" and "beta" are individually twice as
+    frequent but co-occur only sometimes — PMI must rank "hong kong"
+    above "alpha beta" even though "alpha beta" has the higher raw
+    count. Pairs below the min-count floor must not appear at all."""
+    rows = []
+    for i in range(10):
+        # hong kong: always together, 10 occurrences
+        rows.append({"doc_id": i, "text": f"hong kong filler{i} mid{i}"})
+    for i in range(20):
+        # alpha / beta: frequent, mostly apart (6/20 adjacent)
+        if i < 6:
+            rows.append({"doc_id": 100 + i, "text": f"alpha beta pad{i} tail{i}"})
+        else:
+            rows.append({"doc_id": 100 + i, "text": f"alpha gap{i} beta end{i}"})
+    # a 4-count bigram: below the min-count floor of 5
+    for i in range(4):
+        rows.append({"doc_id": 200 + i, "text": f"rare pair only{i} four{i}"})
+    d = _docs_dir(tmp_path_factory, "pmi", rows)
+    out = corpus.q_pmi_collocations(spark, d).collect()
+    ranked = [r["bg"] for r in out]
+    assert "hong kong" in ranked and "alpha beta" in ranked
+    assert ranked.index("hong kong") < ranked.index("alpha beta")
+    hk = next(r for r in out if r["bg"] == "hong kong")
+    assert hk["n"] == 10
+    assert "rare pair" not in ranked  # min-count floor enforced
