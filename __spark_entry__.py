@@ -146,10 +146,12 @@ _DEFERRED_TAIL = [
     # order 1) + boilerplate_ngrams (the same zip_with bigram
     # construction, oracle-checked there) — tail-checked
     "bigram_logprob",
-    # pmi_collocations (round 5): NEW primary operator, tail-placed for
-    # the same frozen-head reason as hll_distinct_tokens; its oracle row
-    # is proven by the committed tail artifact each round
+    # pmi_collocations / tfidf_keywords (round 5): NEW primary
+    # operators, tail-placed for the same frozen-head reason as
+    # hll_distinct_tokens; their oracle rows are proven by the
+    # committed tail artifact each round
     "pmi_collocations",
+    "tfidf_keywords",
     # decontaminate_bloom ⊂ decontaminate (same oracle SQL by
     # construction — the Bloom stage has no false negatives and the
     # exact verify removes false positives; additionally

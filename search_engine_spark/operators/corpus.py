@@ -2778,6 +2778,55 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KEYWORDS_PER_DOC = 5
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-5 terms by tf·idf with
+    idf = ln(N/df) — the summarization/labeling pass a corpus pipeline
+    runs to tag documents with their most characteristic terms (and the
+    classic pre-BM25 relevance weight, Spärck Jones 1972). N and df are
+    both derived from the per-(doc, term) tf table (one definition, no
+    separate doc-count scan).
+
+    Plan shape: the (doc_id, term, tf) agg is localCheckpointed and
+    feeds all three consumers (scores, df roll-up, N) — documents is
+    scanned ONCE; the df join shuffles on term (vocab-scale build side);
+    the top-5 is a doc_id-PARTITIONED window (never the global-sort
+    WindowExec hazard — every partition is one doc's terms, the same
+    per-key ranking shape as q_domain_cap). Round-before-rank: the
+    window orders on the ROUNDED score (the kmeans/pagerank discipline)
+    so float-ulp divergence cannot reorder ranks across engines; the
+    rounded value is also the final output."""
+    tf = (
+        tokens(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = tf.agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= _KEYWORDS_PER_DOC)
+
+
 # PMI collocation contract: only bigrams seen ≥ _PMI_MIN_COUNT times are
 # scored (PMI's classic low-count pathology: a 1-count bigram of two
 # 1-count words gets the maximum score), top-N by (rounded) PMI.
@@ -4629,6 +4678,26 @@ FROM shared
 # exact verify), so its oracle IS the exact operator's oracle
 ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate"]
 
+ORACLE_SQL["tfidf_keywords"] = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN dft USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, CAST(rnk AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+  ) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_KEYWORDS_PER_DOC}
+"""
+
 ORACLE_SQL["pmi_collocations"] = f"""
 WITH tarr AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
 bgrows AS (
@@ -4732,4 +4801,5 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "pmi_collocations": q_pmi_collocations,
+    "tfidf_keywords": q_tfidf_keywords,
 }

@@ -580,3 +580,34 @@ def test_pmi_collocations_ranks_planted_pair_first(spark, tmp_path_factory):
     hk = next(r for r in out if r["bg"] == "hong kong")
     assert hk["n"] == 10
     assert "rare pair" not in ranked  # min-count floor enforced
+
+
+def test_tfidf_keywords_planted_distinctive_term(spark, tmp_path_factory):
+    """A term concentrated in one doc must be that doc's top keyword; a
+    term present in EVERY doc has idf = ln(1) = 0 and can never outrank
+    a distinctive term with positive score; ranks are dense 1..k per
+    doc and capped at 5."""
+    rows = [
+        {"doc_id": 0, "text": "ubiquitous zebra zebra zebra common1 common2"},
+        {"doc_id": 1, "text": "ubiquitous common1 filler1 filler2 filler3"},
+        {"doc_id": 2, "text": "ubiquitous common2 other1 other2 other3"},
+    ]
+    d = _docs_dir(tmp_path_factory, "tfidf", rows)
+    out = corpus.q_tfidf_keywords(spark, d).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+    top0 = min(by_doc[0], key=lambda r: r["rank"])
+    assert top0["term"] == "zebra"
+    # the everywhere-term scores exactly 0 and never ranks above a
+    # positive-scoring distinctive term
+    for rs in by_doc.values():
+        ubiq = [r for r in rs if r["term"] == "ubiquitous"]
+        if ubiq:
+            assert ubiq[0]["tfidf"] == 0.0
+            positives = [r for r in rs if r["tfidf"] > 0]
+            assert all(p["rank"] < ubiq[0]["rank"] for p in positives)

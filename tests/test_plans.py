@@ -186,3 +186,20 @@ def test_boilerplate_ngrams_single_aggregate_exchange(spark, sfd):
     p = _plan(corpus.q_boilerplate_ngrams(spark, sfd))
     assert "TakeOrderedAndProject" in p
     assert p.count("Exchange") == 1, p.count("Exchange")
+
+
+def test_tfidf_keywords_partitioned_window(spark, sfd):
+    """The per-doc top-5 must rank inside a doc_id-PARTITIONED window —
+    a global-sort WindowExec ("No Partition Defined") moves the whole
+    (doc, term) table to one partition, the 100x-scale killer the
+    lexicon guard documents. Also: no Python, and the df join must not
+    re-scan documents (the tf table is checkpointed and reused)."""
+    df = corpus.q_tfidf_keywords(spark, sfd)
+    p = _plan(df)
+    assert "Window" in p
+    assert "No Partition Defined" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # one corpus scan total: the localCheckpointed tf table feeds
+    # scores, df roll-up, and N — documents.parquet appears in NO scan
+    # of the final plan (the checkpoint replaced it)
+    assert "documents.parquet" not in p
