@@ -152,6 +152,10 @@ _DEFERRED_TAIL = [
     # committed tail artifact each round
     "pmi_collocations",
     "tfidf_keywords",
+    # quality_quantiles ⊂ quality_score (the identical _quality_expr
+    # projection, oracle-checked there) + the discrete-quantile fold,
+    # itself tail-checked
+    "quality_quantiles",
     # decontaminate_bloom ⊂ decontaminate (same oracle SQL by
     # construction — the Bloom stage has no false negatives and the
     # exact verify removes false positives; additionally

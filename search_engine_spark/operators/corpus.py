@@ -2778,6 +2778,65 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the calibration quantiles corpus_select's quality threshold is tuned
+# against (type-1/discrete: the smallest observed value whose cumulative
+# count reaches ceil(p·n) — always a member of the data, no
+# interpolation arithmetic to diverge across engines)
+_QUALITY_QUANTILE_PS = (0.25, 0.5, 0.75, 0.95)
+
+
+def q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-distribution quantiles (p25/p50/p75/p95) — the
+    threshold-calibration table a curation pipeline reads before picking
+    q_corpus_select's quality cut (CCNet buckets its corpus by exactly
+    these per-shard perplexity quantiles).
+
+    Exact discrete (type-1) quantiles, NOT interpolated: the value
+    reported is always an observed quality value, so there is no
+    interpolation float arithmetic to diverge between engines — the
+    only float op is the ceil(p·n) rank bound, an identical IEEE
+    multiply on both sides.
+
+    Plan shape — the sparse-histogram form: per-doc quality is the
+    zero-shuffle _quality_expr projection; the (source, quality) count
+    agg collapses the corpus behind map-side partials into AT MOST
+    1,000,001 rows per source REGARDLESS of corpus size (quality is
+    rounded to 6 dp on [0, 1]), so the per-source cumulative-sum window
+    is bounded — this is the exact-quantile analogue of a fixed-width
+    histogram sketch, and the reason the op survives 100 TB where a
+    per-source sort of raw doc rows would not. One groupBy turns the
+    cumulative table into the 4-quantile row (min quality whose cum
+    reaches each rank bound)."""
+    per = (
+        documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("source", _quality_expr().alias("quality"))
+    )
+    cnt = per.groupBy("source", "quality").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.partitionBy("source").orderBy("quality")
+    cum = cnt.withColumn("cum", F.sum("c").over(w))
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs")
+    )
+    quants = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(p) * F.col("n_docs")),
+                F.col("quality"),
+            )
+        ).alias(f"p{int(p * 100)}")
+        for p in _QUALITY_QUANTILE_PS
+    ]
+    return (
+        cum.join(tot, "source")
+        .groupBy("source", "n_docs")
+        .agg(*quants)
+        .select("source", "n_docs", "p25", "p50", "p75", "p95")
+    )
+
+
 _KEYWORDS_PER_DOC = 5
 
 
@@ -4678,6 +4737,30 @@ FROM shared
 # exact verify), so its oracle IS the exact operator's oracle
 ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate"]
 
+ORACLE_SQL["quality_quantiles"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+perdoc AS (
+  {_quality_perdoc_sql("source")}
+),
+cnt AS (SELECT source, quality, COUNT(*) AS c FROM perdoc GROUP BY 1, 2),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs FROM cnt GROUP BY 1),
+cum AS (
+  SELECT source, quality,
+         SUM(c) OVER (PARTITION BY source ORDER BY quality) AS cum
+  FROM cnt
+)
+SELECT source, n_docs,
+       MIN(CASE WHEN cum >= CEIL(0.25 * n_docs) THEN quality END) AS p25,
+       MIN(CASE WHEN cum >= CEIL(0.5 * n_docs) THEN quality END) AS p50,
+       MIN(CASE WHEN cum >= CEIL(0.75 * n_docs) THEN quality END) AS p75,
+       MIN(CASE WHEN cum >= CEIL(0.95 * n_docs) THEN quality END) AS p95
+FROM cum JOIN tot USING (source)
+GROUP BY source, n_docs
+"""
+
 ORACLE_SQL["tfidf_keywords"] = f"""
 WITH {_TOK_CTE},
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -4802,4 +4885,5 @@ QUERIES = {
     "decontaminate_bloom": q_decontaminate_bloom,
     "pmi_collocations": q_pmi_collocations,
     "tfidf_keywords": q_tfidf_keywords,
+    "quality_quantiles": q_quality_quantiles,
 }

@@ -611,3 +611,39 @@ def test_tfidf_keywords_planted_distinctive_term(spark, tmp_path_factory):
             assert ubiq[0]["tfidf"] == 0.0
             positives = [r for r in rs if r["tfidf"] > 0]
             assert all(p["rank"] < ubiq[0]["rank"] for p in positives)
+
+
+def test_quality_quantiles_match_python_type1_spec(spark, tmp_path_factory):
+    """Executable spec: the reported quantiles must equal the Python
+    type-1 discrete quantile (smallest value whose cumulative count
+    reaches ceil(p*n)) computed over q_quality_score's own output —
+    ties, duplicate values, and the n=1 edge included."""
+    import math
+
+    rows = [
+        # srcQ: 10 docs with strictly increasing type-token ratios
+        {"doc_id": i, "source": "srcQ",
+         "text": " ".join([f"w{j}" for j in range(i + 1)] + ["pad"] * (10 - i))}
+        for i in range(10)
+    ] + [
+        # srcOne: single doc (every quantile = its only value)
+        {"doc_id": 100, "source": "srcOne", "text": "solo doc here"},
+        # srcTie: 4 identical docs (all quantiles equal)
+        *[{"doc_id": 200 + i, "source": "srcTie", "text": "same same text"}
+          for i in range(4)],
+    ]
+    d = _docs_dir(tmp_path_factory, "qquant", rows)
+    got = {r["source"]: r for r in corpus.q_quality_quantiles(spark, d).collect()}
+    qual = corpus.q_quality_score(spark, d).collect()
+    src_of = {r["doc_id"]: next(x["source"] for x in rows if x["doc_id"] == r["doc_id"])
+              for r in qual}
+    per_src = {}
+    for r in qual:
+        per_src.setdefault(src_of[r["doc_id"]], []).append(r["quality"])
+    for src, vals in per_src.items():
+        vals.sort()
+        n = len(vals)
+        assert got[src]["n_docs"] == n
+        for p, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")]:
+            expect = vals[math.ceil(p * n) - 1]
+            assert got[src][col] == expect, (src, col, got[src][col], expect)
