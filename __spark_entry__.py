@@ -156,6 +156,10 @@ _DEFERRED_TAIL = [
     # projection, oracle-checked there) + the discrete-quantile fold,
     # itself tail-checked
     "quality_quantiles",
+    # hll_merged_distinct ⊂ hll_distinct_tokens (identical register
+    # chain) — the gate row is the MERGE property itself: Spark folds
+    # per-source sketches, the oracle sketches the union stream
+    "hll_merged_distinct",
     # decontaminate_bloom ⊂ decontaminate (same oracle SQL by
     # construction — the Bloom stage has no false negatives and the
     # exact verify removes false positives; additionally

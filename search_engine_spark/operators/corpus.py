@@ -2134,8 +2134,15 @@ def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     double once for the single division. Small-range correction:
     linear counting m·ln(m/V) when the raw estimate ≤ 2.5m and empty
     registers exist. Output rounded once (final floats only)."""
+    return _hll_fold(_hll_registers(spark, sf_dir), "source")
+
+
+def _hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, bucket, r): the per-source HLL register table — the
+    sketch STATE, which is what a 100 TB pipeline persists per shard
+    and merges later (registers merge by bucket-wise MAX)."""
     h = F.md5(F.col("term"))
-    regs = (
+    return (
         documents(spark, sf_dir)
         .filter(F.col("lang") == "en")
         .select("source", F.explode(_tokens_array()).alias("term"))
@@ -2156,7 +2163,14 @@ def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "bucket")
         .agg(F.max("rho").alias("r"))
     )
-    per = regs.groupBy("source").agg(
+
+
+def _hll_fold(regs: DataFrame, *keys: str) -> DataFrame:
+    """Register table (…, bucket, r) → HLL estimate rows, grouped by
+    *keys (no keys = one global row). Exact-integer harmonic sum, one
+    double division, linear-counting small-range correction, rounded
+    once — shared verbatim by the per-source and merged estimators."""
+    per = regs.groupBy(*keys).agg(
         F.count("*").cast("long").alias("n_registers"),
         F.sum(
             F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - r) AS DECIMAL(20,0))")
@@ -2172,7 +2186,7 @@ def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_registers")).cast("double")
     )
     return per.select(
-        "source",
+        *keys,
         "n_registers",
         F.round(
             F.when(
@@ -2181,6 +2195,26 @@ def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("est_distinct"),
     )
+
+
+def q_hll_merged_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global distinct-token estimate by MERGING the per-source HLL
+    sketches — bucket-wise MAX over the per-source register table,
+    never a rescan of the token stream. This is the property that makes
+    sketches the 100 TB answer: per-shard registers (≤64 tiny rows
+    each) persist with the shard, and any grouping's cardinality folds
+    from state in O(shards·64), with union == merge exactly.
+
+    The gate row PROVES the merge property cross-engine: Spark computes
+    max-over-per-source-sketches while the DuckDB oracle sketches the
+    union stream directly (no source grouping) — equal by the
+    associativity of MAX, checked bit-for-bit by the value hash."""
+    merged = (
+        _hll_registers(spark, sf_dir)
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    return _hll_fold(merged)
 
 
 # Source-authority PageRank geometry: damping 0.85, 3 power iterations,
@@ -4104,6 +4138,43 @@ ORDER BY adc ASC, k.vec_id ASC LIMIT {TOPK}
 # harmonic sum (HUGEINT == Spark's DECIMAL(38,0)), one double division,
 # same linear-counting branch. The numerator literal is repr() of the
 # Python double — both engines parse it to the same bits.
+# the merged-sketch oracle sketches the UNION stream directly (no
+# source grouping) — Spark folds per-source sketches; equality across
+# the gate's value hash IS the HLL merge property, cross-engine
+ORACLE_SQL["hll_merged_distinct"] = f"""
+WITH tokS AS (
+  SELECT unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE lang = 'en'
+),
+hx AS (
+  SELECT CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % {_HLL_M} AS bucket,
+         CAST(('0x' || substr(md5(term), 9, 15)) AS BIGINT) AS w
+  FROM tokS WHERE term NOT IN ({_SQL_STOPLIST})
+),
+regs AS (
+  SELECT bucket,
+         MAX(CASE WHEN w = 0 THEN 61 ELSE 61 - length(bin(w)) END) AS r
+  FROM hx GROUP BY bucket
+),
+per AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_registers,
+         SUM(1::BIGINT << (61 - r)) AS zpresent
+  FROM regs
+),
+est AS (
+  SELECT n_registers,
+         CAST(CAST(zpresent AS HUGEINT)
+              + CAST({_HLL_M} - n_registers AS HUGEINT)
+                * CAST(1::BIGINT << 61 AS HUGEINT) AS DOUBLE) AS zsum
+  FROM per
+)
+SELECT n_registers,
+       ROUND(CASE WHEN {_HLL_NUM!r} / zsum <= 160.0 AND n_registers < {_HLL_M}
+                  THEN 64.0 * LN(64.0 / CAST({_HLL_M} - n_registers AS DOUBLE))
+                  ELSE {_HLL_NUM!r} / zsum END, 4) AS est_distinct
+FROM est
+"""
+
 ORACLE_SQL["hll_distinct_tokens"] = f"""
 WITH tokS AS (
   SELECT source, unnest(string_split(text, ' ')) AS term
@@ -4886,4 +4957,5 @@ QUERIES = {
     "pmi_collocations": q_pmi_collocations,
     "tfidf_keywords": q_tfidf_keywords,
     "quality_quantiles": q_quality_quantiles,
+    "hll_merged_distinct": q_hll_merged_distinct,
 }

@@ -647,3 +647,41 @@ def test_quality_quantiles_match_python_type1_spec(spark, tmp_path_factory):
         for p, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")]:
             expect = vals[math.ceil(p * n) - 1]
             assert got[src][col] == expect, (src, col, got[src][col], expect)
+
+
+def test_hll_merge_equals_union_sketch(spark, hll_dir):
+    """Executable spec for the merge: a pure-Python HLL over the UNION
+    of both sources' token streams (md5 → bucket / rho → registers →
+    exact-integer harmonic sum) must equal q_hll_merged_distinct —
+    which got there by folding PER-SOURCE register tables — register
+    count and estimate both. Also: the estimate is within 2× the HLL
+    standard error (1.04/√64 ≈ 13%) of the true 5030 (the sources'
+    vocabularies are disjoint)."""
+    import hashlib
+    import math
+
+    merged = corpus.q_hll_merged_distinct(spark, hll_dir).collect()
+    assert len(merged) == 1
+    # python union-stream recompute (the spec)
+    toks = set()
+    for r in corpus.documents(spark, hll_dir).select("text").collect():
+        for t in r["text"].split(" "):
+            if t not in corpus.STOPWORDS_LIST:
+                toks.add(t)
+    regs = {}
+    for t in toks:
+        h = hashlib.md5(t.encode()).hexdigest()
+        bucket = int(h[:8], 16) % 64
+        w = int(h[8:23], 16)
+        rho = 61 if w == 0 else 61 - w.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    zsum = sum(2 ** (61 - r) for r in regs.values()) + (64 - len(regs)) * 2**61
+    raw = corpus._HLL_NUM / float(zsum)
+    if raw <= 2.5 * 64 and len(regs) < 64:
+        est = 64.0 * math.log(64.0 / (64 - len(regs)))
+    else:
+        est = raw
+    assert merged[0]["n_registers"] == len(regs)
+    assert merged[0]["est_distinct"] == round(est, 4)
+    true_n = 5030
+    assert abs(merged[0]["est_distinct"] - true_n) / true_n < 0.26
