@@ -160,6 +160,10 @@ _DEFERRED_TAIL = [
     # chain) — the gate row is the MERGE property itself: Spark folds
     # per-source sketches, the oracle sketches the union stream
     "hll_merged_distinct",
+    # hybrid_rrf_topk ⊂ bm25_topk_or + embedding_cosine_topk (the two
+    # identical ranker chains, each oracle-checked in the head) — the
+    # fusion itself (rank join + reciprocal sum) is tail-checked
+    "hybrid_rrf_topk",
     # decontaminate_bloom ⊂ decontaminate (same oracle SQL by
     # construction — the Bloom stage has no false negatives and the
     # exact verify removes false positives; additionally

@@ -1285,6 +1285,87 @@ def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hybrid-retrieval geometry: RRF constant 60 (Cormack et al. 2009's
+# recommended k) over the top-50 of each ranker.
+_RRF_K = 60
+_RRF_POOL = 50
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the LEXICAL ranking
+    (BM25 over QUERY_OR) and the DENSE ranking (cosine to the vec_id=0
+    query embedding; vec_id aligns with doc_id) —
+    rrf(d) = Σ_rankers 1/(k + rank_r(d)) over each ranker's top-50,
+    the standard way modern search blends keyword and vector scores
+    without calibrating their incomparable score scales (ranks only).
+
+    Exactness: both input rankings are already deterministic
+    (round-before-rank scores, doc_id tie-break), so ranks are exact
+    ints and the fused score is two exact divisions summed in fixed
+    order (lex + dense), rounded once.
+
+    Plan shape: each ranker ends in TakeOrderedAndProject(50) — the
+    global row_number windows that assign ranks run AFTER the limit, on
+    ≤50-row single-partition inputs (bounded by construction, not a
+    global sort of corpus rows — the same post-limit discipline as the
+    Bloom bitmap collect); the full-outer fusion join is 50×50 worst
+    case. At 100 TB the expensive parts remain the two rankers, each
+    already scale-audited; fusion adds metadata-scale work only."""
+    lex_top = (
+        _bm25_scored(spark, sf_dir, QUERY_OR.split(" "))
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_RRF_POOL)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("r_lex"),
+    )
+    emb = embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    dense_top = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (
+                    F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+                ),
+                4,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(_RRF_POOL)
+    )
+    dense = dense_top.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        .alias("r_dense"),
+    )
+    fused = lex.join(dense, lex["doc_id"] == dense["vec_id"], "full")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lex")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_dense")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+            F.round(rrf, 6).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(TOPK)
+    )
+
+
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize by label centroid (the inverted-file
     cell), probe only the NPROBE cells whose centroids are closest to the
@@ -4808,6 +4889,42 @@ FROM shared
 # exact verify), so its oracle IS the exact operator's oracle
 ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate"]
 
+ORACLE_SQL["hybrid_rrf_topk"] = f"""
+WITH scored_docs AS ({_BM25_SCORED.format(terms=_sql_terms(QUERY_OR))}),
+lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r_lex
+  FROM (SELECT doc_id, score FROM scored_docs
+        ORDER BY score DESC, doc_id ASC LIMIT {_RRF_POOL})
+),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, i AS dim,
+         CAST(e.embedding[i] AS DOUBLE) AS x,
+         CAST(q.q_emb[i] AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN q,
+       unnest(range(1, len(e.embedding) + 1)) AS t(i)
+  WHERE e.vec_id <> 0
+),
+dots AS (
+  SELECT vec_id,
+         SUM(x * y) AS dot, SQRT(SUM(x * x)) AS na, SQRT(SUM(y * y)) AS nb
+  FROM pairs GROUP BY vec_id
+),
+dense AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS r_dense
+  FROM (SELECT vec_id, ROUND(dot / (na * nb), 4) AS cosine FROM dots
+        ORDER BY cosine DESC, vec_id ASC LIMIT {_RRF_POOL})
+)
+SELECT COALESCE(lex.doc_id, dense.vec_id) AS doc_id,
+       ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + r_lex), 0.0)
+             + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + r_dense), 0.0),
+             6) AS rrf
+FROM lex FULL JOIN dense ON lex.doc_id = dense.vec_id
+ORDER BY rrf DESC, doc_id ASC LIMIT {TOPK}
+"""
+
 ORACLE_SQL["quality_quantiles"] = f"""
 WITH toks AS (
   SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
@@ -4958,4 +5075,5 @@ QUERIES = {
     "tfidf_keywords": q_tfidf_keywords,
     "quality_quantiles": q_quality_quantiles,
     "hll_merged_distinct": q_hll_merged_distinct,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
 }

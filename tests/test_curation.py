@@ -685,3 +685,57 @@ def test_hll_merge_equals_union_sketch(spark, hll_dir):
     assert merged[0]["est_distinct"] == round(est, 4)
     true_n = 5030
     assert abs(merged[0]["est_distinct"] - true_n) / true_n < 0.26
+
+
+def test_hybrid_rrf_matches_python_fusion_spec(spark, sf_dir):
+    """Executable spec: recompute the fusion in Python from the two
+    component rankings (BM25 top-50 and cosine top-50, both re-derived
+    through the operators' own deterministic orderings) and require the
+    operator's top-10 to match exactly — doc set, order, and scores."""
+    lex = (
+        corpus._bm25_scored(spark, sf_dir, corpus.QUERY_OR.split(" "))
+        .select("doc_id", "score")
+        .collect()
+    )
+    lex.sort(key=lambda r: (-r["score"], r["doc_id"]))
+    r_lex = {r["doc_id"]: i + 1 for i, r in enumerate(lex[: corpus._RRF_POOL])}
+    import pyspark.sql.functions as _F
+
+    emb = corpus.embeddings(spark, sf_dir)
+    qv = emb.filter(_F.col("vec_id") == 0).select(
+        _F.col("embedding").alias("q_emb")
+    )
+    dense = (
+        emb.filter(_F.col("vec_id") != 0)
+        .crossJoin(_F.broadcast(qv))
+        .select(
+            "vec_id",
+            _F.round(
+                corpus._dot(_F.col("embedding"), _F.col("q_emb"))
+                / (
+                    _F.sqrt(corpus._dot(_F.col("embedding"), _F.col("embedding")))
+                    * _F.sqrt(corpus._dot(_F.col("q_emb"), _F.col("q_emb")))
+                ),
+                4,
+            ).alias("cosine"),
+        )
+        .collect()
+    )
+    dense.sort(key=lambda r: (-r["cosine"], r["vec_id"]))
+    r_dense = {
+        r["vec_id"]: i + 1 for i, r in enumerate(dense[: corpus._RRF_POOL])
+    }
+    want = {}
+    for d in set(r_lex) | set(r_dense):
+        s = 0.0
+        if d in r_lex:
+            s += 1.0 / (corpus._RRF_K + r_lex[d])
+        if d in r_dense:
+            s = s + 1.0 / (corpus._RRF_K + r_dense[d])
+        want[d] = round(s, 6)
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["doc_id"], r["rrf"])
+        for r in corpus.q_hybrid_rrf_topk(spark, sf_dir).collect()
+    ]
+    assert got == expect
