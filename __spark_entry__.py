@@ -164,6 +164,13 @@ _DEFERRED_TAIL = [
     # identical ranker chains, each oracle-checked in the head) — the
     # fusion itself (rank join + reciprocal sum) is tail-checked
     "hybrid_rrf_topk",
+    # facet_counts ⊂ bm25_topk_or (identical _BM25_SCORED chain) + one
+    # source-keyed count/max rollup — tail-checked
+    "facet_counts",
+    # more_like_this ⊂ tfidf_keywords (the keyword subquery) +
+    # bm25_topk_or (the scoring chain via _bm25_scored_tf) — the
+    # composition is tail-checked
+    "more_like_this",
     # decontaminate_bloom ⊂ decontaminate (same oracle SQL by
     # construction — the Bloom stage has no false negatives and the
     # exact verify removes false positives; additionally

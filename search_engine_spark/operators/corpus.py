@@ -181,6 +181,15 @@ def _bm25_scored(spark: SparkSession, sf_dir: str, qterms: list[str]) -> DataFra
     broadcast term stats, per-posting BM25 column expr, per-doc sum.
     ln/round parity with the DuckDB oracle (module docstring)."""
     tf = q_term_tf(spark, sf_dir).filter(F.col("term").isin(qterms))
+    return _bm25_scored_tf(spark, sf_dir, tf)
+
+
+def _bm25_scored_tf(
+    spark: SparkSession, sf_dir: str, tf: DataFrame
+) -> DataFrame:
+    """BM25 over an already-term-filtered (doc_id, term, tf) table —
+    split from _bm25_scored so query terms can come from a DATAFRAME
+    (q_more_like_this's keyword set) as well as a literal list."""
     dl = q_doc_stats(spark, sf_dir)
     stats = _corpus_stats_raw(spark, sf_dir)
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -1362,6 +1371,67 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rrf, 6).alias("rrf"),
         )
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(TOPK)
+    )
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: the per-source facet table for QUERY_OR's FULL
+    match set (every doc matching any query term — facets summarize the
+    whole result set, not the top-k page): (source, n_matches,
+    top_score). The refinement UI every search engine puts next to its
+    results, and the same shape as the reference's category filters.
+
+    Determinism: counts are exact; top_score is MAX of the
+    already-rounded per-doc BM25 score — max is float-summation-order
+    safe (unlike AVG, which would diverge on partial-sum order).
+    Plan shape: the BM25 chain's per-doc rows join the narrow
+    (doc_id, source) projection and collapse to one row per source
+    behind map-side partials — the facet agg adds one vocab-free,
+    source-cardinality exchange to the already-audited scoring chain."""
+    scored = _bm25_scored(spark, sf_dir, QUERY_OR.split(" "))
+    meta = documents(spark, sf_dir).select("doc_id", "source")
+    return (
+        scored.join(meta, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_matches"),
+            F.max("score").alias("top_score"),
+        )
+        .orderBy(F.desc("n_matches"), F.asc("source"))
+    )
+
+
+_MLT_SEED = 0  # deterministic seed document for the gate row
+_MLT_TERMS = 5  # query = the seed's top-5 tf-idf keywords
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this: rank the corpus by BM25 against a pseudo-query
+    made of the SEED document's top-5 tf-idf keywords — the classic
+    related-documents feature (Lucene's MoreLikeThis), and the
+    composition proof that the keyword extractor and the scorer share
+    one algebra: q_tfidf_keywords supplies the terms as a DATAFRAME
+    (no driver round-trip) and the BM25 chain consumes them through a
+    broadcast semi-join instead of a literal IN list.
+
+    Plan shape: the keyword subquery collapses to ≤5 rows before the
+    broadcast semi-join prunes the tf table, so the scoring chain sees
+    exactly the same shapes as q_bm25_topk_or; the seed doc is
+    anti-filtered at the end. At 100 TB the seed's keywords would come
+    from the persisted keyword table — the plan is the serving shape
+    either way."""
+    kw = (
+        q_tfidf_keywords(spark, sf_dir)
+        .filter(F.col("doc_id") == _MLT_SEED)
+        .select("term")
+    )
+    tf = q_term_tf(spark, sf_dir).join(F.broadcast(kw), "term", "left_semi")
+    return (
+        _bm25_scored_tf(spark, sf_dir, tf)
+        .filter(F.col("doc_id") != _MLT_SEED)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(TOPK)
     )
 
@@ -4889,6 +4959,52 @@ FROM shared
 # exact verify), so its oracle IS the exact operator's oracle
 ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate"]
 
+ORACLE_SQL["facet_counts"] = f"""
+WITH scored_docs AS ({_BM25_SCORED.format(terms=_sql_terms(QUERY_OR))})
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       MAX(score) AS top_score
+FROM scored_docs s JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY n_matches DESC, source ASC
+"""
+
+ORACLE_SQL["more_like_this"] = f"""
+WITH {_TOK_CTE},
+tfall AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dft_all AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tfall GROUP BY term),
+nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tfall),
+kw AS (
+  SELECT term FROM (
+    SELECT tfall.term,
+           ROW_NUMBER() OVER (
+             ORDER BY ROUND(tf * LN(CAST(nn.n_docs AS DOUBLE) / df), 6)
+                        DESC, tfall.term ASC
+           ) AS rnk
+    FROM tfall JOIN dft_all USING (term) CROSS JOIN nn
+    WHERE doc_id = {_MLT_SEED}
+  ) WHERE rnk <= {_MLT_TERMS}
+),
+tf AS (SELECT doc_id, term, tf FROM tfall
+       WHERE term IN (SELECT term FROM kw)),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+           FROM dl),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         LN((corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+           * (tf.tf * ({K1} + 1.0))
+           / (tf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / corpus.avgdl))
+           AS contrib
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+)
+SELECT doc_id, ROUND(SUM(contrib), 6) AS score
+FROM scored WHERE doc_id <> {_MLT_SEED}
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+"""
+
 ORACLE_SQL["hybrid_rrf_topk"] = f"""
 WITH scored_docs AS ({_BM25_SCORED.format(terms=_sql_terms(QUERY_OR))}),
 lex AS (
@@ -5076,4 +5192,6 @@ QUERIES = {
     "quality_quantiles": q_quality_quantiles,
     "hll_merged_distinct": q_hll_merged_distinct,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "facet_counts": q_facet_counts,
+    "more_like_this": q_more_like_this,
 }

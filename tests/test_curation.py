@@ -739,3 +739,46 @@ def test_hybrid_rrf_matches_python_fusion_spec(spark, sf_dir):
         for r in corpus.q_hybrid_rrf_topk(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_facet_counts_hand_values(spark, tmp_path_factory):
+    """Planted facets for QUERY_OR ("fast query scan"): srcA has 2
+    matching docs, srcB has 1, srcC none — counts exact, a non-matching
+    source absent, and top_score equals the max per-doc BM25 score of
+    that source's matches (cross-checked against q_bm25_topk_or)."""
+    rows = [
+        {"doc_id": 0, "source": "srcA", "text": "fast query scan here today"},
+        {"doc_id": 1, "source": "srcA", "text": "a query about filler text"},
+        {"doc_id": 2, "source": "srcB", "text": "scan results came back fine"},
+        {"doc_id": 3, "source": "srcC", "text": "nothing relevant in here"},
+    ]
+    d = _docs_dir(tmp_path_factory, "facets", rows)
+    facets = {r["source"]: r for r in corpus.q_facet_counts(spark, d).collect()}
+    assert facets["srcA"]["n_matches"] == 2
+    assert facets["srcB"]["n_matches"] == 1
+    assert "srcC" not in facets
+    scores = {
+        r["doc_id"]: r["score"] for r in corpus.q_bm25_topk_or(spark, d).collect()
+    }
+    assert facets["srcA"]["top_score"] == max(scores[0], scores[1])
+    assert facets["srcB"]["top_score"] == scores[2]
+
+
+def test_more_like_this_finds_keyword_overlap(spark, tmp_path_factory):
+    """The seed (doc 0) is about kryptonite smelting; doc 1 shares its
+    distinctive keywords, docs 2-3 do not. MLT must rank doc 1 first,
+    exclude the seed itself, and give zero/no rows to docs sharing no
+    seed keyword."""
+    rows = [
+        {"doc_id": 0, "text": "kryptonite smelting furnace kryptonite alloy"},
+        {"doc_id": 1, "text": "kryptonite alloy smelting methods overview"},
+        {"doc_id": 2, "text": "gardening tips for growing tomatoes nicely"},
+        {"doc_id": 3, "text": "a furnace repair manual chapter listing"},
+    ]
+    d = _docs_dir(tmp_path_factory, "mlt", rows)
+    out = corpus.q_more_like_this(spark, d).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 0 not in ids  # seed excluded
+    assert ids[0] == 1  # strongest keyword overlap wins
+    assert 2 not in ids  # no shared keyword -> no row
+    assert 3 in ids  # shares "furnace"
