@@ -171,6 +171,11 @@ _DEFERRED_TAIL = [
     # bm25_topk_or (the scoring chain via _bm25_scored_tf) — the
     # composition is tail-checked
     "more_like_this",
+    # bm25_not_topk / bm25_prefix_topk ⊂ bm25_topk_or (identical
+    # scoring chain; NOT adds one doc_id anti-join, prefix swaps the
+    # term filter for StartsWith) — tail-checked
+    "bm25_not_topk",
+    "bm25_prefix_topk",
     # decontaminate_bloom ⊂ decontaminate (same oracle SQL by
     # construction — the Bloom stage has no false negatives and the
     # exact verify removes false positives; additionally

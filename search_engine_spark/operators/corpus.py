@@ -1375,6 +1375,60 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOT-query contract: positive terms score, any doc containing the
+# negated term is excluded outright (the -term operator every search
+# box supports)
+_QUERY_NOT_POS = "fast query"
+_QUERY_NOT_NEG = "scan"
+# prefix-query contract: the wildcard que* expands to every matching
+# lexicon term before scoring
+_QUERY_PREFIX = "que"
+
+
+def q_bm25_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with a negated term ("fast query -scan"): score the positive
+    terms, then drop every doc that contains the negated term at all —
+    completing the boolean family next to OR (q_bm25_topk_or), AND
+    (q_bm25_topk_and) and phrase.
+
+    Plan shape: the exclusion set is (doc_id of docs containing the neg
+    term) — a doc_id-keyed LEFT ANTI join against the scored rows, the
+    same unhinted-anti-join discipline as corpus_select's drop sets
+    (a negated stopword-like term excludes most of the corpus; a hint
+    would OOM the driver, AQE broadcasts when genuinely small)."""
+    scored = _bm25_scored(spark, sf_dir, _QUERY_NOT_POS.split(" "))
+    has_neg = (
+        q_term_tf(spark, sf_dir)
+        .filter(F.col("term") == _QUERY_NOT_NEG)
+        .select("doc_id")
+    )
+    return (
+        scored.join(has_neg, "doc_id", "left_anti")
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOPK)
+    )
+
+
+def q_bm25_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard/prefix query ("que*"): expand the prefix against the
+    observed vocabulary, then BM25 over the expanded term set (Lucene
+    PrefixQuery semantics: each matching term contributes with its own
+    df/idf). The engine twin is suggest_terms' pushed-down StartsWith
+    over the range-partitioned lexicon; here the declarative chain
+    filters the tf table directly and the StartsWith predicate pushes
+    into the scan."""
+    tf = q_term_tf(spark, sf_dir).filter(
+        F.col("term").startswith(_QUERY_PREFIX)
+    )
+    return (
+        _bm25_scored_tf(spark, sf_dir, tf)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOPK)
+    )
+
+
 def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faceted search: the per-source facet table for QUERY_OR's FULL
     match set (every doc matching any query term — facets summarize the
@@ -4959,6 +5013,42 @@ FROM shared
 # exact verify), so its oracle IS the exact operator's oracle
 ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate"]
 
+ORACLE_SQL["bm25_not_topk"] = f"""
+WITH scored_docs AS ({_BM25_SCORED.format(terms=_sql_terms(_QUERY_NOT_POS))})
+SELECT doc_id, score FROM scored_docs
+WHERE doc_id NOT IN (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents WHERE lang = 'en'
+  ) WHERE term = '{_QUERY_NOT_NEG}'
+)
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+"""
+
+ORACLE_SQL["bm25_prefix_topk"] = f"""
+WITH {_TOK_CTE},
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term LIKE '{_QUERY_PREFIX}%'
+  GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+           FROM dl),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         LN((corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+           * (tf.tf * ({K1} + 1.0))
+           / (tf.tf + {K1} * ((1.0 - {B}) + ({B} * dl.dl) / corpus.avgdl))
+           AS contrib
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+)
+SELECT doc_id, ROUND(SUM(contrib), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+"""
+
 ORACLE_SQL["facet_counts"] = f"""
 WITH scored_docs AS ({_BM25_SCORED.format(terms=_sql_terms(QUERY_OR))})
 SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_matches,
@@ -5194,4 +5284,6 @@ QUERIES = {
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "facet_counts": q_facet_counts,
     "more_like_this": q_more_like_this,
+    "bm25_not_topk": q_bm25_not_topk,
+    "bm25_prefix_topk": q_bm25_prefix_topk,
 }

@@ -782,3 +782,24 @@ def test_more_like_this_finds_keyword_overlap(spark, tmp_path_factory):
     assert ids[0] == 1  # strongest keyword overlap wins
     assert 2 not in ids  # no shared keyword -> no row
     assert 3 in ids  # shares "furnace"
+
+
+def test_bm25_not_and_prefix_semantics(spark, tmp_path_factory):
+    """Boolean-NOT and prefix-expansion semantics on a planted corpus:
+    NOT drops every doc containing the negated term even when it scores
+    highest on the positives; the prefix query matches docs through
+    DIFFERENT expansions of que* (query/question/queue) with per-term
+    df, and non-matching docs are absent."""
+    rows = [
+        # strongest positive match BUT contains the negated "scan"
+        {"doc_id": 0, "text": "fast query scan fast query again"},
+        {"doc_id": 1, "text": "fast query without the bad word"},
+        {"doc_id": 2, "text": "question about a queue ordering"},
+        {"doc_id": 3, "text": "nothing matching anything here"},
+    ]
+    d = _docs_dir(tmp_path_factory, "notprefix", rows)
+    not_ids = [r["doc_id"] for r in corpus.q_bm25_not_topk(spark, d).collect()]
+    assert 0 not in not_ids  # negation beats relevance
+    assert 1 in not_ids
+    pref = {r["doc_id"] for r in corpus.q_bm25_prefix_topk(spark, d).collect()}
+    assert pref == {0, 1, 2}  # query/question/queue all expand from que*
