@@ -188,6 +188,24 @@ _DEFERRED_TAIL = [
     # tests/test_compression.py and bit-equal end-to-end in
     # tests/test_pfor_index.py) — tail-checked
     "engine_bm25_topk_pfor",
+    # lang_confusion ⊂ lang_id (the identical marker-ratio prediction,
+    # oracle-checked in the head) + one (lang, pred) count rollup —
+    # tail-checked
+    "lang_confusion",
+    # suggest_terms ⊂ bm25_prefix_topk (identical StartsWith term
+    # filter over the same tok view) + lexicon (df/cf agg shape) —
+    # tail-checked
+    "suggest_terms",
+    # kwic_context / dup_fraction / ppl_buckets / zipf_slope /
+    # term_source_affinity (round 5): NEW primary operators, tail-
+    # placed for the same frozen-head reason as hll_distinct_tokens;
+    # their oracle rows are proven by the committed CORRECTNESS_tail
+    # artifact each round (and locally by tools/check_parity.py)
+    "kwic_context",
+    "dup_fraction",
+    "ppl_buckets",
+    "zipf_slope",
+    "term_source_affinity",
     "doc_stats",
     "corpus_stats",
     "term_stats",

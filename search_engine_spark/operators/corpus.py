@@ -3556,19 +3556,11 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for volume exactly like the paper's suffix-array threshold: a
     duplicated run of ≥ W+S−1 tokens is guaranteed to produce an aligned
     duplicated window pair for docs sharing the run at the same offsets
-    mod S; at web scale W/S move the window-row volume linearly."""
-    arr = F.split(F.col("text"), " ")
-    win = F.when(
-        F.size(arr) >= _PASSAGE_W,
-        F.transform(
-            F.sequence(
-                F.lit(1), F.size(arr) - (_PASSAGE_W - 1), F.lit(_PASSAGE_S)
-            ),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i, _PASSAGE_W))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    mod S; at web scale W/S move the window-row volume linearly. The
+    window construction is `_passage_window_hashes` (shared with
+    q_dup_fraction's per-doc roll-up)."""
     exp = documents(spark, sf_dir).select(
-        "doc_id", F.explode(win).alias("passage_hash")
+        "doc_id", F.explode(_passage_window_hashes()).alias("passage_hash")
     )
     return (
         exp.groupBy("passage_hash")
@@ -3644,6 +3636,323 @@ def q_corpus_select_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         qual.join(lang_ok, "doc_id", "left_semi")
         .join(non_reps, "doc_id", "left_anti")
         .select("doc_id", "n_tokens", "quality")
+    )
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: declared `lang` column vs the
+    heuristic q_lang_id prediction, with doc counts — the calibration
+    table a curation pipeline reads before trusting the detector as a
+    corpus_select gate (which languages leak through as 'en', which
+    English sources fall below the marker threshold).
+
+    Single definition discipline: the prediction is the IDENTICAL
+    marker-ratio expression q_lang_id projects (same _EN_MARKERS InSet,
+    same 6-dp round, same 0.03 threshold) — a divergence here while
+    lang_id parity stayed green would silently move confusion counts.
+    Plan shape: the per-doc prediction is the same ZERO-shuffle array
+    intrinsic; the only exchange is the (lang, lang_pred) count agg —
+    at most |langs|·2 groups regardless of corpus size, fully map-side
+    combined."""
+    arr = F.split(F.col("text"), " ")
+    markers = F.size(F.filter(arr, lambda t: t.isin(*_EN_MARKERS)))
+    ratio = F.round(markers / F.size(arr), 6)
+    return (
+        documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "lang",
+            F.when(ratio >= 0.03, F.lit("en"))
+            .otherwise(F.lit("other"))
+            .alias("lang_pred"),
+        )
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+_SUGGEST_K = 10
+_SUGGEST_PREFIX = "s"  # productive prefix (6 completions in testdata)
+
+
+def q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix autocomplete: top-_SUGGEST_K lexicon terms completing the
+    user's partial input (_SUGGEST_PREFIX), ranked by df
+    (documents containing the term), cf breaking df ties, term breaking
+    both — the suggest-as-you-type read every search box issues before
+    the user presses enter. Term-level sibling of q_bm25_prefix_topk:
+    that query ranks DOCUMENTS matching any completion; this one ranks
+    the COMPLETIONS themselves.
+
+    Plan shape: StartsWith is evaluated inside the token projection
+    (pre-agg, so non-matching tokens never reach the exchange); the agg
+    output is prefix-vocabulary-sized and the top-k is
+    TakeOrderedAndProject. At engine-serving scale the same read is a
+    range scan over the lexicon artifact (terms are stored sorted —
+    operators/query.py); this is the declarative oracle-checked twin."""
+    return (
+        tokens(spark, sf_dir)
+        .filter(F.col("term").startswith(_SUGGEST_PREFIX))
+        .groupBy("term")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("df"),
+            F.count("*").cast("long").alias("cf"),
+        )
+        .orderBy(F.desc("df"), F.desc("cf"), F.asc("term"))
+        .limit(_SUGGEST_K)
+    )
+
+
+_KWIC_TERM = "vector"  # mid-frequency corpus term (see testdata profile)
+_KWIC_W = 3  # context tokens on each side
+
+
+def q_kwic_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance: for every document whose
+    raw token stream contains _KWIC_TERM, the FIRST occurrence position
+    and a ±_KWIC_W-token context window with the hit bracketed — the
+    classic corpus-linguistics read (and the skeleton of snippet
+    generation, which the positional engine serves via
+    query.py snippets(); this is its declarative oracle-checked twin
+    over raw whitespace tokens).
+
+    Determinism contract: first occurrence only (array_position /
+    list_position agree on first-match), window boundaries clamp at the
+    document edges identically (slice start floors at 1, length floors
+    at 0 — DuckDB's inclusive a[x:y] clamps the same way). Plan shape:
+    position + both slices + the joined string are ALL within-document
+    array intrinsics in one projection — zero shuffle, no explode; a
+    doc ships exactly one narrow output row or nothing."""
+    arr = F.split(F.col("text"), " ")
+    pos = F.array_position(arr, _KWIC_TERM)
+    start = F.greatest(pos - _KWIC_W, F.lit(1).cast("long")).cast("int")
+    left = F.slice(arr, start, (pos - start).cast("int"))
+    right = F.slice(arr, (pos + 1).cast("int"), F.lit(_KWIC_W))
+    ctx = F.concat_ws(
+        " ",
+        F.concat(left, F.array(F.lit(f"[{_KWIC_TERM}]")), right),
+    )
+    return (
+        documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", pos.cast("int").alias("pos"), ctx.alias("context"))
+        .filter(F.col("pos") > 0)
+    )
+
+
+def _passage_window_hashes() -> Column:
+    """The (W=_PASSAGE_W, S=_PASSAGE_S) token-window md5 array of
+    q_passage_dedup, factored so q_dup_fraction scores documents against
+    the IDENTICAL window definition (a drifted stride here would move
+    every dup_frac while passage_dedup parity stayed green)."""
+    arr = F.split(F.col("text"), " ")
+    return F.when(
+        F.size(arr) >= _PASSAGE_W,
+        F.transform(
+            F.sequence(
+                F.lit(1), F.size(arr) - (_PASSAGE_W - 1), F.lit(_PASSAGE_S)
+            ),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i, _PASSAGE_W))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication-rate signal: the fraction of a doc's
+    passage windows (same W/S contract as q_passage_dedup) that recur in
+    at least one OTHER document — the per-doc roll-up of passage-level
+    dedup, and the curation signal Lee et al. threshold on to drop
+    mostly-boilerplate documents that exact-doc dedup misses (a page
+    that is 80% syndicated press release with a unique headline).
+
+    Plan shape: windows are built inside the projection (one narrow
+    (doc_id, md5) row per window — text never shuffles); the cross-doc
+    dup set is the same two-phase distinct agg as passage_dedup; the
+    membership join ships only window hashes; the final agg is one
+    row per doc. Output only docs that HAVE windows (short docs emit
+    nothing — matching passage_dedup's ≥W contract)."""
+    exp = documents(spark, sf_dir).select(
+        "doc_id", F.explode(_passage_window_hashes()).alias("passage_hash")
+    )
+    dup = (
+        exp.groupBy("passage_hash")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("passage_hash", F.lit(1).alias("is_dup"))
+    )
+    return (
+        exp.join(dup, "passage_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_windows"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style fluency buckets (Wenzek et al. 2020 §3.3): split the
+    corpus into head/middle/tail thirds by language-model score — here
+    the bigram-LM mean logprob of q_bigram_logprob (their Figure 2's
+    perplexity axis, sign-flipped) — the bucket label CCNet ships with
+    every paragraph so downstream consumers can trade data volume
+    against fluency.
+
+    Discrete contract (exact cross-engine): docs are binned by
+    FLOOR(mean_logprob·100) — floor on an identically-computed double,
+    no round-half ties (CLAUDE.md: Spark/DuckDB round() diverge on
+    exact decimal ties; floor cannot) — and the two cuts are the
+    smallest bins whose cumulative count reaches ceil(n/3), ceil(2n/3).
+    All docs sharing a bin share a bucket, so boundary ties cannot
+    straddle engines. 'tail' = lowest-logprob third (CCNet's
+    worst-perplexity tail).
+
+    Plan shape: the per-doc logprob chain is q_bigram_logprob's (two
+    scans, localCheckpointed bigram table); the bucket machinery adds
+    ONE bounded agg — the bin histogram is at most a few thousand rows
+    REGARDLESS of corpus size (logprobs live in single-digit nats), so
+    the cumulative window is driver-trivial and the cuts broadcast.
+    This is the same sparse-histogram exact-quantile shape as
+    q_quality_quantiles, the reason the op survives 100 TB where a
+    global percent_rank sort would not."""
+    blp = q_bigram_logprob(spark, sf_dir)
+    bins = blp.select(
+        "doc_id",
+        "mean_logprob",
+        F.floor(F.col("mean_logprob") * 100).cast("long").alias("bin"),
+    )
+    cnt = bins.groupBy("bin").agg(F.count("*").alias("c"))
+    cum = cnt.withColumn(
+        "cum", F.sum("c").over(Window.orderBy("bin"))
+    )
+    tot = cnt.agg(F.sum("c").cast("long").alias("n"))
+    cuts = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n") / 3.0), F.col("bin"))
+        ).alias("cut1"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(2.0 * F.col("n") / 3.0), F.col("bin")
+            )
+        ).alias("cut2"),
+    )
+    return bins.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "mean_logprob",
+        F.when(F.col("bin") <= F.col("cut1"), F.lit("tail"))
+        .when(F.col("bin") <= F.col("cut2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("ppl_bucket"),
+    )
+
+
+_ZIPF_TOPN = 1000
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit: OLS slope/intercept of ln(cf) on
+    ln(rank) over the top-_ZIPF_TOPN terms — the one-row corpus health
+    check (natural text slopes ≈ −1; generated/boilerplate corpora bend
+    the curve) every corpus-analysis toolkit ships.
+
+    Determinism: rank is a TOTAL order (cf desc, term asc), so the
+    top-N set and every (x, y) point are bit-identical across engines;
+    the OLS sums are explicit Σ-formula aggregates over those N points
+    (NOT regr_slope — the engines' covariance-update internals differ)
+    rounded only at the final slope/intercept, the same plain-SUM +
+    6-dp-final discipline q_bigram_logprob's oracle established. Plan
+    shape: one vocab agg, a TakeOrderedAndProject top-N, then a window
+    + single-row agg over N=1000 rows — the single-partition window is
+    bounded by the LIMIT, never corpus-sized."""
+    cf = (
+        tokens(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(_ZIPF_TOPN)
+    )
+    w = Window.orderBy(F.desc("cf"), F.asc("term"))
+    xy = cf.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cf").cast("double")).alias("y"),
+    )
+    agg = xy.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "n_terms",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n_terms"), 6
+        ).alias("intercept"),
+    )
+
+
+_AFFINITY_MIN_CF = 50  # terms rarer than this are noise for the signal
+_AFFINITY_TOPN = 30
+
+
+def q_term_source_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-specific vocabulary detector: for every term with corpus
+    frequency ≥ _AFFINITY_MIN_CF, the single source holding its largest
+    occurrence share — terms whose mass concentrates in one source are
+    boilerplate/template vocabulary (the per-TERM companion of
+    q_boilerplate_ngrams' per-passage view, and the signal CCNet-style
+    pipelines use to spot domain leakage in a 'general web' mix).
+    Top-_AFFINITY_TOPN by share.
+
+    Determinism: the champion source is rank 1 of a (c desc, source
+    asc) row_number — a total order, never max_by's unspecified ties —
+    and the final ranking orders on the ROUNDED share with a term
+    tiebreak (round-before-rank, the kmeans/pagerank discipline). Plan
+    shape: one (term, source) count agg (map-side combined), a
+    term-keyed window over per-source rows (≤ |sources| rows per term),
+    and a TakeOrderedAndProject — no corpus-sized sort, text never
+    shuffles."""
+    per = (
+        documents(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .select("source", F.explode(_tokens_array()).alias("term"))
+    )
+    cs = per.groupBy("term", "source").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("term")
+    ranked = cs.select(
+        "term",
+        "source",
+        "c",
+        F.sum("c").over(w).cast("long").alias("cf"),
+        F.row_number()
+        .over(w.orderBy(F.desc("c"), F.asc("source")))
+        .alias("rnk"),
+    )
+    return (
+        ranked.filter((F.col("rnk") == 1) & (F.col("cf") >= _AFFINITY_MIN_CF))
+        .select(
+            "term",
+            F.col("source").alias("top_source"),
+            F.col("c").cast("long").alias("c_top"),
+            "cf",
+            F.round(F.col("c") / F.col("cf"), 6).alias("share"),
+        )
+        .orderBy(F.desc("share"), F.asc("term"))
+        .limit(_AFFINITY_TOPN)
     )
 
 
@@ -3760,6 +4069,35 @@ jacc AS (
   LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
   JOIN sizes sa ON sa.doc_id = c.doc_a
   JOIN sizes sb ON sb.doc_id = c.doc_b
+)"""
+
+# bigram-LM CTE chain, shared by the bigram_logprob oracle and the
+# ppl_buckets oracle built on top of it (single definition — a drift
+# would move every bucket while bigram parity stayed green)
+_BLP_CTES = """tarr AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+bgrows AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS bg
+  FROM tarr, unnest(range(1, len(arr))) AS t(i)
+),
+btf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM bgrows GROUP BY doc_id, bg),
+bcbg AS (SELECT bg, COUNT(*) AS cbg FROM bgrows GROUP BY bg),
+bc1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, SUM(cbg) AS c1 FROM bcbg GROUP BY 1
+),
+bvoc AS (
+  SELECT COUNT(DISTINCT w) AS v FROM (
+    SELECT split_part(bg, ' ', 1) AS w FROM bcbg
+    UNION SELECT split_part(bg, ' ', 2) FROM bcbg
+  )
+),
+blp AS (
+  SELECT btf.doc_id, CAST(SUM(btf.tf) AS BIGINT) AS n_bigrams,
+         ROUND(SUM(btf.tf * LN((bcbg.cbg + 1.0) / (bc1.c1 + bvoc.v)))
+               / SUM(btf.tf), 6) AS mean_logprob
+  FROM btf JOIN bcbg USING (bg)
+  JOIN bc1 ON bc1.w1 = split_part(btf.bg, ' ', 1)
+  CROSS JOIN bvoc
+  GROUP BY btf.doc_id
 )"""
 
 ORACLE_SQL: dict[str, str] = {
@@ -4061,30 +4399,9 @@ SELECT tf2.doc_id, CAST(SUM(tf2.tf) AS BIGINT) AS n_tokens,
 FROM tf2 JOIN cf2 USING (term) CROSS JOIN tot
 GROUP BY tf2.doc_id
 """,
-    "bigram_logprob": """
-WITH tarr AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-bgrows AS (
-  SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS bg
-  FROM tarr, unnest(range(1, len(arr))) AS t(i)
-),
-btf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM bgrows GROUP BY doc_id, bg),
-bcbg AS (SELECT bg, COUNT(*) AS cbg FROM bgrows GROUP BY bg),
-bc1 AS (
-  SELECT split_part(bg, ' ', 1) AS w1, SUM(cbg) AS c1 FROM bcbg GROUP BY 1
-),
-bvoc AS (
-  SELECT COUNT(DISTINCT w) AS v FROM (
-    SELECT split_part(bg, ' ', 1) AS w FROM bcbg
-    UNION SELECT split_part(bg, ' ', 2) FROM bcbg
-  )
-)
-SELECT btf.doc_id, CAST(SUM(btf.tf) AS BIGINT) AS n_bigrams,
-       ROUND(SUM(btf.tf * LN((bcbg.cbg + 1.0) / (bc1.c1 + bvoc.v)))
-             / SUM(btf.tf), 6) AS mean_logprob
-FROM btf JOIN bcbg USING (bg)
-JOIN bc1 ON bc1.w1 = split_part(btf.bg, ' ', 1)
-CROSS JOIN bvoc
-GROUP BY btf.doc_id
+    "bigram_logprob": f"""
+WITH {_BLP_CTES}
+SELECT doc_id, n_bigrams, mean_logprob FROM blp
 """,
     "doc_fingerprint": """
 WITH sh3 AS (
@@ -5210,6 +5527,141 @@ SELECT doc_id,
 FROM documents
 """
 
+ORACLE_SQL["lang_confusion"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+ratio AS (
+  SELECT doc_id, lang,
+         ROUND(SUM(CASE WHEN term IN ({", ".join("'" + w + "'" for w in _EN_MARKERS)})
+                        THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS en_ratio
+  FROM toks GROUP BY doc_id, lang
+)
+SELECT lang,
+       CASE WHEN en_ratio >= 0.03 THEN 'en' ELSE 'other' END AS lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ratio GROUP BY 1, 2
+"""
+
+ORACLE_SQL["suggest_terms"] = f"""
+WITH {_TOK_CTE}
+SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf
+FROM tok WHERE term LIKE '{_SUGGEST_PREFIX}%'
+GROUP BY term
+ORDER BY df DESC, cf DESC, term ASC LIMIT {_SUGGEST_K}
+"""
+
+ORACLE_SQL["kwic_context"] = f"""
+WITH arr AS (
+  SELECT doc_id, string_split(text, ' ') AS a
+  FROM documents WHERE text IS NOT NULL
+),
+hit AS (
+  SELECT doc_id, a, list_position(a, '{_KWIC_TERM}') AS pos FROM arr
+)
+SELECT doc_id, CAST(pos AS INT) AS pos,
+       array_to_string(
+         list_concat(
+           list_concat(a[GREATEST(pos - {_KWIC_W}, 1):pos - 1],
+                       ['[{_KWIC_TERM}]']),
+           a[pos + 1:pos + {_KWIC_W}]
+         ), ' ') AS context
+FROM hit WHERE pos IS NOT NULL AND pos > 0
+"""
+
+ORACLE_SQL["dup_fraction"] = f"""
+WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+win AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(a, i, i + {_PASSAGE_W - 1}), ' '))
+           AS passage_hash
+  FROM arr, unnest(range(1, len(a) - {_PASSAGE_W} + 2, {_PASSAGE_S})) AS t(i)
+  WHERE len(a) >= {_PASSAGE_W}
+),
+dup AS (
+  SELECT passage_hash FROM win
+  GROUP BY passage_hash HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT win.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN dup.passage_hash IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup,
+       ROUND(SUM(CASE WHEN dup.passage_hash IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS dup_frac
+FROM win LEFT JOIN dup USING (passage_hash)
+GROUP BY win.doc_id
+"""
+
+ORACLE_SQL["ppl_buckets"] = f"""
+WITH {_BLP_CTES},
+bins AS (
+  SELECT doc_id, mean_logprob,
+         CAST(FLOOR(mean_logprob * 100) AS BIGINT) AS bin
+  FROM blp
+),
+cnt AS (SELECT bin, COUNT(*) AS c FROM bins GROUP BY bin),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum FROM cnt),
+cuts AS (
+  SELECT MIN(CASE WHEN cum >= CEIL(n / 3.0) THEN bin END) AS cut1,
+         MIN(CASE WHEN cum >= CEIL(2.0 * n / 3.0) THEN bin END) AS cut2
+  FROM cum CROSS JOIN tot
+)
+SELECT doc_id, mean_logprob,
+       CASE WHEN bin <= cut1 THEN 'tail'
+            WHEN bin <= cut2 THEN 'middle'
+            ELSE 'head' END AS ppl_bucket
+FROM bins CROSS JOIN cuts
+"""
+
+ORACLE_SQL["zipf_slope"] = f"""
+WITH {_TOK_CTE},
+cf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM tok GROUP BY term
+  ORDER BY cf DESC, term ASC LIMIT {_ZIPF_TOPN}
+),
+xy AS (
+  SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, term ASC) AS DOUBLE))
+           AS x,
+         LN(CAST(cf AS DOUBLE)) AS y
+  FROM cf
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM xy
+)
+SELECT n_terms,
+       ROUND((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
+         AS slope,
+       ROUND((sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)
+                   * sx) / n_terms, 6) AS intercept
+FROM s
+"""
+
+ORACLE_SQL["term_source_affinity"] = f"""
+WITH st AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE lang = 'en'
+),
+f AS (SELECT * FROM st WHERE term NOT IN ({_SQL_STOPLIST})),
+cs AS (SELECT term, source, COUNT(*) AS c FROM f GROUP BY 1, 2),
+tt AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cf FROM cs GROUP BY 1),
+r AS (
+  SELECT term, source, c,
+         ROW_NUMBER() OVER (
+           PARTITION BY term ORDER BY c DESC, source ASC
+         ) AS rnk
+  FROM cs
+)
+SELECT r.term, r.source AS top_source, CAST(r.c AS BIGINT) AS c_top, tt.cf,
+       ROUND(r.c * 1.0 / tt.cf, 6) AS share
+FROM r JOIN tt USING (term)
+WHERE rnk = 1 AND tt.cf >= {_AFFINITY_MIN_CF}
+ORDER BY share DESC, term ASC LIMIT {_AFFINITY_TOPN}
+"""
+
 QUERIES = {
     "engine_bm25_topk": q_engine_bm25_topk,
     "engine_bm25_topk_pfor": q_engine_bm25_topk_pfor,
@@ -5286,4 +5738,11 @@ QUERIES = {
     "more_like_this": q_more_like_this,
     "bm25_not_topk": q_bm25_not_topk,
     "bm25_prefix_topk": q_bm25_prefix_topk,
+    "lang_confusion": q_lang_confusion,
+    "suggest_terms": q_suggest_terms,
+    "kwic_context": q_kwic_context,
+    "dup_fraction": q_dup_fraction,
+    "ppl_buckets": q_ppl_buckets,
+    "zipf_slope": q_zipf_slope,
+    "term_source_affinity": q_term_source_affinity,
 }

@@ -203,3 +203,67 @@ def test_tfidf_keywords_partitioned_window(spark, sfd):
     # scores, df roll-up, and N — documents.parquet appears in NO scan
     # of the final plan (the checkpoint replaced it)
     assert "documents.parquet" not in p
+
+
+def test_lang_confusion_single_bounded_exchange(spark, sfd):
+    """The confusion matrix's per-doc prediction is the same zero-shuffle
+    array intrinsic as q_lang_id; the only exchange is the (lang, pred)
+    count agg — at most |langs|x2 groups regardless of corpus size."""
+    p = _plan(corpus.q_lang_confusion(spark, sfd))
+    assert p.count("Exchange") == 1, p.count("Exchange")
+    assert "explode" not in p.lower()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_kwic_context_zero_shuffle(spark, sfd):
+    """KWIC is within-document: position, both slices, and the joined
+    context string are array intrinsics in ONE projection — no Exchange,
+    no explode, no Python. A doc ships one narrow row or nothing."""
+    p = _plan(corpus.q_kwic_context(spark, sfd))
+    assert "Exchange" not in p
+    assert "explode" not in p.lower()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_suggest_terms_prefilter_and_topk(spark, sfd):
+    """Autocomplete: the StartsWith filter must run BEFORE the agg (so
+    non-matching tokens never reach an exchange), the top-k must be
+    TakeOrderedAndProject, and the exchanges are exactly the two-phase
+    distinct-df pair over prefix-matching rows only."""
+    p = _plan(corpus.q_suggest_terms(spark, sfd))
+    assert "StartsWith" in p
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange") == 2, p.count("Exchange")
+
+
+def test_term_source_affinity_partitioned_window(spark, sfd):
+    """The champion-source rank must be a term-PARTITIONED window (<=
+    |sources| rows per term), never a global sort; final ranking is a
+    TakeOrderedAndProject over rank-1 rows."""
+    p = _plan(corpus.q_term_source_affinity(spark, sfd))
+    assert "Window" in p
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange") == 2, p.count("Exchange")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_zipf_slope_bounded_window(spark, sfd):
+    """The rank window runs AFTER the top-N limit (TakeOrderedAndProject
+    feeds it), so the single-partition window is bounded at _ZIPF_TOPN
+    rows regardless of corpus size; one vocab-agg exchange total."""
+    p = _plan(corpus.q_zipf_slope(spark, sfd))
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange") == 1, p.count("Exchange")
+
+
+def test_dup_fraction_narrow_rows_only(spark, sfd):
+    """The per-doc dup roll-up ships only (doc_id, md5) window rows —
+    the text column must never appear in an exchange: windows are built
+    inside the scan projection and every downstream op is hash-keyed."""
+    df = corpus.q_dup_fraction(spark, sfd)
+    p = _plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # every Exchange input is narrow: no plan node shuffles `text`
+    for frag in p.split("Exchange")[1:]:
+        assert "text#" not in frag.split("+- ")[1].split("\n")[0] \
+            if "+- " in frag else True
