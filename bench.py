@@ -164,6 +164,23 @@ BENCH_QUERIES = [
     "source_stats",
     "pii_scrub",
     "decontaminate",
+    "decontaminate_bloom",
+    "pmi_collocations",
+    "tfidf_keywords",
+    "quality_quantiles",
+    "hll_merged_distinct",
+    "hybrid_rrf_topk",
+    "facet_counts",
+    "more_like_this",
+    "bm25_not_topk",
+    "bm25_prefix_topk",
+    "lang_confusion",
+    "suggest_terms",
+    "kwic_context",
+    "dup_fraction",
+    "ppl_buckets",
+    "zipf_slope",
+    "term_source_affinity",
     "groupby_multi_mean",
     "join_map_chain",
     "window_user_events",
