@@ -803,3 +803,210 @@ def test_bm25_not_and_prefix_semantics(spark, tmp_path_factory):
     assert 1 in not_ids
     pref = {r["doc_id"] for r in corpus.q_bm25_prefix_topk(spark, d).collect()}
     assert pref == {0, 1, 2}  # query/question/queue all expand from que*
+
+
+# --- round-5 session 2: KWIC / suggest / dup-fraction / buckets / zipf /
+# affinity / confusion ------------------------------------------------------
+
+
+def test_kwic_context_hand_values(spark, tmp_path_factory):
+    """First-occurrence position and edge-clamped windows, by hand."""
+    d = _docs_dir(
+        tmp_path_factory,
+        "kwic",
+        [
+            {"doc_id": 0, "text": "alpha beta vector gamma delta epsilon zeta"},
+            {"doc_id": 1, "text": "vector beta gamma"},          # hit at 1
+            {"doc_id": 2, "text": "alpha beta gamma vector"},    # hit at end
+            {"doc_id": 3, "text": "no match here"},              # absent
+            {"doc_id": 4, "text": "x vector y vector z"},        # first only
+        ],
+    )
+    rows = {r["doc_id"]: r for r in corpus.q_kwic_context(spark, d).collect()}
+    assert set(rows) == {0, 1, 2, 4}
+    assert rows[0]["pos"] == 3
+    assert rows[0]["context"] == "alpha beta [vector] gamma delta epsilon"
+    assert rows[1]["pos"] == 1
+    assert rows[1]["context"] == "[vector] beta gamma"
+    assert rows[2]["pos"] == 4
+    assert rows[2]["context"] == "alpha beta gamma [vector]"
+    assert rows[4]["pos"] == 2  # first occurrence, not the second
+    assert rows[4]["context"] == "x [vector] y vector z"
+
+
+def test_suggest_terms_ranking(spark, tmp_path_factory):
+    """df-desc, cf-desc, term-asc ranking over prefix completions."""
+    d = _docs_dir(
+        tmp_path_factory,
+        "suggest",
+        [
+            {"doc_id": 0, "text": "spark spark scan walrus"},
+            {"doc_id": 1, "text": "spark sort walrus walrus"},
+            {"doc_id": 2, "text": "walrus only here"},
+        ],
+    )
+    got = [
+        (r["term"], r["df"], r["cf"])
+        for r in corpus.q_suggest_terms(spark, d).collect()
+    ]
+    # spark: df 2 cf 3; scan/sort: df 1 cf 1 -> term asc breaks the tie
+    assert got == [("spark", 2, 3), ("scan", 1, 1), ("sort", 1, 1)]
+
+
+def test_dup_fraction_planted_shared_run(spark, tmp_path_factory):
+    """Identical 45-token docs -> frac 1.0; a doc sharing only its first
+    30 tokens -> exactly the i=1 window dups (frac 0.5); unique doc ->
+    0.0; sub-window doc emits nothing."""
+    shared = " ".join(f"s{i}" for i in range(45))
+    half = " ".join(
+        [f"s{i}" for i in range(30)] + [f"u{i}" for i in range(15)]
+    )
+    d = _docs_dir(
+        tmp_path_factory,
+        "dupfrac",
+        [
+            {"doc_id": 0, "text": shared},
+            {"doc_id": 1, "text": shared},
+            {"doc_id": 2, "text": half},
+            {"doc_id": 3, "text": " ".join(f"q{i}" for i in range(45))},
+            {"doc_id": 4, "text": "too short"},
+        ],
+    )
+    rows = {
+        r["doc_id"]: r for r in corpus.q_dup_fraction(spark, d).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}
+    for did in (0, 1):
+        assert rows[did]["n_windows"] == 2
+        assert rows[did]["n_dup"] == 2
+        assert rows[did]["dup_frac"] == 1.0
+    assert rows[2]["n_windows"] == 2
+    assert rows[2]["n_dup"] == 1  # only the i=1 window recurs (in 0 and 1)
+    assert rows[2]["dup_frac"] == 0.5
+    assert rows[3]["n_dup"] == 0 and rows[3]["dup_frac"] == 0.0
+
+
+def test_ppl_buckets_match_python_spec(spark, sf_dir):
+    """Executable spec: recompute the floor-bin histogram cuts and the
+    bucket of every doc in pure Python from q_bigram_logprob's output,
+    and require exact agreement (same corpus the gate checks)."""
+    import math
+
+    blp = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in corpus.q_bigram_logprob(spark, sf_dir).collect()
+    }
+    bins = {k: math.floor(v * 100) for k, v in blp.items()}
+    n = len(bins)
+    hist = {}
+    for b in bins.values():
+        hist[b] = hist.get(b, 0) + 1
+    cum, cut1, cut2 = 0, None, None
+    for b in sorted(hist):
+        cum += hist[b]
+        if cut1 is None and cum >= math.ceil(n / 3.0):
+            cut1 = b
+        if cut2 is None and cum >= math.ceil(2.0 * n / 3.0):
+            cut2 = b
+    expected = {
+        k: ("tail" if b <= cut1 else "middle" if b <= cut2 else "head")
+        for k, b in bins.items()
+    }
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in corpus.q_ppl_buckets(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert set(expected.values()) == {"head", "middle", "tail"}
+
+
+def test_zipf_slope_on_planted_power_law(spark, tmp_path_factory):
+    """A corpus whose term frequencies are exactly floor(1000/i) must fit
+    slope ~ -1; the value must match the pure-Python OLS recompute of the
+    same formula to the rounded precision."""
+    import math
+
+    freqs = [(f"term{i:02d}", 1000 // i) for i in range(1, 21)]
+    text = " ".join(t for t, c in freqs for _ in range(c))
+    d = _docs_dir(tmp_path_factory, "zipf", [{"doc_id": 0, "text": text}])
+    row = corpus.q_zipf_slope(spark, d).collect()[0]
+    assert row["n_terms"] == 20
+    # Python recompute: same rank order (cf desc, term asc), same sums
+    ordered = sorted(freqs, key=lambda tc: (-tc[1], tc[0]))
+    xs = [math.log(i + 1) for i in range(len(ordered))]
+    ys = [math.log(c) for _, c in ordered]
+    n, sx, sy = len(xs), sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row["slope"] == pytest.approx(round(slope, 6), abs=2e-6)
+    assert -1.05 < row["slope"] < -0.95
+    assert row["intercept"] == pytest.approx(
+        round((sy - slope * sx) / n, 6), abs=2e-6
+    )
+
+
+def test_term_source_affinity_planted_template_term(spark, tmp_path_factory):
+    """A term concentrated in one source wins with the right share; an
+    even split tie-breaks to the lexicographically smaller source; terms
+    under the cf floor are absent."""
+    rows = []
+    did = 0
+    for src, n_zebra, n_tiger in (("s1", 60, 25), ("s2", 40, 25)):
+        for _ in range(5):
+            rows.append(
+                {
+                    "doc_id": did,
+                    "text": " ".join(
+                        ["zebra"] * (n_zebra // 5)
+                        + ["tiger"] * (n_tiger // 5)
+                        + ["rare"]
+                    ),
+                    "source": src,
+                }
+            )
+            did += 1
+    d = _docs_dir(tmp_path_factory, "affinity", rows)
+    got = {
+        r["term"]: r
+        for r in corpus.q_term_source_affinity(spark, d).collect()
+    }
+    assert set(got) == {"zebra", "tiger"}  # "rare" (cf=10) under the floor
+    assert got["zebra"]["top_source"] == "s1"
+    assert got["zebra"]["cf"] == 100 and got["zebra"]["c_top"] == 60
+    assert got["zebra"]["share"] == 0.6
+    assert got["tiger"]["top_source"] == "s1"  # 25/25 tie -> source asc
+    assert got["tiger"]["share"] == 0.5
+    # ranking: zebra (0.6) before tiger (0.5)
+    ordered = [
+        r["term"] for r in corpus.q_term_source_affinity(spark, d).collect()
+    ]
+    assert ordered == ["zebra", "tiger"]
+
+
+def test_lang_confusion_hand_counts(spark, tmp_path_factory):
+    """Declared-vs-predicted cells: marker-rich text predicts 'en'
+    whatever the declared lang; marker-free text predicts 'other'."""
+    en_text = "the cat and the dog of the house in the yard"
+    xx_text = "zork blap quux fizzle womp grue plugh xyzzy"
+    d = _docs_dir(
+        tmp_path_factory,
+        "confusion",
+        [
+            {"doc_id": 0, "text": en_text, "lang": "en"},
+            {"doc_id": 1, "text": en_text, "lang": "en"},
+            {"doc_id": 2, "text": xx_text, "lang": "en"},   # en declared, missed
+            {"doc_id": 3, "text": en_text, "lang": "de"},   # de declared, caught
+            {"doc_id": 4, "text": xx_text, "lang": "de"},
+        ],
+    )
+    got = {
+        (r["lang"], r["lang_pred"]): r["n_docs"]
+        for r in corpus.q_lang_confusion(spark, d).collect()
+    }
+    assert got == {
+        ("en", "en"): 2,
+        ("en", "other"): 1,
+        ("de", "en"): 1,
+        ("de", "other"): 1,
+    }
