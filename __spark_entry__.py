@@ -55,7 +55,7 @@ def _utc(fn: Callable[[SparkSession, str], DataFrame]):
 # operator's PRIMARY oracle; this 18-entry tail holds queries whose
 # semantics an earlier green row already verifies, so a count-budgeted
 # gate still yields one green row per operator (and an unbudgeted gate
-# checks all 68):
+# checks all 98):
 #   doc_stats / corpus_stats ⊂ bm25_topk_or (dl, avgdl, n_docs feed the
 #     BM25 formula — a divergence flips every score)
 #   term_stats               ⊂ lexicon (df) + bm25_topk_or (idf)
