@@ -206,6 +206,14 @@ _DEFERRED_TAIL = [
     "ppl_buckets",
     "zipf_slope",
     "term_source_affinity",
+    # asof_join / range_join (round 5): NEW primary operators (the
+    # temporal-lookup and band-join shapes Spark lacks natively,
+    # re-expressed as window-over-union and bucketed equi-join) —
+    # tail-placed for the frozen-head reason; oracle rows proven by the
+    # committed tail artifact (asof_join against DuckDB's NATIVE ASOF
+    # LEFT JOIN)
+    "asof_join",
+    "range_join",
     "doc_stats",
     "corpus_stats",
     "term_stats",

@@ -181,6 +181,8 @@ BENCH_QUERIES = [
     "ppl_buckets",
     "zipf_slope",
     "term_source_affinity",
+    "asof_join",
+    "range_join",
     "groupby_multi_mean",
     "join_map_chain",
     "window_user_events",

@@ -357,6 +357,132 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- as-of join — the temporal-lookup operator Spark lacks natively,
+# re-expressed as a tagged union + one user-keyed window (no join node,
+# no per-row range probe — the distributed as-of shape) ---------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (trades-and-quotes shape): for every 'purchase' event,
+    the same user's most recent prior-or-equal 'click' — the
+    value-at-decision-time read every event pipeline needs and Spark has
+    no built-in for. LEFT semantics: purchases with no prior click keep
+    NULL click columns.
+
+    Implementation is the scalable distributed form: UNION the two
+    tagged streams, ONE user-keyed window ordered (ts, tag, event_id)
+    carrying last(click attrs, ignorenulls) up to the current row, then
+    filter to purchases — one exchange + one in-partition sort, never a
+    per-row range probe or a nested-loop join (plan-guarded: no join
+    node at all). Ties: a click at the exact purchase ts sorts FIRST
+    (tag 0 < 1), matching the oracle's `p.ts >= c.ts` inclusive bound.
+
+    Oracle is DuckDB's native ASOF LEFT JOIN — the gate row proves the
+    window rewrite IS the as-of semantics."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        "event_id",
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("long").alias("c_id"),
+        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.lit(None).cast("double").alias("c_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .select(
+            "user_id",
+            "ts",
+            "tag",
+            "event_id",
+            F.last("c_id", ignorenulls=True).over(w).alias("click_id"),
+            F.last("c_ts", ignorenulls=True).over(w).alias("click_ts"),
+            F.last("c_value", ignorenulls=True).over(w).alias("click_value"),
+        )
+        .filter(F.col("tag") == 1)
+        .select("event_id", "user_id", "ts", "click_id", "click_ts", "click_value")
+    )
+
+
+# --- range (band) join — non-equi interval join re-expressed as a bucketed
+# equi-join + residual predicate (never a nested-loop) ----------------------
+
+RANGE_JOIN_WINDOW_S = 900  # ±15 min correlation window
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join: every (signup, error) pair for the same user within
+    ±RANGE_JOIN_WINDOW_S of each other — the incident-correlation read
+    (did signups co-occur with error bursts?). A naive non-equi join
+    plans as BroadcastNestedLoopJoin — O(n·m) per user and the classic
+    100 TB killer.
+
+    Bucketed band-join rewrite (the standard optimization, e.g.
+    Databricks' range-join hints): quantize ts into
+    floor(unix_seconds / W) buckets, EXPLODE each signup to its 3
+    candidate buckets {b−1, b, b+1} (a ≤W-second gap can never span
+    more than adjacent buckets, and each pair meets in exactly ONE
+    bucket — the error side keeps a single bucket value, so no dedup
+    is needed), hash-equi-join on (user_id, bucket), then the EXACT
+    microsecond BETWEEN residual. Plan-guarded: a hash/sort-merge join
+    on the bucket key, never a nested loop. The exact predicate uses
+    raw timestamp arithmetic (identical microsecond semantics in both
+    engines); seconds-truncation only ever widens the candidate set."""
+    e = _t(spark, sf_dir, "events")
+    sig = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.floor(
+                            F.unix_timestamp("ts") / RANGE_JOIN_WINDOW_S
+                        )
+                        + d
+                    ).cast("long")
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+        F.floor(F.unix_timestamp("ts") / RANGE_JOIN_WINDOW_S)
+        .cast("long")
+        .alias("bucket"),
+    )
+    lo = F.col("signup_ts") - F.expr(
+        f"INTERVAL {RANGE_JOIN_WINDOW_S} SECONDS"
+    )
+    hi = F.col("signup_ts") + F.expr(
+        f"INTERVAL {RANGE_JOIN_WINDOW_S} SECONDS"
+    )
+    return (
+        sig.join(err, ["user_id", "bucket"])
+        .filter(F.col("error_ts").between(lo, hi))
+        .select("signup_id", "error_id", "user_id", "signup_ts", "error_ts")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 ORACLE_SQL: dict[str, str] = {
@@ -502,4 +628,24 @@ QUERIES = {
     "json_extract": q_json_extract,
     "null_scrub": q_null_scrub,
     "event_hour_window": q_event_hour_window,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
 }
+
+ORACLE_SQL["asof_join"] = """
+SELECT p.event_id, p.user_id, p.ts,
+       c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+ORACLE_SQL["range_join"] = f"""
+SELECT s.event_id AS signup_id, e.event_id AS error_id, s.user_id,
+       s.ts AS signup_ts, e.ts AS error_ts
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON s.user_id = e.user_id
+ AND e.ts BETWEEN s.ts - INTERVAL {RANGE_JOIN_WINDOW_S} SECONDS
+              AND s.ts + INTERVAL {RANGE_JOIN_WINDOW_S} SECONDS
+"""

@@ -1010,3 +1010,81 @@ def test_lang_confusion_hand_counts(spark, tmp_path_factory):
         ("de", "en"): 1,
         ("de", "other"): 1,
     }
+
+
+# --- as-of + range join semantics on planted event streams -----------------
+
+
+def _events_dir(tmp_path_factory, name, rows):
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    pdf = pd.DataFrame(
+        [
+            {
+                "event_id": i,
+                "ts": base + pd.Timedelta(seconds=r["s"]),
+                "user_id": r["u"],
+                "event_type": r["t"],
+                "value": float(r.get("v", 0.0)),
+                "props": "{}",
+            }
+            for i, r in enumerate(rows)
+        ]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark can't read NANOS
+    d = tmp_path_factory.mktemp(name)
+    pdf.to_parquet(f"{d}/events.parquet", index=False)
+    return str(d)
+
+
+def test_asof_join_hand_semantics(spark, tmp_path_factory):
+    """Prior-or-EQUAL click lookup, per user, with LEFT semantics."""
+    from search_engine_spark.operators import relational
+
+    d = _events_dir(
+        tmp_path_factory,
+        "asof",
+        [
+            {"u": 1, "t": "click", "s": 10, "v": 1.0},     # id 0
+            {"u": 1, "t": "click", "s": 50, "v": 2.0},     # id 1
+            {"u": 1, "t": "purchase", "s": 5},             # id 2: no prior
+            {"u": 1, "t": "purchase", "s": 10},            # id 3: equal-ts
+            {"u": 1, "t": "purchase", "s": 60},            # id 4: latest=1
+            {"u": 2, "t": "purchase", "s": 30},            # id 5: no clicks
+            {"u": 2, "t": "click", "s": 40, "v": 9.0},     # id 6: after only
+        ],
+    )
+    rows = {
+        r["event_id"]: r for r in relational.q_asof_join(spark, d).collect()
+    }
+    assert set(rows) == {2, 3, 4, 5}
+    assert rows[2]["click_id"] is None and rows[2]["click_value"] is None
+    assert rows[3]["click_id"] == 0 and rows[3]["click_value"] == 1.0
+    assert rows[4]["click_id"] == 1 and rows[4]["click_value"] == 2.0
+    assert rows[5]["click_id"] is None  # user 2's click is in the future
+
+
+def test_range_join_hand_semantics(spark, tmp_path_factory):
+    """±900 s band, inclusive bounds, same-user only, bucket-boundary
+    pairs included exactly once."""
+    from search_engine_spark.operators import relational
+
+    d = _events_dir(
+        tmp_path_factory,
+        "range",
+        [
+            {"u": 1, "t": "signup", "s": 1000},            # id 0
+            {"u": 1, "t": "error", "s": 1900},             # id 1: +900 in
+            {"u": 1, "t": "error", "s": 100},              # id 2: -900 in
+            {"u": 1, "t": "error", "s": 1901},             # id 3: +901 out
+            {"u": 2, "t": "error", "s": 1000},             # id 4: other user
+            # bucket boundary: signup at 899 (bucket 0), error at 901
+            # (bucket 1) — adjacent buckets, gap 2 s, must appear ONCE
+            {"u": 3, "t": "signup", "s": 899},             # id 5
+            {"u": 3, "t": "error", "s": 901},              # id 6
+        ],
+    )
+    got = sorted(
+        (r["signup_id"], r["error_id"])
+        for r in relational.q_range_join(spark, d).collect()
+    )
+    assert got == [(0, 1), (0, 2), (5, 6)]

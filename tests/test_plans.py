@@ -267,3 +267,27 @@ def test_dup_fraction_narrow_rows_only(spark, sfd):
     for frag in p.split("Exchange")[1:]:
         assert "text#" not in frag.split("+- ")[1].split("\n")[0] \
             if "+- " in frag else True
+
+
+def test_asof_join_is_window_not_join(spark, sfd):
+    """The as-of rewrite must plan as union -> ONE user-keyed exchange ->
+    window (no join node anywhere): the distributed as-of shape. A per-row
+    range probe or nested-loop regression would re-introduce a Join."""
+    from search_engine_spark.operators import relational
+
+    p = _plan(relational.q_asof_join(spark, sfd))
+    assert "Join" not in p
+    assert "Window" in p
+    assert p.count("Exchange") == 1, p.count("Exchange")
+
+
+def test_range_join_is_bucketed_equi_join(spark, sfd):
+    """The band join must hash/sort-merge on the (user_id, bucket) key —
+    NEVER BroadcastNestedLoopJoin or CartesianProduct (the naive non-equi
+    plan, O(n*m) per user at crawl scale)."""
+    from search_engine_spark.operators import relational
+
+    p = _plan(relational.q_range_join(spark, sfd))
+    assert "BroadcastNestedLoop" not in p
+    assert "Cartesian" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
