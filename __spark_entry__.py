@@ -214,6 +214,10 @@ _DEFERRED_TAIL = [
     # LEFT JOIN)
     "asof_join",
     "range_join",
+    # chunk_documents (round 5): NEW primary operator (the RAG-standard
+    # sliding chunker) — tail-placed for the frozen-head reason; oracle
+    # row proven by the committed tail artifact
+    "chunk_documents",
     "doc_stats",
     "corpus_stats",
     "term_stats",

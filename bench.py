@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "term_source_affinity",
     "asof_join",
     "range_join",
+    "chunk_documents",
     "groupby_multi_mean",
     "join_map_chain",
     "window_user_events",

@@ -3956,6 +3956,59 @@ def q_term_source_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_W = 64  # tokens per chunk
+_CHUNK_S = 48  # stride (= W - 16-token overlap)
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-ingestion chunker: split every document into _CHUNK_W-token
+    windows at stride _CHUNK_S (16-token overlap — the RAG-standard
+    sliding chunk), PLUS a back-aligned final chunk so the document tail
+    is never dropped; docs shorter than W emit one whole-doc chunk.
+    -> (doc_id, start, n_tokens, chunk_hash) — start is the 1-based
+    token offset (the chunk's stable identity; an ordinal index would
+    renumber every chunk when a doc is re-chunked at a new W).
+
+    Determinism: starts = dedup(sequence(1, G, S) ∪ {G}) with
+    G = max(len − W + 1, 1) — pure integer arithmetic, identical in
+    both engines; the hash is md5 of the space-joined token slice.
+    Plan shape: the start array, slices, and hashes are built INSIDE
+    the projection (zero shuffle in the operator itself — it ships one
+    narrow (doc_id, start, n, md5) row per chunk and the text column
+    never leaves the scan). At 100 TB this is the map-side prelude to
+    writing a chunk table; there is nothing to exchange."""
+    arr = F.split(F.col("text"), " ")
+    g = F.greatest(F.size(arr) - (_CHUNK_W - 1), F.lit(1))
+    starts = F.array_union(
+        F.sequence(F.lit(1), g, F.lit(_CHUNK_S)), F.array(g)
+    )
+    chunk = F.explode(
+        F.transform(
+            starts,
+            lambda i: F.struct(
+                i.alias("start"),
+                F.least(F.size(arr) - i + 1, F.lit(_CHUNK_W))
+                .cast("long")
+                .alias("n_tokens"),
+                F.md5(
+                    F.concat_ws(" ", F.slice(arr, i, _CHUNK_W))
+                ).alias("chunk_hash"),
+            ),
+        )
+    )
+    return (
+        documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", chunk.alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.start").cast("int").alias("start"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.col("c.chunk_hash").alias("chunk_hash"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (driver runs these on the same parquet views)
 
@@ -5640,6 +5693,28 @@ SELECT n_terms,
 FROM s
 """
 
+ORACLE_SQL["chunk_documents"] = f"""
+WITH arr AS (
+  SELECT doc_id, string_split(text, ' ') AS a
+  FROM documents WHERE text IS NOT NULL
+),
+starts AS (
+  SELECT DISTINCT doc_id, a, CAST(i AS INT) AS start
+  FROM (
+    SELECT doc_id, a, i
+    FROM arr, unnest(range(1, GREATEST(len(a) - {_CHUNK_W - 1}, 1) + 1,
+                           {_CHUNK_S})) AS t(i)
+    UNION ALL
+    SELECT doc_id, a, GREATEST(len(a) - {_CHUNK_W - 1}, 1) FROM arr
+  )
+)
+SELECT doc_id, start,
+       CAST(LEAST(len(a) - start + 1, {_CHUNK_W}) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(a, start, start + {_CHUNK_W - 1}), ' '))
+         AS chunk_hash
+FROM starts
+"""
+
 ORACLE_SQL["term_source_affinity"] = f"""
 WITH st AS (
   SELECT source, unnest(string_split(text, ' ')) AS term
@@ -5745,4 +5820,5 @@ QUERIES = {
     "ppl_buckets": q_ppl_buckets,
     "zipf_slope": q_zipf_slope,
     "term_source_affinity": q_term_source_affinity,
+    "chunk_documents": q_chunk_documents,
 }

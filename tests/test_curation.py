@@ -1088,3 +1088,34 @@ def test_range_join_hand_semantics(spark, tmp_path_factory):
         for r in relational.q_range_join(spark, d).collect()
     )
     assert got == [(0, 1), (0, 2), (5, 6)]
+
+
+def test_chunk_documents_boundaries(spark, tmp_path_factory):
+    """Stride/back-alignment contract by hand: W=64, S=48."""
+    def toks(n, p):
+        return " ".join(f"{p}{i}" for i in range(n))
+
+    d = _docs_dir(
+        tmp_path_factory,
+        "chunks",
+        [
+            {"doc_id": 0, "text": toks(30, "a")},    # short: one whole chunk
+            {"doc_id": 1, "text": toks(100, "b")},   # G=37: starts {1, 37}
+            {"doc_id": 2, "text": toks(120, "c")},   # starts {1, 49, 57}
+            {"doc_id": 3, "text": toks(64, "d")},    # exact W: one chunk
+        ],
+    )
+    rows = {}
+    for r in corpus.q_chunk_documents(spark, d).collect():
+        rows.setdefault(r["doc_id"], []).append((r["start"], r["n_tokens"]))
+    for v in rows.values():
+        v.sort()
+    assert rows[0] == [(1, 30)]
+    assert rows[1] == [(1, 64), (37, 64)]   # back-aligned tail chunk
+    assert rows[2] == [(1, 64), (49, 64), (57, 64)]
+    assert rows[3] == [(1, 64)]
+    # overlap consistency: doc 2's chunks cover tokens 1..120 exactly
+    covered = set()
+    for s_, n in rows[2]:
+        covered.update(range(s_, s_ + n))
+    assert covered == set(range(1, 121))

@@ -291,3 +291,12 @@ def test_range_join_is_bucketed_equi_join(spark, sfd):
     assert "BroadcastNestedLoop" not in p
     assert "Cartesian" not in p
     assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_chunk_documents_zero_shuffle(spark, sfd):
+    """The chunker is a pure scan-fused projection + explode of narrow
+    (start, n, md5) structs — no Exchange, no Python; text never leaves
+    the scan."""
+    p = _plan(corpus.q_chunk_documents(spark, sfd))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
