@@ -218,6 +218,14 @@ _DEFERRED_TAIL = [
     # sliding chunker) — tail-placed for the frozen-head reason; oracle
     # row proven by the committed tail artifact
     "chunk_documents",
+    # ngram_containment ⊂ ngram_jaccard (the identical _pair_overlap
+    # table — intersection, sizes, candidates — is oracle-checked there;
+    # containment adds one exact-int division) — tail-checked
+    "ngram_containment",
+    # url_density (round 5): NEW primary operator (pii_scrub's regexp
+    # shape over the F3 URL pattern) — tail-placed; recall side proven
+    # on planted URL docs in tests/test_curation.py
+    "url_density",
     "doc_stats",
     "corpus_stats",
     "term_stats",

@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     "asof_join",
     "range_join",
     "chunk_documents",
+    "ngram_containment",
+    "url_density",
     "groupby_multi_mean",
     "join_map_chain",
     "window_user_events",

@@ -1092,14 +1092,13 @@ def q_lsh_candidate_pairs(
     ).select(F.col("_a").alias("doc_a"), F.col("_b").alias("doc_b"))
 
 
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard similarity for the LSH candidate pairs (the
-    verify step of candidate-then-verify dedup): |A∩B| / |A∪B| over 3-word
-    shingle sets. Intersection via shingle equi-join, union by
-    inclusion-exclusion — never materializes the cross product. Shingles
-    are restricted to exact-dup representatives: the candidates are rep
-    pairs (q_lsh_candidate_pairs), so non-rep shingle rows would only
-    feed the join to be dropped."""
+def _pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_inter, sh_a, sh_b) for every LSH candidate pair —
+    the shared verify-stage overlap table q_ngram_jaccard and
+    q_ngram_containment both read (one definition: a drift here would
+    move Jaccard and containment apart on the same pair). Intersection
+    via shingle equi-join, never a cross product; shingles restricted to
+    exact-dup representatives (the candidates are rep pairs)."""
     sh = shingle_df(spark, sf_dir, 3, reps_only=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cands = q_lsh_candidate_pairs(spark, sf_dir)
@@ -1116,14 +1115,76 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill({"n_inter": 0})
         .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "sh_a"}), "doc_a")
         .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "sh_b"}), "doc_b")
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity for the LSH candidate pairs (the
+    verify step of candidate-then-verify dedup): |A∩B| / |A∪B| over 3-word
+    shingle sets, union by inclusion-exclusion. Overlap table =
+    `_pair_overlap` (shared with q_ngram_containment)."""
+    return _pair_overlap(spark, sf_dir).select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_inter")
+            / (F.col("sh_a") + F.col("sh_b") - F.col("n_inter")),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT for the LSH candidate pairs: |A∩B| / min(|A|,
+    |B|) alongside Jaccard — the asymmetric near-dup signal Jaccard
+    structurally misses (Broder 1997 distinguishes resemblance from
+    containment): a short doc fully embedded in a much longer one has
+    containment 1.0 but Jaccard ≈ |A|/|B|, which can sit far below any
+    dedup threshold. Curation pipelines drop the CONTAINED doc (it adds
+    no novel text) — exactly the case passage-level dedup sees locally
+    and this operator sees at whole-doc granularity.
+
+    Same `_pair_overlap` table as q_ngram_jaccard (one overlap
+    definition), two exact-integer-fed divisions, rounded finals."""
+    ov = _pair_overlap(spark, sf_dir)
+    return ov.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_inter")
+            / (F.col("sh_a") + F.col("sh_b") - F.col("n_inter")),
+            6,
+        ).alias("jaccard"),
+        F.round(
+            F.col("n_inter") / F.least(F.col("sh_a"), F.col("sh_b")), 6
+        ).alias("containment"),
+    )
+
+
+# URL density — the reference tokenizer's URL pattern (tokenizer.py:44),
+# Java-regex/RE2-identical (alternation + \S only)
+URL_PATTERN = r"https?://\S+|www\.\S+"
+
+
+def q_url_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc URL counting: how many URLs the cleaner (functions/
+    text.py F3) would strip, plus URLs per 100 whitespace tokens — the
+    link-farm / navigation-page signal quality filters threshold on
+    (Gopher drops pages whose text is mostly links). Pure JVM regexp in
+    the scan projection — zero shuffle, no Python. Like pii_scrub, the
+    gate corpus is URL-free so its parity row proves the false-positive
+    side; recall is proven on planted URL docs in tests."""
+    n_urls = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(URL_PATTERN), F.lit(0))
+    ).cast("long")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return (
+        documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
         .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_inter")
-                / (F.col("sh_a") + F.col("sh_b") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
+            "doc_id",
+            n_urls.alias("n_urls"),
+            F.round(n_urls * 100.0 / n_tokens, 6).alias("urls_per_100"),
         )
     )
 
@@ -5693,6 +5754,27 @@ SELECT n_terms,
 FROM s
 """
 
+ORACLE_SQL["ngram_containment"] = f"""
+WITH {_JACC_CTES}
+SELECT c.doc_a, c.doc_b, j.jaccard,
+       ROUND(COALESCE(i.n_inter, 0) * 1.0 / LEAST(sa.n_sh, sb.n_sh), 6)
+         AS containment
+FROM cands c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+"""
+
+ORACLE_SQL["url_density"] = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{URL_PATTERN}')) AS BIGINT)
+         AS n_urls,
+       ROUND(len(regexp_extract_all(text, '{URL_PATTERN}')) * 100.0
+             / len(string_split(text, ' ')), 6) AS urls_per_100
+FROM documents WHERE text IS NOT NULL
+"""
+
 ORACLE_SQL["chunk_documents"] = f"""
 WITH arr AS (
   SELECT doc_id, string_split(text, ' ') AS a
@@ -5821,4 +5903,6 @@ QUERIES = {
     "zipf_slope": q_zipf_slope,
     "term_source_affinity": q_term_source_affinity,
     "chunk_documents": q_chunk_documents,
+    "ngram_containment": q_ngram_containment,
+    "url_density": q_url_density,
 }

@@ -1119,3 +1119,49 @@ def test_chunk_documents_boundaries(spark, tmp_path_factory):
     for s_, n in rows[2]:
         covered.update(range(s_, s_ + n))
     assert covered == set(range(1, 121))
+
+
+def test_url_density_recall(spark, tmp_path_factory):
+    """Planted URLs (the gate corpus is URL-free — this is the recall
+    side): counts and the per-100-token density by hand."""
+    d = _docs_dir(
+        tmp_path_factory,
+        "urls",
+        [
+            {"doc_id": 0, "text": "see https://a.example/x and www.b.org now"},
+            {"doc_id": 1, "text": "plain text with no links at all"},
+            {"doc_id": 2, "text": "http://one http://two http://three pad"},
+        ],
+    )
+    rows = {r["doc_id"]: r for r in corpus.q_url_density(spark, d).collect()}
+    assert rows[0]["n_urls"] == 2
+    assert rows[0]["urls_per_100"] == pytest.approx(2 * 100.0 / 5, abs=1e-6)
+    assert rows[1]["n_urls"] == 0 and rows[1]["urls_per_100"] == 0.0
+    assert rows[2]["n_urls"] == 3
+
+
+def test_ngram_containment_asymmetric_pair(spark, tmp_path_factory):
+    """A short doc fully embedded in a longer one: containment must be
+    1.0 while Jaccard sits strictly below — the case a Jaccard-only
+    threshold misses. The planted pair shares enough minhash signature
+    to band together (deterministic given the fixed seeds)."""
+    short = " ".join(f"w{i}" for i in range(40))
+    longer = short + " extra1 extra2 extra3"
+    d = _docs_dir(
+        tmp_path_factory,
+        "containment",
+        [
+            {"doc_id": 0, "text": short},
+            {"doc_id": 1, "text": longer},
+            {"doc_id": 2, "text": " ".join(f"z{i}" for i in range(40))},
+        ],
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in corpus.q_ngram_containment(spark, d).collect()
+    }
+    assert (0, 1) in rows, rows  # the embedded pair IS a candidate
+    r = rows[(0, 1)]
+    assert r["containment"] == 1.0
+    assert r["jaccard"] < 0.95  # 38/41 shingles
+    assert r["jaccard"] == pytest.approx(round(38 / 41, 6), abs=1e-6)

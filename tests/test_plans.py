@@ -300,3 +300,11 @@ def test_chunk_documents_zero_shuffle(spark, sfd):
     p = _plan(corpus.q_chunk_documents(spark, sfd))
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_url_density_zero_shuffle(spark, sfd):
+    """URL counting is a pure scan-fused regexp projection — no
+    Exchange, no Python (the pii_scrub shape)."""
+    p = _plan(corpus.q_url_density(spark, sfd))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
