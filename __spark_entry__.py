@@ -226,6 +226,9 @@ _DEFERRED_TAIL = [
     # shape over the F3 URL pattern) — tail-placed; recall side proven
     # on planted URL docs in tests/test_curation.py
     "url_density",
+    # cluster_size_histogram ⊂ dedup_clusters (the identical CC chain,
+    # oracle-checked there) + two exact-count rollups — tail-checked
+    "cluster_size_histogram",
     "doc_stats",
     "corpus_stats",
     "term_stats",

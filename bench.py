@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "ngram_containment",
     "url_density",
+    "cluster_size_histogram",
     "groupby_multi_mean",
     "join_map_chain",
     "window_user_events",

@@ -1161,6 +1161,32 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup report: the cluster-size distribution of the connected-
+    components output — (cluster_size, n_clusters, n_docs) per size.
+    THE number a curation run publishes first (how much of the corpus is
+    duplicated, and is the mass in pairs or in 10^5-member boilerplate
+    blobs — the shape that decides cap/shard parameters). Composes the
+    audited q_dedup_clusters chain with two bounded aggs: per-cluster
+    count (≤1 row per involved doc) then per-size count (≤ distinct
+    sizes, log-scale few). All exact BIGINTs."""
+    labels = q_dedup_clusters(spark, sf_dir)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("c"))
+        .groupBy("c")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("c").cast("long").alias("n_docs"),
+        )
+        .select(
+            F.col("c").cast("long").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+        )
+    )
+
+
 # URL density — the reference tokenizer's URL pattern (tokenizer.py:44),
 # Java-regex/RE2-identical (alternation + \S only)
 URL_PATTERN = r"https?://\S+|www\.\S+"
@@ -5754,6 +5780,16 @@ SELECT n_terms,
 FROM s
 """
 
+ORACLE_SQL["cluster_size_histogram"] = f"""
+WITH RECURSIVE {_CC_CTES},
+labels AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+csize AS (SELECT cluster_id, COUNT(*) AS c FROM labels GROUP BY cluster_id)
+SELECT CAST(c AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(c) AS BIGINT) AS n_docs
+FROM csize GROUP BY c
+"""
+
 ORACLE_SQL["ngram_containment"] = f"""
 WITH {_JACC_CTES}
 SELECT c.doc_a, c.doc_b, j.jaccard,
@@ -5905,4 +5941,5 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "ngram_containment": q_ngram_containment,
     "url_density": q_url_density,
+    "cluster_size_histogram": q_cluster_size_histogram,
 }

@@ -1165,3 +1165,28 @@ def test_ngram_containment_asymmetric_pair(spark, tmp_path_factory):
     assert r["containment"] == 1.0
     assert r["jaccard"] < 0.95  # 38/41 shingles
     assert r["jaccard"] == pytest.approx(round(38 / 41, 6), abs=1e-6)
+
+
+def test_cluster_size_histogram_planted(spark, tmp_path_factory):
+    """A 3-member exact-dup cluster + a 2-member pair + unique docs ->
+    one histogram row per size, only involved docs counted."""
+    tri = "alpha beta gamma delta epsilon zeta eta theta"
+    pair = "one two three four five six seven eight"
+    d = _docs_dir(
+        tmp_path_factory,
+        "csize",
+        [
+            {"doc_id": 0, "text": tri},
+            {"doc_id": 1, "text": tri},
+            {"doc_id": 2, "text": tri},
+            {"doc_id": 3, "text": pair},
+            {"doc_id": 4, "text": pair},
+            {"doc_id": 5, "text": "unique gold words here only once ever"},
+            {"doc_id": 6, "text": "another entirely different document body"},
+        ],
+    )
+    got = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+        for r in corpus.q_cluster_size_histogram(spark, d).collect()
+    }
+    assert got == {3: (1, 3), 2: (1, 2)}
