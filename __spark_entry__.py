@@ -229,6 +229,10 @@ _DEFERRED_TAIL = [
     # cluster_size_histogram ⊂ dedup_clusters (the identical CC chain,
     # oracle-checked there) + two exact-count rollups — tail-checked
     "cluster_size_histogram",
+    # event_funnel (round 5): NEW primary operator (strict-order
+    # sequential conversion — three user-keyed conditional MIN aggs) —
+    # tail-placed; planted order-sensitivity test in test_curation.py
+    "event_funnel",
     "doc_stats",
     "corpus_stats",
     "term_stats",

@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "ngram_containment",
     "url_density",
     "cluster_size_histogram",
+    "event_funnel",
     "groupby_multi_mean",
     "join_map_chain",
     "window_user_events",

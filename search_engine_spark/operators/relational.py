@@ -483,6 +483,58 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ordered funnel — the sequential-conversion analytics read -------------
+
+_FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users reaching signup → (later) click → (later)
+    purchase, each step strictly after the user's earliest completion of
+    the previous one — the product-analytics conversion read (and the
+    ordered-sequence semantics a naive per-type count gets wrong: a
+    purchase BEFORE the signup must not convert).
+    -> (funnel_step, n_users).
+
+    Plan shape: three user-keyed conditional MIN aggs, each joined to
+    the previous step's (user, t) table — every exchange is user-keyed
+    and ≤1 row per user after the first agg; at scale the three aggs
+    reuse one hash partitioning. Earliest-completion semantics make the
+    funnel exact (greedy earliest matching is optimal for 3-step
+    strict-order funnels: taking the earliest valid step never excludes
+    a later completion)."""
+    e = _t(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == _FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == _FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        df.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(step).alias("funnel_step"), "n_users"
+        )
+        for step, df in zip(_FUNNEL_STEPS, (s1, s2, s3))
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 # ---------------------------------------------------------------------------
 
 ORACLE_SQL: dict[str, str] = {
@@ -630,7 +682,33 @@ QUERIES = {
     "event_hour_window": q_event_hour_window,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "event_funnel": q_event_funnel,
 }
+
+ORACLE_SQL["event_funnel"] = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT '{_FUNNEL_STEPS[0]}' AS funnel_step,
+       CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT '{_FUNNEL_STEPS[1]}', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT '{_FUNNEL_STEPS[2]}', CAST(COUNT(*) AS BIGINT) FROM s3
+"""
 
 ORACLE_SQL["asof_join"] = """
 SELECT p.event_id, p.user_id, p.ts,

@@ -1190,3 +1190,35 @@ def test_cluster_size_histogram_planted(spark, tmp_path_factory):
         for r in corpus.q_cluster_size_histogram(spark, d).collect()
     }
     assert got == {3: (1, 3), 2: (1, 2)}
+
+
+def test_event_funnel_order_sensitivity(spark, tmp_path_factory):
+    """A purchase BEFORE the signup must not convert; strict-after
+    semantics at each step."""
+    from search_engine_spark.operators import relational
+
+    d = _events_dir(
+        tmp_path_factory,
+        "funnel",
+        [
+            # user 1: full ordered funnel
+            {"u": 1, "t": "signup", "s": 10},
+            {"u": 1, "t": "click", "s": 20},
+            {"u": 1, "t": "purchase", "s": 30},
+            # user 2: purchase BEFORE signup -> stops at click
+            {"u": 2, "t": "purchase", "s": 5},
+            {"u": 2, "t": "signup", "s": 10},
+            {"u": 2, "t": "click", "s": 20},
+            # user 3: click before signup -> stops at signup
+            {"u": 3, "t": "click", "s": 5},
+            {"u": 3, "t": "signup", "s": 10},
+            # user 4: never signs up -> absent everywhere
+            {"u": 4, "t": "click", "s": 10},
+            {"u": 4, "t": "purchase", "s": 20},
+        ],
+    )
+    got = {
+        r["funnel_step"]: r["n_users"]
+        for r in relational.q_event_funnel(spark, d).collect()
+    }
+    assert got == {"signup": 3, "click": 2, "purchase": 1}
